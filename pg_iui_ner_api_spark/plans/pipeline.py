@@ -1,0 +1,64 @@
+"""End-to-end KG construction pipeline (north_star).
+
+    documents ──extract──> mentions + predicates      (1 corpus scan)
+       mentions ──link──> linked_mentions             (broadcast joins)
+       linked  ──canonicalize──> components, nodes    (iterative CC)
+       linked + predicates ──assemble──> edges        (co-keyed joins)
+
+Partitioning contract: the extraction output is hash-repartitioned on
+doc_id once (explicit, north_rule); every later shuffle keys on a
+doc_id-prefixed composite or on small per-mention keys, and the two
+dimension joins broadcast. Stage materialization + lineage + resume via
+plans.lineage.StageRunner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import components as C, linking as L, ner as N, triples as T
+from ..synth import alias_df as _alias_df, entity_emb_df as _emb_df
+from .lineage import StageRunner
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    documents: DataFrame,
+    alias_df: DataFrame | None = None,
+    entity_emb_df: DataFrame | None = None,
+    workdir: str | None = None,
+    run_id: str = "run0",
+    input_fingerprint: str = "",
+    doc_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    alias = alias_df if alias_df is not None else _alias_df(spark)
+    embs = entity_emb_df if entity_emb_df is not None else _emb_df(spark)
+    runner = StageRunner(spark, workdir, run_id=run_id, input_fingerprint=input_fingerprint)
+    n_part = doc_partitions or spark.sparkContext.defaultParallelism
+
+    def _extract() -> DataFrame:
+        # explicit hash partitioning on doc_id (north_rule): aligns all
+        # downstream per-doc work; no further full-corpus shuffles.
+        return N.extract(documents).repartition(n_part, "doc_id")
+
+    extraction = runner.stage("extraction", _extract, partition_by=None)
+    mentions = N.mentions_of(extraction)
+    predicates = N.predicates_of(extraction)
+
+    linked = runner.stage(
+        "linked_mentions", lambda: L.link_mentions(mentions, alias, embs)
+    )
+    comps = runner.stage("components", lambda: C.canonical_components(linked))
+    nodes = runner.stage("nodes", lambda: C.canonical_nodes(linked, comps))
+    edges = runner.stage("edges", lambda: T.assemble_triples(linked, predicates))
+
+    return {
+        "extraction": extraction,
+        "mentions": mentions,
+        "predicates": predicates,
+        "linked_mentions": linked,
+        "components": comps,
+        "nodes": nodes,
+        "edges": edges,
+        "_runner": runner,
+    }

@@ -1,0 +1,65 @@
+"""Entity-linking tests: broadcast candidate gen + embedding rerank,
+including the ambiguous-alias case the rerank exists for."""
+
+import pyspark.sql.functions as F
+
+from pg_iui_ner_api_spark import synth
+from pg_iui_ner_api_spark.operators import linking, ner
+
+
+def _linked_for_texts(spark, texts):
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": f"t{i}",
+                "spans": [{"kind": "text", "text": t, "media_ref": None, "offset": 0}],
+            }
+            for i, t in enumerate(texts)
+        ],
+        schema=__import__("pg_iui_ner_api_spark.schema", fromlist=["DOCUMENTS"]).DOCUMENTS,
+    )
+    mentions = ner.mentions_of(ner.extract(docs))
+    return linking.link_mentions(mentions, synth.alias_df(spark), synth.entity_emb_df(spark))
+
+
+def test_ambiguous_alias_resolved_by_context(spark):
+    linked = _linked_for_texts(
+        spark,
+        [
+            "Hopper works for Phoenix, the company.",       # -> ORG
+            "Acme Corp, the company, is located in Phoenix.",  # -> LOC
+        ],
+    ).collect()
+    by_doc = {}
+    for r in linked:
+        by_doc.setdefault(r["doc_id"], {})[r["word"]] = r["entity_id"]
+    assert by_doc["t0"]["Phoenix"] == "ORG:phoenix_sys"
+    assert by_doc["t1"]["Phoenix"] == "LOC:phoenix_az"
+
+
+def test_every_gazetteer_alias_links_to_itself(spark):
+    rows = synth.alias_table()
+    texts = [f"{alias} works for Initech, the company." for alias, *_ in rows]
+    linked = _linked_for_texts(spark, texts).collect()
+    # every doc has >= 1 linked mention; surfaces link to a holder of
+    # that alias
+    holders = {}
+    for alias, eid, *_ in rows:
+        holders.setdefault(alias.lower(), set()).add(eid)
+    assert len({r["doc_id"] for r in linked}) == len(texts)
+    for r in linked:
+        assert r["entity_id"] in holders[r["word"].lower()], r
+
+
+def test_unknown_surface_is_dropped(spark):
+    linked = _linked_for_texts(spark, ["Bob works for Nobody Inc."])
+    assert linked.where(F.col("word").isin("Bob", "Nobody Inc.")).count() == 0
+
+
+def test_rerank_cosine_is_jvm_side(spark):
+    # guard: the rerank plan must not contain a Python UDF node
+    linked = _linked_for_texts(spark, ["Hopper works for Phoenix, the company."])
+    plan = linked._jdf.queryExecution().executedPlan().toString()
+    # the only Python is the extraction mapInPandas; rerank adds none
+    assert plan.count("BatchEvalPython") == 0
+    assert plan.count("ArrowEvalPython") == 0

@@ -1,0 +1,90 @@
+"""Span-sequence + mention parity vs the independent oracle (BASELINE.json).
+
+Gate 1 (input_hint): per-document span-sequence equality
+(kind, text, media_ref, order) after a full explode/shuffle round trip.
+Gate 2: engine mentions == oracle mentions field-for-field
+(entity_group, word, start, end, score) in text order — the reference
+response contract (main_endpoints.py:129-143).
+"""
+
+import pytest
+
+from pg_iui_ner_api_spark import synth
+from pg_iui_ner_api_spark.operators import ner
+
+from .oracle import oracle_mentions, oracle_spans
+
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return synth.synth_documents(spark, N_DOCS, partitions=4).cache()
+
+
+def test_span_sequence_identity(spark, docs_df):
+    back = ner.reassemble_spans(docs_df)
+    orig = {r["doc_id"]: r["spans"] for r in docs_df.collect()}
+    got = {r["doc_id"]: r["spans"] for r in back.collect()}
+    assert set(orig) == set(got)
+    for doc_id, spans in orig.items():
+        o = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        g = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got[doc_id]]
+        assert o == g, f"span sequence mismatch for {doc_id}"
+
+
+def test_spans_match_generator(docs_df):
+    rows = {r["doc_id"]: r for r in docs_df.collect()}
+    for i in range(N_DOCS):
+        doc, _ = synth.gen_doc(i)
+        got = rows[doc["doc_id"]]
+        assert oracle_spans(doc) == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got["spans"]
+        ]
+
+
+def test_mention_parity_vs_oracle(spark, docs_df):
+    eng = (
+        ner.mentions_of(ner.extract(docs_df))
+        .orderBy("doc_id", "span_idx", "start")
+        .collect()
+    )
+    by_span = {}
+    for r in eng:
+        by_span.setdefault((r["doc_id"], r["span_idx"]), []).append(r)
+
+    checked = 0
+    for i in range(N_DOCS):
+        doc, _ = synth.gen_doc(i)
+        for si, span in enumerate(doc["spans"]):
+            if span["kind"] != "text":
+                assert (doc["doc_id"], si) not in by_span  # media spans yield nothing
+                continue
+            want = oracle_mentions(span["text"])
+            got = by_span.get((doc["doc_id"], si), [])
+            assert len(got) == len(want), (doc["doc_id"], si, span["text"])
+            for g, w in zip(got, want):
+                assert g["entity_group"] == w["entity_group"]
+                assert g["word"] == w["word"]
+                assert g["start"] == w["start"]
+                assert g["end"] == w["end"]
+                assert abs(g["score"] - w["score"]) < 1e-6
+                assert g["sentence_id"] == w["sentence_id"]
+                checked += 1
+    assert checked > 200  # corpus actually exercised the path
+
+
+def test_media_spans_pass_through_untouched(spark, docs_df):
+    import pyspark.sql.functions as F
+
+    media = (
+        docs_df.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") != "text")
+        .select("doc_id", "s.kind", "s.text", "s.media_ref")
+        .collect()
+    )
+    assert len(media) > 0
+    for r in media:
+        assert r["kind"] in ("image", "audio")
+        assert r["text"] == ""
+        assert r["media_ref"].startswith("media://")
