@@ -1,38 +1,550 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry (smoke), queries (operators), oracle_sql (DuckDB).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every SQL-expressible operator from SURVEY.md §2 plus the training-data
+pipeline ops (dedup family, ANN, text analysis) has a ``queries()``
+entry; those with an exact ANSI/DuckDB twin also have an
+``oracle_sql()`` entry. Non-SQL-expressible ops (the KG pipeline over
+the synthesized interleaved corpus, media feature extraction) are
+registered rows-only.
+
+Cross-engine exactness rules used throughout (see
+pg_iui_ner_api_spark/functions/text.py):
+  * hashing: md5-hex reinterpreted as int — identical in both engines;
+  * float math: cast to double BEFORE multiplying, ordered folds only;
+  * every computed column aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from pg_iui_ner_api_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_piece_count,
+    fingerprint,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from pg_iui_ner_api_spark.operators import ann as ANN, dedup as D, media as M, ner as N
+from pg_iui_ner_api_spark.plans.pipeline import run_kg_pipeline
+from pg_iui_ner_api_spark import synth
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the KG mention-extraction slice, run against the driver
+# testdata documents table mapped into the interleaved-span corpus shape.
+# The lexicon is built from the testdata's own vocabulary so the NER
+# operator produces real mentions on this corpus.
+# ---------------------------------------------------------------------------
+TESTDATA_LEXICON = {
+    "spark": ("ORG", 0.91),
+    "vector": ("ORG", 0.77),
+    "customer": ("PER", 0.83),
+    "table": ("LOC", 0.69),
+    "window": ("MISC", 0.88),
+    "stream": ("MISC", 0.73),
+}
+
+
+def _interleaved_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """testdata documents(doc_id,text,...) -> documents(doc_id, spans[]).
+
+    One text span per document (offset 0) — the degenerate interleaving,
+    exactly how the reference's single-string requests map into the
+    corpus shape (SURVEY.md §1.2)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: NER mention extraction over sf0.001 documents, mentions
+    per entity group (the reference's principal output, aggregated)."""
+    from pg_iui_ner_api_spark.operators.tagger import GazetteerTagger
+
+    corpus = _interleaved_corpus(spark, "/root/testdata/sf0.001")
+    extraction = N.extract(corpus, tagger=GazetteerTagger(TESTDATA_LEXICON))
+    mentions = N.mentions_of(extraction)
+    return (
+        mentions.groupBy("entity_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("entity_group")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries(): one callable per operator; oracle_sql(): the DuckDB twin.
+# ---------------------------------------------------------------------------
+def _q_scan_project(spark, sf):  # S2: plain scan + projection
+    return _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _q_point_lookup(spark, sf):  # P1: PK point filter + limit 1
+    return (
+        _t(spark, sf, "orders")
+        .where(F.col("o_orderkey") == 100)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .limit(1)
+    )
+
+
+def _q_conj_filter(spark, sf):  # P5: conjunctive predicate
+    return (
+        _t(spark, sf, "events")
+        .where((F.col("event_type") == "click") & (F.col("value") > 0.5))
+        .select("event_id", "user_id", "value")
+    )
+
+
+def _q_anti_join(spark, sf):  # P6/J1: left anti join (liveness shape)
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.join(o, "c_custkey", "left_anti").select("c_custkey", "c_name")
+
+
+def _q_project_datefmt(spark, sf):  # P7/F3: projection + ISO date format
+    return _t(spark, sf, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date")
+    )
+
+
+def _q_dedup(spark, sf):  # P11: dedupe-check shape (first id per key)
+    return (
+        _t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.min("doc_id").alias("first_doc"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_label_encode(spark, sf):  # P14: string label -> int id via tiny map
+    m = F.create_map(
+        F.lit("click"), F.lit(0), F.lit("view"), F.lit(1), F.lit("purchase"), F.lit(2),
+        F.lit("signup"), F.lit(3), F.lit("error"), F.lit(4),
+    )
+    return _t(spark, sf, "events").select(
+        "event_id", F.element_at(m, F.col("event_type")).alias("label_id")
+    )
+
+
+def _q_count_agg(spark, sf):  # A1: count aggregation
+    return _t(spark, sf, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _q_collect_group(spark, sf):  # A3: order-preserving group-collect
+    return (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_linenumber").cast("string").cast("int")))
+                .cast("array<string>"),
+                ",",
+            ).alias("lines")
+        )
+    )
+
+
+def _q_topk(spark, sf):  # O1/O2: sort + limit
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def _q_union_langs(spark, sf):  # §2.6: unionByName of per-language corpora
+    d = _t(spark, sf, "documents")
+    return d.where(F.col("lang") == "en").select("doc_id", "lang").unionByName(
+        d.where(F.col("lang") == "es").select("doc_id", "lang")
+    )
+
+
+def _q_except_diff(spark, sf):  # §2.6: exceptAll diff
+    d = _t(spark, sf, "documents")
+    return d.where(F.col("source") == "src0").select("doc_id").exceptAll(
+        d.where(F.col("lang") == "en").select("doc_id")
+    )
+
+
+def _q_tumbling_bucket(spark, sf):  # W2: event-time tumbling window
+    return (
+        _t(spark, sf, "events")
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def _q_to_json_props(spark, sf):  # F8: JSON prop extraction
+    return _t(spark, sf, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k_val")
+    )
+
+
+def _q_limit_sample(spark, sf):  # S9: deterministic head sample
+    return (
+        _t(spark, sf, "documents").orderBy("doc_id").select("doc_id", "source").limit(50)
+    )
+
+
+def _q_join_agg(spark, sf):  # J-shape: equi join + aggregation
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+# --- training-data pipeline ops -------------------------------------------
+def _q_dedup_exact(spark, sf):
+    return D.dedup_exact(_t(spark, sf, "documents"))
+
+
+def _q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_token_stats(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_piece_count(F.col("text")).alias("n_pieces"),
+    )
+
+
+def _q_quality_score(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _q_lang_id(spark, sf):
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+        for lang in sorted(LANG_MARKERS)
+    }
+    langs = sorted(LANG_MARKERS)  # deterministic precedence on ties
+    pred = F.lit(langs[0])
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        pred = F.when(scores[lang] > best, F.lit(lang)).otherwise(pred)
+        best = F.when(scores[lang] > best, scores[lang]).otherwise(best)
+    return d.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def _q_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.2)
+
+
+def _q_minhash_sig(spark, sf):
+    sigs = D.minhash_signatures(_t(spark, sf, "documents"), num_hashes=8)
+    return sigs.select(
+        "doc_id", F.array_join(F.col("sig").cast("array<string>"), ",").alias("sig")
+    )
+
+
+def _q_minhash_pairs(spark, sf):  # rows-only (LSH banding SQL is impractical)
+    return D.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), num_hashes=8, bands=4
+    )
+
+
+def _q_simhash(spark, sf):
+    return D.simhash(_t(spark, sf, "documents"), bits=16)
+
+
+def _q_embedding_near_dup(spark, sf):
+    return D.embedding_near_dups(
+        _t(spark, sf, "embeddings"), threshold=0.5, planes=0
+    )
+
+
+def _q_ann_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ANN.brute_force_topk(e, q, k=10)
+
+
+def _q_ann_ivf(spark, sf):  # rows-only: approximate by construction
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return ANN.ivf_topk(e, q, dim=64, k=10, ncells=8, nprobe=3)
+
+
+# --- KG pipeline over the synthesized interleaved corpus (rows-only) -------
+_KG_DOCS = 200
+
+
+def _q_kg_mentions(spark, sf):
+    docs = synth.synth_documents(spark, _KG_DOCS, partitions=8)
+    return N.mentions_of(N.extract(docs)).select(
+        "doc_id", "span_idx", "mention_id", "entity_group", "word", "start", "end"
+    )
+
+
+def _q_kg_edges(spark, sf):
+    docs = synth.synth_documents(spark, _KG_DOCS, partitions=8)
+    res = run_kg_pipeline(spark, docs)
+    return res["edges"].select("subj", "pred", "obj", "doc_id")
+
+
+def _q_kg_nodes(spark, sf):
+    docs = synth.synth_documents(spark, _KG_DOCS, partitions=8)
+    res = run_kg_pipeline(spark, docs)
+    return res["nodes"]
+
+
+def _q_media_features(spark, sf):
+    docs = synth.synth_documents(spark, _KG_DOCS, partitions=8)
+    return M.extract_media_features(docs).select(
+        "doc_id", "span_idx", "media_ref", "kind", "width", "height", "n_frames"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "scan_project": _q_scan_project,
+        "point_lookup": _q_point_lookup,
+        "conj_filter": _q_conj_filter,
+        "anti_join": _q_anti_join,
+        "project_datefmt": _q_project_datefmt,
+        "dedup": _q_dedup,
+        "label_encode": _q_label_encode,
+        "count_agg": _q_count_agg,
+        "collect_group": _q_collect_group,
+        "topk": _q_topk,
+        "union_langs": _q_union_langs,
+        "except_diff": _q_except_diff,
+        "tumbling_bucket": _q_tumbling_bucket,
+        "to_json_props": _q_to_json_props,
+        "limit_sample": _q_limit_sample,
+        "join_agg": _q_join_agg,
+        "dedup_exact": _q_dedup_exact,
+        "doc_fingerprint": _q_fingerprint,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_sig": _q_minhash_sig,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "kg_mentions": _q_kg_mentions,
+        "kg_edges": _q_kg_edges,
+        "kg_nodes": _q_kg_nodes,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles. Shared SQL fragments for the portable primitives.
+# ---------------------------------------------------------------------------
+# portable_hash64(x) twin:
+_H = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+# normalize_ws twin:
+_NORM = "lower(trim(regexp_replace({x}, '\\s+', ' ', 'g')))"
+# whitespace tokens twin (list of non-empty tokens):
+_TOKS = "list_filter(string_split_regex(trim({x}), '\\s+'), t -> t <> '')"
+# 3-gram distinct shingles twin over normalized text:
+_SHINGLES = f"""(
+  WITH t AS (SELECT {_TOKS.format(x=_NORM.format(x='{x}'))} AS toks)
+  SELECT CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END
+  FROM t)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+    sql["scan_project"] = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    sql["point_lookup"] = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus FROM orders "
+        "WHERE o_orderkey = 100 LIMIT 1"
+    )
+    sql["conj_filter"] = (
+        "SELECT event_id, user_id, value FROM events "
+        "WHERE event_type = 'click' AND value > 0.5"
+    )
+    sql["anti_join"] = (
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+    )
+    sql["project_datefmt"] = (
+        "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date FROM orders"
+    )
+    sql["dedup"] = (
+        "SELECT source, min(doc_id) AS first_doc, count(*) AS n "
+        "FROM documents GROUP BY source"
+    )
+    sql["label_encode"] = (
+        "SELECT event_id, CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1 "
+        "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'error' THEN 4 END AS label_id "
+        "FROM events"
+    )
+    sql["count_agg"] = "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
+    sql["collect_group"] = (
+        "SELECT l_orderkey, string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS lines "
+        "FROM lineitem GROUP BY l_orderkey"
+    )
+    sql["topk"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    )
+    sql["union_langs"] = (
+        "SELECT doc_id, lang FROM documents WHERE lang = 'en' "
+        "UNION ALL SELECT doc_id, lang FROM documents WHERE lang = 'es'"
+    )
+    sql["except_diff"] = (
+        "SELECT doc_id FROM documents WHERE source = 'src0' "
+        "EXCEPT ALL SELECT doc_id FROM documents WHERE lang = 'en'"
+    )
+    sql["tumbling_bucket"] = (
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w, "
+        "count(*) AS n, round(sum(value), 4) AS sum_value FROM events GROUP BY 1"
+    )
+    sql["to_json_props"] = (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val FROM events"
+    )
+    sql["limit_sample"] = (
+        "SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 50"
+    )
+    sql["join_agg"] = (
+        "SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"
+    )
+    sql["dedup_exact"] = (
+        f"SELECT md5({_NORM.format(x='text')}) AS fp, min(doc_id) AS keep_id, "
+        "count(*) AS n_dups FROM documents GROUP BY 1"
+    )
+    sql["doc_fingerprint"] = (
+        f"SELECT doc_id, md5({_NORM.format(x='text')}) AS fp FROM documents"
+    )
+    sql["token_stats"] = (
+        f"SELECT doc_id, len({_TOKS.format(x='text')}) AS n_tokens, "
+        f"CAST(list_sum(list_transform({_TOKS.format(x='text')}, "
+        "p -> greatest(1, CAST(ceil(len(p) / 4.0) AS INT)))) AS INT) AS n_pieces "
+        "FROM documents"
+    )
+    sql["quality_score"] = (
+        "WITH q AS (SELECT doc_id, text, "
+        "  (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))"
+        "    / greatest(length(text), 1)::DOUBLE AS pr, "
+        f"  len({_TOKS.format(x='text')}) AS nt FROM documents) "
+        "SELECT doc_id, round(pr, 6) AS punct_ratio, "
+        "round(0.5 * (CASE WHEN nt BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) "
+        "+ 0.5 * (CASE WHEN pr <= 0.2 THEN 1.0 - pr * 2 ELSE 0.0 END), 6) AS quality "
+        "FROM q"
+    )
+    # lang_id: per-lang marker counts with the same precedence chain
+    marker_cases = []
+    langs = sorted(LANG_MARKERS)
+    for lang in langs:
+        ms = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        marker_cases.append(
+            f"len(list_filter({_TOKS.format(x='lower(trim(text))')}, t -> t IN ({ms}))) AS s_{lang}"
+        )
+    pred_expr = f"'{langs[0]}'"
+    best_expr = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        pred_expr = f"CASE WHEN s_{lang} > {best_expr} THEN '{lang}' ELSE {pred_expr} END"
+        best_expr = f"greatest({best_expr}, s_{lang})"
+    sql["lang_id"] = (
+        f"WITH s AS (SELECT doc_id, lang, {', '.join(marker_cases)} FROM documents) "
+        f"SELECT doc_id, lang, {pred_expr} AS pred_lang FROM s"
+    )
+    sql["ngram_jaccard"] = f"""
+        WITH sh AS (
+          SELECT doc_id, unnest({_SHINGLES.format(x='text')}) AS sh FROM documents
+        ), dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+        rare AS (
+          SELECT doc_id, sh FROM dsh
+          WHERE sh IN (SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= 1000)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+          FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT da, db, round(c / (sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.2
     """
-    return {}
+    h_sh = _H.format(x="(CAST(i AS VARCHAR) || '#' || s)")
+    sql["minhash_sig"] = f"""
+        WITH sh AS (SELECT doc_id, {_SHINGLES.format(x='text')} AS shs FROM documents)
+        SELECT doc_id, array_to_string(
+          list_transform(range(0, 8),
+            i -> list_min(list_transform(shs, s -> {h_sh}))), ',') AS sig
+        FROM sh
+    """
+    h_t = _H.format(x="t")
+    sql["simhash"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS.format(x=_NORM.format(x='text'))} AS toks FROM documents)
+        SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b ->
+          CASE WHEN list_sum(list_transform(toks, t ->
+            CASE WHEN ({h_t} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+          THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
+        FROM t
+    """
+    _cos = (
+        "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / "
+        "greatest(sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), "
+        "i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))), 1e-12)"
+    )
+    sql["embedding_near_dup"] = f"""
+        SELECT a.vec_id AS va, b.vec_id AS vb, round({_cos}, 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cos} >= 0.5
+    """
+    _qcos = _cos.replace("a.embedding", "q.embedding").replace("b.embedding", "v.embedding")
+    sql["ann_topk"] = f"""
+        WITH scored AS (
+          SELECT q.vec_id AS q_id, v.vec_id AS vec_id, round({_qcos}, 6) AS cos
+          FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+          WHERE q.vec_id < 3
+        ), ranked AS (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        )
+        SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+    """
+    return sql

@@ -1,0 +1,292 @@
+"""Deduplication operators for the large-scale training-data pipeline.
+
+Five dedup families, each the standard web-scale shape:
+
+  * exact           — fingerprint groupBy (one shuffle on a 16-byte key)
+  * ngram_jaccard   — exploded-shingle equi-join: |A∩B| via join on the
+                      shingle, sizes via per-doc counts; never a pairwise
+                      cross join, so it scales to 100 TB (the join key is
+                      the shingle, and hot shingles are handled by AQE
+                      skew splitting)
+  * minhash_lsh     — k seeded MinHash values per doc → band buckets →
+                      candidate pairs via bucket groupBy (classic
+                      MMDS ch.3 LSH; band collision is the only join)
+  * simhash         — 64-bit sign-aggregated token-hash fingerprint;
+                      near-dups = equal fingerprint (or banded prefixes)
+  * embedding near-dup — cosine over the embeddings table; LSH-bucketed
+                      by random-hyperplane signs so the pair join is
+                      per-bucket, never a full-corpus cross join
+
+All hashing goes through ``portable_hash64`` (md5-based) so every one of
+these has a bit-identical DuckDB oracle in ``__spark_entry__``.
+Everything is Column expressions + joins — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint, normalize_ws, portable_hash64, shingles
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the minimum id per exact (whitespace/case-normalized) text.
+
+    Plan: project → groupBy(md5 fingerprint) → min(id). One shuffle on
+    the digest, map-side partial agg; at 100 TB this is the cheapest
+    possible dedup pass (the digest is 32 bytes; the text never
+    shuffles).
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+def shingle_table(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) distinct — the exploded form both dedup ops share."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """All doc pairs (a < b) with n-gram Jaccard >= threshold.
+
+    intersection counts come from a self-equi-join ON THE SHINGLE (not a
+    doc×doc cross join): cost is Σ_sh df(sh)², bounded in practice by
+    dropping ubiquitous shingles (df > DF_CAP) — the standard stopword-
+    shingle guard that keeps hub shingles from exploding the join.
+    """
+    DF_CAP = 1000  # shingles in more docs than this carry no dedup signal
+    sh = shingle_table(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = sh.join(
+        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= DF_CAP),
+        "sh",
+    ).select("doc_id", "sh")
+    a, b = rare.alias("a"), rare.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "da", "sz": "sza"}), "da")
+        .join(sizes.withColumnsRenamed({"doc_id": "db", "sz": "szb"}), "db")
+        .withColumn("jaccard", F.round(F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("da", "db", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sig: array<long>[num_hashes]).
+
+    minhash_i(doc) = min over shingles of portable_hash64(i || shingle).
+    Computed with higher-order functions over the in-row shingle array —
+    no explode, no shuffle at all until LSH banding; the signature is a
+    narrow projection of the corpus scan.
+    """
+    sh = shingles(F.col(text_col), n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: portable_hash64(F.concat_ws("#", i.cast("string"), s))
+                        )
+        ),
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                      n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over MinHash signatures.
+
+    rows-per-band = num_hashes/bands; docs sharing any full band land in
+    the same bucket. The only shuffle is groupBy(band, band_signature);
+    inside a bucket pairs are enumerated with a self-join on the bucket
+    key (buckets are tiny by construction; a pathological mega-bucket —
+    an exact-dup cluster — is exactly the output we want anyway).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.concat_ws(",", F.slice("sig", b * rows + 1, rows)).alias("bsig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bsig")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bsig") == F.col("y.bsig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: long) — sign-aggregated token-hash fingerprint.
+
+    For each bit b: +1 if portable_hash64(token) has bit b set else -1,
+    summed over tokens; simhash bit b = 1 iff the sum > 0. All in-row
+    higher-order functions (token array never explodes); the result is a
+    32-bit int comparable by Hamming distance.
+    """
+    toks = F.filter(F.split(normalize_ws(F.col(text_col)), " "), lambda t: t != "")
+    th = F.transform(toks, lambda t: portable_hash64(t))
+    # (h >> b) & 1 with a *column* shift amount: pyspark's shiftright only
+    # takes literal counts, so test the bit with a mask instead:
+    # (h & 2^b) != 0. 2^b is exact in double for b < 63, then cast long.
+    pow2 = lambda b: F.pow(F.lit(2.0), b).cast("long")  # noqa: E731
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(pow2(b)) != 0, 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, b: F.when(s > 0, pow2(b)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+
+
+def simhash_dup_groups(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Exact-simhash collision groups (Hamming-0). Hamming-k would band
+    the fingerprint into k+1 segments and join per segment — same plan
+    shape as minhash_lsh_pairs."""
+    return (
+        simhash(docs, bits)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def cosine(a, b):  # Column, Column -> Column
+    """Cosine similarity of two array<float|double> columns.
+
+    Elements are cast to double BEFORE any multiply and folded
+    left-to-right (F.aggregate is an ordered fold), so the result is
+    bit-identical to the DuckDB oracle's ordered
+    list_sum(list_transform(...)) over double-cast elements."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def embedding_near_dups(embs: DataFrame, threshold: float = 0.95,
+                        id_col: str = "vec_id", emb_col: str = "embedding",
+                        planes: int = 8) -> DataFrame:
+    """Pairs with cosine >= threshold, blocked by a random-hyperplane
+    sign bucket so the pair join is per-bucket (sign-LSH: true near-dups
+    almost always share the bucket at high thresholds).
+
+    The "random" hyperplanes are md5-seeded deterministic ±1 vectors —
+    reproducible across runs and engines. Pass ``planes=0`` for the
+    exact (unblocked) variant used as the small-scale oracle.
+    """
+    e = embs.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"))
+    if planes:
+        dim_idx = F.sequence(F.lit(1), F.size("emb"))
+        bucket = F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(planes - 1)),
+                lambda p: F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            "emb",
+                            F.transform(
+                                dim_idx,
+                                lambda i: F.when(
+                                    F.shiftright(
+                                        portable_hash64(F.concat_ws("#", p.cast("string"), i.cast("string"))),
+                                        3,
+                                    ).bitwiseAND(F.lit(1))
+                                    == 1,
+                                    1.0,
+                                ).otherwise(-1.0),
+                            ),
+                            lambda x, h: x * h,
+                        ),
+                        F.lit(0.0),
+                        lambda s, v: s + v,
+                    )
+                    > 0,
+                    "1",
+                ).otherwise("0"),
+            ),
+        )
+        e = e.withColumn("bucket", bucket)
+        join_cond = (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id"))
+    else:
+        join_cond = F.col("x.vec_id") < F.col("y.vec_id")
+    x, y = e.alias("x"), e.alias("y")
+    return (
+        x.join(y, join_cond)
+        .select(
+            F.col("x.vec_id").alias("va"),
+            F.col("y.vec_id").alias("vb"),
+            F.round(cosine(F.col("x.emb"), F.col("y.emb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,141 @@
+"""Multimodal span processing: images/audio/video as opaque binary.
+
+The corpus's media spans (kind != 'text', media_ref set — BASELINE.json
+input_hint) carry payloads as opaque ``binary`` columns with typed
+metadata. This module is the Spark-side plumbing for decode /
+feature-extract / resize / frame-sample:
+
+  * schemas are real and enforced,
+  * the pipeline shape is real (mapInPandas over doc_id-partitioned
+    Arrow batches; one JVM→Python crossing; metadata stays JVM-side),
+  * the codec itself is STUBBED — image/audio libraries are not in this
+    container. ``decode=fake`` produces a deterministic payload-hash
+    "decode" (so tests assert real plumbing end-to-end);
+    ``decode=real`` raises NotImplementedError at the exact seam where
+    PIL/torchaudio would slot in.
+
+At 100 TB the binary column dominates bytes: every op here projects
+(doc_id, span_idx, media_ref, payload) ONLY — nested-schema pruning
+keeps spans.text out of the scan — and feature outputs are narrow
+(array<float>), so shuffles never carry payload bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING, Literal
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MEDIA_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("span_idx", T.IntegerType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def media_spans(documents: DataFrame) -> DataFrame:
+    """documents -> one row per media span. Only kind/media_ref/offset are
+    read (nested pruning drops spans.text from the parquet scan)."""
+    return (
+        documents.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+        .where(F.col("span.kind") != "text")
+        .select(
+            "doc_id",
+            F.col("span_idx").cast("int").alias("span_idx"),
+            F.col("span.kind").alias("kind"),
+            F.col("span.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def fetch_payload(spans: DataFrame) -> DataFrame:
+    """Resolve media_ref -> payload bytes.
+
+    In production this is an object-store read (Iceberg positional ref or
+    a bulk GET through a connector); here the payload is the ref's bytes
+    — deterministic stand-in keeping column types honest (binary)."""
+    return spans.withColumn("payload", F.encode("media_ref", "UTF-8").cast("binary"))
+
+
+def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]:
+    """Deterministic stand-in decode: md5(payload) drives pseudo-geometry
+    + a FEATURE_DIM-float feature. Replaced wholesale by PIL/ffmpeg in
+    production; signature is the contract."""
+    d = hashlib.md5(payload).digest()
+    width = 16 + d[0]
+    height = 16 + d[1]
+    n_frames = 1 if kind == "image" else 1 + d[2] % 32
+    feat = [(d[i % 16] / 255.0) for i in range(FEATURE_DIM)]
+    return width, height, n_frames, feat
+
+
+def extract_media_features(
+    documents: DataFrame, decode: Literal["fake", "real"] = "fake"
+) -> DataFrame:
+    """Media pipeline: explode → fetch → mapInPandas(decode+featurize).
+
+    Arrow batches keep payloads off the driver; the Python worker sees
+    pandas columns of bytes. With decode='real' this is where PIL /
+    torchaudio / pyav decode, resize, and frame-sample — not available
+    in this container, so it raises at the seam.
+    """
+    spans = fetch_payload(media_spans(documents))
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if decode == "real":  # pragma: no cover - libs absent in sandbox
+            raise NotImplementedError(
+                "real media decode needs PIL/torchaudio/pyav (not in this "
+                "container); decode='fake' exercises the full Spark plumbing"
+            )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            geo = [
+                _fake_decode(p, k)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "span_idx": pdf["span_idx"],
+                    "media_ref": pdf["media_ref"],
+                    "kind": pdf["kind"],
+                    "width": [g[0] for g in geo],
+                    "height": [g[1] for g in geo],
+                    "n_frames": [g[2] for g in geo],
+                    "feature": [g[3] for g in geo],
+                }
+            )
+
+    return spans.mapInPandas(featurize, schema=MEDIA_FEATURES)
+
+
+def frame_sample_plan(features: DataFrame, every_n: int = 8) -> DataFrame:
+    """Frame-sampling metadata: which frame indices a video decode would
+    materialize. Pure column algebra over n_frames (the decode itself is
+    behind the stub seam)."""
+    return features.where(F.col("kind") != "image").select(
+        "doc_id",
+        "span_idx",
+        "media_ref",
+        F.filter(
+            F.sequence(F.lit(0), F.col("n_frames") - 1),
+            lambda i: i % every_n == 0,
+        ).alias("sampled_frames"),
+    )
