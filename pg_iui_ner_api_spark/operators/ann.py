@@ -66,14 +66,22 @@ def _centroids(dim: int, ncells: int):
     return rows
 
 
+def _centroid_df(spark, dim: int, ncells: int):
+    """Centroids as a JVM LocalRelation (see synth.local_dim_df: a
+    createDataFrame dim pays a Python-RDD job per broadcast collect)."""
+    from ..synth import local_dim_df
+
+    return local_dim_df(spark, _centroids(dim, ncells), ["cell", "cent"]).select(
+        "cell", F.col("cent").cast("array<double>").alias("cent")
+    )
+
+
 def assign_cells(vectors: DataFrame, dim: int, ncells: int = 16,
                  id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
     """IVF index build: argmax-cosine centroid per vector. Broadcast join
     against the tiny centroid table + max_by — one corpus scan."""
     spark = vectors.sparkSession
-    cents = F.broadcast(
-        spark.createDataFrame(_centroids(dim, ncells), "cell int, cent array<double>")
-    )
+    cents = F.broadcast(_centroid_df(spark, dim, ncells))
     scored = vectors.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb")).crossJoin(cents)
     return (
         scored.groupBy("vec_id")
@@ -96,9 +104,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     """
     spark = vectors.sparkSession
     indexed = assign_cells(vectors, dim, ncells, id_col, emb_col)
-    cents = F.broadcast(
-        spark.createDataFrame(_centroids(dim, ncells), "cell int, cent array<double>")
-    )
+    cents = F.broadcast(_centroid_df(spark, dim, ncells))
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_emb_col).alias("q_emb"))
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("qc"), F.asc("cell"))
     probes = (

@@ -85,40 +85,47 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
 
 
 def canonical_components(linked_mentions: DataFrame) -> DataFrame:
-    """Mention-level canonicalization graph -> component per mention.
+    """Mention-level canonicalization -> component per mention.
 
-    Edge construction is star-shaped per blocking key (linked entity_id,
-    then normalized surface): each mention connects to the minimum
-    mention hash in its block — O(n) edges, never the O(n²) pairwise
-    self-join, which is what makes this survive hub entities at scale.
-    Returns (mention_id, node, component).
+    Two mentions co-refer iff they are connected through shared linked
+    entity_ids and/or shared normalized surfaces. That relation factors
+    through the **bipartite entity↔surface block graph**: mention m
+    (entity e, surface s) connects e—s; components of mentions =
+    components of their entity nodes in that graph. So the corpus-sized
+    mention table contributes ONE distinct projection (entity_id,
+    surface) — at 10^12 documents this is bounded by |vocabulary| ×
+    |entities|, not by corpus size — and the iterative CC runs on a
+    dimension-sized graph. A hub entity with 10^9 mentions is exactly
+    one node here; skew never reaches the loop.
+
+    Returns (mention_id, node, component, entity_id) with node/component
+    being stable 64-bit hashes of entity ids.
     """
     m = linked_mentions.select(
-        "mention_id",
-        F.xxhash64("mention_id").alias("node"),
-        "entity_id",
-        F.lower("word").alias("surface"),
-    ).localCheckpoint()  # reused by two star constructions + final join
-
-    def star_edges(key: str) -> DataFrame:
-        mins = m.groupBy(key).agg(F.min("node").alias("hub"))
-        return (
-            m.join(mins, key)
-            .where(F.col("node") != F.col("hub"))
-            .select(F.col("node").alias("u"), F.col("hub").alias("v"))
-        )
-
-    edges = star_edges("entity_id").union(star_edges("surface")).distinct()
+        "mention_id", "entity_id", F.lower("word").alias("surface")
+    )
+    # bipartite edges over hashed ids; surface ids salted into a disjoint
+    # id space from entity ids via a tag prefix
+    pairs = m.select("entity_id", "surface").distinct().localCheckpoint()
+    edges = pairs.select(
+        F.xxhash64(F.concat(F.lit("e:"), "entity_id")).alias("u"),
+        F.xxhash64(F.concat(F.lit("s:"), "surface")).alias("v"),
+    )
     cc = connected_components(edges)
-    return (
-        m.join(cc, "node", "left")
+    ent_comp = (
+        pairs.select("entity_id")
+        .distinct()
+        .withColumn("node", F.xxhash64(F.concat(F.lit("e:"), "entity_id")))
+        .join(cc, "node", "left")
         .select(
-            "mention_id",
+            "entity_id",
             "node",
             F.coalesce("component", "node").alias("component"),
-            "entity_id",
         )
     )
+    return m.select("mention_id", "entity_id").join(
+        F.broadcast(ent_comp), "entity_id"
+    ).select("mention_id", "node", "component", "entity_id")
 
 
 def canonical_nodes(linked_mentions: DataFrame, components: DataFrame) -> DataFrame:

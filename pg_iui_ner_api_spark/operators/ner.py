@@ -72,7 +72,7 @@ def extract(documents: DataFrame, tagger: GazetteerTagger | None = None) -> Data
         for pdf in batches:
             out = {k: [] for k in (
                 "doc_id", "span_idx", "row_kind", "entity_group", "word",
-                "start", "end", "score", "sentence_id", "ctx_emb",
+                "start", "end", "score", "sentence_id", "ctx",
             )}
             for doc_id, span_idx, text in zip(
                 pdf["doc_id"].to_numpy(), pdf["span_idx"].to_numpy(), pdf["text"].to_numpy()
@@ -88,7 +88,7 @@ def extract(documents: DataFrame, tagger: GazetteerTagger | None = None) -> Data
                     out["end"].append(m.end)
                     out["score"].append(m.score)
                     out["sentence_id"].append(m.sentence_id)
-                    out["ctx_emb"].append(m.ctx_emb)
+                    out["ctx"].append(m.ctx)
                 for p in preds:
                     out["doc_id"].append(doc_id)
                     out["span_idx"].append(span_idx)
@@ -99,11 +99,12 @@ def extract(documents: DataFrame, tagger: GazetteerTagger | None = None) -> Data
                     out["end"].append(p.end)
                     out["score"].append(None)
                     out["sentence_id"].append(p.sentence_id)
-                    out["ctx_emb"].append(None)
+                    out["ctx"].append(None)
             if out["doc_id"]:
                 yield pd.DataFrame(out)
-            # else: all-object empty frames break Arrow's list<float>
-            # conversion for ctx_emb — yield nothing instead.
+            # else: skip empty frames (historically an all-object empty
+            # frame broke Arrow's list<float> conversion; ctx is a plain
+            # string now but the guard stays — it is also cheaper).
 
     return text_spans.mapInPandas(extract_batch, schema=S.EXTRACTION)
 
@@ -123,7 +124,7 @@ def mentions_of(extraction: DataFrame) -> DataFrame:
         "end",
         "score",
         "sentence_id",
-        "ctx_emb",
+        "ctx",
     )
 
 

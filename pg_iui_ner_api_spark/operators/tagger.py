@@ -38,7 +38,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .. import schema as S
-from ..synth import EMB_DIM, PRED_LEXICON, embed_text, tagger_lexicon
+from ..synth import PRED_LEXICON, tagger_lexicon
 
 TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
 SENT_BOUND_RE = re.compile(r"(?<=[.!?])\s+")
@@ -57,7 +57,7 @@ class Mention:
     end: int
     score: float
     sentence_id: int
-    ctx_emb: list[float]
+    ctx: str  # ±CTX_WINDOW chars around the surface, sentence-clipped
 
 
 @dataclass(frozen=True)
@@ -116,10 +116,13 @@ class GazetteerTagger:
             alias = m.group(0)
             group, score = self.lexicon[alias]
             sid = sent_id(m.start())
-            # mention-context embedding: ±CTX_WINDOW chars around the
-            # surface, clipped to the mention's sentence (a whole-sentence
-            # or cross-sentence context leaks the *other* relation
-            # argument's descriptor and flips ambiguous links).
+            # mention context: ±CTX_WINDOW chars around the surface,
+            # clipped to the mention's sentence (a whole-sentence or
+            # cross-sentence context leaks the *other* relation
+            # argument's descriptor and flips ambiguous links). Emitted
+            # as a short STRING — the embedding itself is computed
+            # JVM-side in the link stage (operators/linking.py), so no
+            # float array ever crosses the Arrow boundary or shuffles.
             s_lo = bounds[sid - 1] if sid > 0 else 0
             s_hi = bounds[sid] if sid < len(bounds) else len(text)
             lo = max(s_lo, m.start() - CTX_WINDOW)
@@ -132,7 +135,7 @@ class GazetteerTagger:
                     end=m.end(),
                     score=float(np.float32(score)),  # float32 like the ref scores
                     sentence_id=sid,
-                    ctx_emb=embed_text(text[lo:hi]).tolist(),
+                    ctx=text[lo:hi],
                 )
             )
         preds: list[PredMatch] = []

@@ -62,7 +62,14 @@ class StageRunner:
         """
         if self.workdir is None:
             self.events.append({"stage": name, "action": "inline"})
-            return build()
+            # stage boundaries are consumed by several downstream stages
+            # (extraction feeds mentions+predicates; linked feeds
+            # components+nodes+edges) — persist so each is computed once
+            # per job, mirroring what parquet materialization gives the
+            # checkpointed path.
+            from pyspark import StorageLevel
+
+            return build().persist(StorageLevel.MEMORY_AND_DISK)
 
         out, manifest = self._paths(name)
         if self._completed(name):

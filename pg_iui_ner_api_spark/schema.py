@@ -49,10 +49,10 @@ MENTIONS = T.StructType(
         T.StructField("end", T.IntegerType(), False),
         T.StructField("score", T.FloatType(), False),
         T.StructField("sentence_id", T.IntegerType(), False),
-        # hashed-BoW sentence-context embedding, consumed by the
-        # entity-link rerank (M5); computed in the same extraction pass
-        # so the corpus is scanned exactly once.
-        T.StructField("ctx_emb", T.ArrayType(T.FloatType()), True),
+        # short sentence-clipped context window around the mention,
+        # captured in the same extraction pass so the corpus is scanned
+        # exactly once; the entity-link rerank (M5) encodes it JVM-side.
+        T.StructField("ctx", T.StringType(), True),
     ]
 )
 
@@ -81,7 +81,7 @@ EXTRACTION = T.StructType(
         T.StructField("end", T.IntegerType(), False),
         T.StructField("score", T.FloatType(), True),
         T.StructField("sentence_id", T.IntegerType(), False),
-        T.StructField("ctx_emb", T.ArrayType(T.FloatType()), True),
+        T.StructField("ctx", T.StringType(), True),
     ]
 )
 

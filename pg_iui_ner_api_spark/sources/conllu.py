@@ -36,9 +36,12 @@ from ..schema import LABEL2ID
 
 def label_dim(spark: SparkSession) -> DataFrame:
     """The 9-tag BIO vocabulary as a broadcastable dimension
-    (reference models_utils.py:6-16)."""
-    return spark.createDataFrame(
-        [(k, v) for k, v in LABEL2ID.items()], "label string, label_id int"
+    (reference models_utils.py:6-16). Built as a JVM LocalRelation —
+    see synth.local_dim_df for why createDataFrame dims are poison."""
+    from ..synth import local_dim_df
+
+    return local_dim_df(
+        spark, [(k, v) for k, v in LABEL2ID.items()], ["label", "label_id"]
     )
 
 

@@ -305,14 +305,38 @@ def synth_truth_triples(spark, n_docs: int, seed: int = 42, partitions: int | No
     return base.mapInPandas(gen, schema="doc_id string, subj string, pred string, obj string")
 
 
+def _sql_lit(v) -> str:
+    """Render a Python value as a SQL literal (strings, numbers, float lists)."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ",".join(f"CAST({float(x)!r} AS FLOAT)" for x in v) + ")"
+    if isinstance(v, float):
+        return repr(v) + "D"
+    return str(v)
+
+
+def local_dim_df(spark, rows, colnames: list[str]):
+    """Small dimension table as a pure-JVM LocalRelation (VALUES literal).
+
+    ``spark.createDataFrame(list)`` builds a Python-RDD-backed plan
+    (applySchemaToPythonRDD) whose every materialization — notably the
+    collect step of a BroadcastExchange — launches Python worker tasks;
+    measured at 30-60 s per broadcast under local mode. A VALUES literal
+    is a LocalRelation: broadcast collect is instant and the dim
+    participates in constant folding. Always use this for dims.
+    """
+    values = ",".join("(" + ",".join(_sql_lit(v) for v in r) + ")" for r in rows)
+    cols = ",".join(colnames)
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})")
+
+
 def alias_df(spark):
     """Small alias dimension — broadcast side of the candidate-gen join (J3)."""
-    return spark.createDataFrame(
-        alias_table(), schema="alias string, entity_id string, kind string, canonical_name string, prior double"
+    return local_dim_df(
+        spark, alias_table(), ["alias", "entity_id", "kind", "canonical_name", "prior"]
     )
 
 
 def entity_emb_df(spark):
-    return spark.createDataFrame(
-        entity_embeddings(), schema="entity_id string, emb array<float>"
-    )
+    return local_dim_df(spark, entity_embeddings(), ["entity_id", "emb"])
