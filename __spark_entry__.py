@@ -504,13 +504,16 @@ def oracle_sql() -> dict[str, str]:
         FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.2
     """
-    h_sh = _H.format(x="(CAST(i AS VARCHAR) || '#' || s)")
+    from pg_iui_ner_api_spark.operators.dedup import MINHASH_P, _minhash_coeffs
+
+    h_sh = _H.format(x="s")
+    mins = ", ".join(
+        f"list_min(list_transform(shs, s -> ({a} * ({h_sh} % {MINHASH_P}) + {b}) % {MINHASH_P}))"
+        for a, b in _minhash_coeffs(8)
+    )
     sql["minhash_sig"] = f"""
         WITH sh AS (SELECT doc_id, {_SHINGLES.format(x='text')} AS shs FROM documents)
-        SELECT doc_id, array_to_string(
-          list_transform(range(0, 8),
-            i -> list_min(list_transform(shs, s -> {h_sh}))), ',') AS sig
-        FROM sh
+        SELECT doc_id, array_to_string([{mins}], ',') AS sig FROM sh
     """
     h_t = _H.format(x="t")
     sql["simhash"] = f"""

@@ -1,0 +1,163 @@
+"""Per-round benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "kg_docs_per_sec": ...,
+   "scaling": {"local[8]": dps, "local[32]": dps, "efficiency": e}}
+
+Two parts:
+
+  1. headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+     on local[$SPARK_GRAFT_CPUS] — per-query wall seconds;
+  2. the scaling proxy mandated by BASELINE.json's north rule: the SAME
+     KG-construction job (synth corpus -> extract -> link -> components
+     -> triples) at two parallelism levels, local[8] vs local[32], each
+     in a FRESH JVM (subprocess) so executor-thread count is the only
+     variable. Reports docs/sec at both and the throughput-scaling
+     efficiency  e = (dps_32 / dps_8) / (32/8)   (target >= 0.8).
+
+Run `python bench.py` (full) or `python bench.py --scale-run N` (one
+scaling leg, internal).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# scaling legs need enough per-core work that fixed costs (session
+# startup, stage scheduling, broadcasts) don't mask the scalable part
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
+# this sandbox is a microVM whose effective CPU throughput fluctuates
+# several-fold minute to minute (host-level contention, no steal
+# reported); single-shot leg timings are meaningless, so legs alternate
+# and each parallelism reports its BEST of SCALE_REPS runs
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+
+def _kg_job(spark, n_docs: int) -> int:
+    """The measured unit of work: full KG pipeline, corpus -> edge count."""
+    from pg_iui_ner_api_spark import synth
+    from pg_iui_ner_api_spark.plans.pipeline import run_kg_pipeline
+
+    docs = synth.synth_documents(spark, n_docs)
+    res = run_kg_pipeline(spark, docs)
+    # touch both terminal tables so every stage (incl. the iterative
+    # connected-components canonicalization) is in the measured work
+    return res["edges"].count() + res["nodes"].count()
+
+
+def scale_run(par: int) -> None:
+    """One scaling leg in this JVM; prints 'SCALE <par> <secs> <edges>'."""
+    from pg_iui_ner_api_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"bench-scale-{par}", master=f"local[{par}]", shuffle_partitions=par
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    _kg_job(spark, 2000)  # warmup: JIT + Python worker pool spin-up
+    t0 = time.monotonic()
+    edges = _kg_job(spark, KG_DOCS)
+    dt = time.monotonic() - t0
+    print(f"SCALE {par} {dt:.3f} {edges}", flush=True)
+    spark.stop()
+
+
+def _noop_write(df) -> None:
+    """Force FULL evaluation of every output column. df.count() lets
+    Catalyst prune the measured expressions (a count over a projection
+    reads nothing); the noop sink consumes every row."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _headline(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+    from pg_iui_ner_api_spark.operators import dedup as D
+
+    qs = E.queries()
+    picks = [
+        "scan_project", "join_agg", "anti_join", "topk", "collect_group",
+        "tumbling_bucket", "dedup_exact", "ngram_jaccard", "minhash_sig",
+        "minhash_pairs", "simhash", "quality_score", "lang_id", "token_stats",
+        "ann_topk", "ann_ivf", "kg_mentions", "kg_edges", "media_features",
+    ]
+    out: dict[str, float] = {}
+    for name in picks:
+        t0 = time.monotonic()
+        _noop_write(qs[name](spark, SF_DIR))
+        out[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {out[name]}s", file=sys.stderr, flush=True)
+    # embedding near-dup: bench the LSH-bucketed scale path (the exact
+    # O(n^2) variant stays as the sf0.01 oracle query)
+    t0 = time.monotonic()
+    _noop_write(
+        D.embedding_near_dups(
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), threshold=0.5, planes=8
+        )
+    )
+    out["embedding_near_dup_lsh"] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--scale-run":
+        scale_run(int(sys.argv[2]))
+        return
+
+    from pg_iui_ner_api_spark.session import get_spark
+
+    t_total = time.monotonic()
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = _headline(spark)
+    spark.stop()
+
+    # scaling legs in fresh JVMs (honest cold executors, shared page
+    # cache); alternate parallelisms and keep the best run per leg so
+    # host-noise minutes don't bias one side
+    scaling: dict[str, float] = {}
+    best: dict[int, float] = {}
+    for rep in range(SCALE_REPS):
+        for par in (8, 32):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-run", str(par)],
+                capture_output=True, text=True, env=dict(os.environ), timeout=3600,
+            )
+            line = next(
+                (l for l in r.stdout.splitlines() if l.startswith("SCALE ")), None
+            )
+            if line is None:
+                print(f"# scale-run {par} rep {rep} failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}",
+                      file=sys.stderr)
+                continue
+            secs = float(line.split()[2])
+            print(f"# scale par={par} rep={rep}: {secs:.1f}s", file=sys.stderr, flush=True)
+            best[par] = min(best.get(par, 1e18), secs)
+    dps = {par: KG_DOCS / s for par, s in best.items()}
+    for par, s in best.items():
+        scaling[f"local[{par}]_docs_per_sec"] = round(dps[par], 1)
+        scaling[f"local[{par}]_sec"] = round(s, 3)
+    if 8 in dps and 32 in dps:
+        scaling["efficiency_8_to_32"] = round((dps[32] / dps[8]) / 4.0, 4)
+
+    result = {
+        "metric": "kg_pipeline_and_operator_bench",
+        "value": round(time.monotonic() - t_total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "kg_bench_docs": KG_DOCS,
+        "kg_docs_per_sec": scaling.get("local[32]_docs_per_sec"),
+        "scaling": scaling,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,14 +61,67 @@ def _small_star(e: DataFrame) -> DataFrame:
     return hang.union(self_edge).where(F.col("u") != F.col("v")).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+SMALL_GRAPH_EDGES = 2_000_000  # driver union-find below this edge count
+
+
+def _driver_cc(spark, rows) -> DataFrame:
+    """Union-find on the driver for small graphs — one pass, zero jobs.
+
+    The distributed loop costs ~10 Spark jobs per iteration (stars +
+    checksum); below SMALL_GRAPH_EDGES the whole graph fits trivially in
+    driver memory and the answer is a LocalRelation. The canonicalization
+    block graph (entity↔surface) is vocabulary-sized, so production runs
+    take this path too unless the dictionary is enormous.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        u, v = r["u"], r["v"]
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id so component = min node id (loop invariant)
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = set(parent)
+    for r in rows:
+        nodes.add(r["u"])
+        nodes.add(r["v"])
+    data = [(n, find(n)) for n in sorted(nodes)]
+    from ..synth import local_dim_df
+
+    if not data:
+        return spark.sql("SELECT CAST(NULL AS BIGINT) node, CAST(NULL AS BIGINT) component WHERE FALSE")
+    return local_dim_df(spark, data, ["node", "component"]).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         small_graph_edges: int = SMALL_GRAPH_EDGES) -> DataFrame:
     """edges(u: long, v: long) -> (node: long, component: long).
 
     component = min node id reachable from `node`. Nodes appearing only
     as isolated self-loops should not be passed; callers union isolated
     nodes back with component = self.
+
+    Adaptive physical strategy: count the deduped edge set once — small
+    graphs solve on the driver (LocalRelation result, no iteration);
+    large graphs run the alternating-star loop. Pass
+    ``small_graph_edges=0`` to force the distributed loop (tests do).
     """
     e = edges.select("u", "v").where(F.col("u") != F.col("v")).distinct().localCheckpoint()
+    n_edges = e.count()
+    if n_edges <= small_graph_edges:
+        return _driver_cc(e.sparkSession, e.collect())
     prev = _edge_checksum(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint()

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import fingerprint, normalize_ws, portable_hash64, shingles
+from ..functions.text import fingerprint, normalize_ws, portable_hash64
 
 # ---------------------------------------------------------------------------
 # exact
@@ -49,12 +49,41 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
+def _with_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, sh: array<string>) with the token array materialized as a
+    projection column first.
+
+    Evaluation-cost discipline: a lambda that closes over a derived
+    expression re-evaluates it PER ELEMENT (Catalyst does no
+    common-subexpression elimination inside higher-order functions), so
+    ``element_at(tokens(text), i)`` inside transform re-runs the regex
+    split for every shingle — measured ~40 ms/doc. Materializing
+    ``_toks`` as a column makes each element_at an O(1) attribute read.
+    """
+    from ..functions.text import normalize_ws, tokens
+
+    t = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(normalize_ws(F.col(text_col))).alias("_toks")
+    )
+    toks = F.col("_toks")
+    k = F.size(toks) - (n - 1)
+    sh = F.when(k <= 0, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            )
+        )
+    )
+    return t.select("doc_id", sh.alias("sh"))
+
+
 def shingle_table(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) distinct — the exploded form both dedup ops share."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(shingles(F.col(text_col), n)).alias("sh"))
+        _with_shingles(docs, n, id_col, text_col)
+        .select("doc_id", F.explode("sh").alias("sh"))
         .distinct()
     )
 
@@ -93,24 +122,47 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i), a_i != 0."""
+    out = []
+    for i in range(num_hashes):
+        a = (2_654_435_761 * (i + 1)) % MINHASH_P or 1
+        b = (40_503 * (i + 1) + 97) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, sig: array<long>[num_hashes]).
 
-    minhash_i(doc) = min over shingles of portable_hash64(i || shingle).
-    Computed with higher-order functions over the in-row shingle array —
-    no explode, no shuffle at all until LSH banding; the signature is a
-    narrow projection of the corpus scan.
+    Each shingle is md5-hashed ONCE (portable_hash64), then the k
+    minhash values derive via universal hashing
+    ``h_i = (a_i * (h mod P) + b_i) mod P`` — k arithmetic ops instead
+    of k digests per shingle (8x less hashing), with every intermediate
+    < 2^62 so ANSI overflow checking never trips. All higher-order
+    functions over the in-row shingle array — no explode, no shuffle
+    until LSH banding; bit-identical DuckDB oracle in __spark_entry__.
     """
-    sh = shingles(F.col(text_col), n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: portable_hash64(F.concat_ws("#", i.cast("string"), s))
-                        )
-        ),
+    hashed = _with_shingles(docs, n, id_col, text_col).select(
+        "doc_id",
+        F.transform(
+            "sh", lambda s: F.pmod(portable_hash64(s), F.lit(MINHASH_P))
+        ).alias("_shh"),  # md5 per shingle evaluated ONCE (column, not lambda subexpr)
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+    def _mk(a: int, b: int):
+        # single-arg closure (pyspark HOFs infer arity from the signature)
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MINHASH_P))
+
+    mins = [
+        F.array_min(F.transform("_shh", _mk(a, b)))
+        for a, b in _minhash_coeffs(num_hashes)
+    ]
+    return hashed.select("doc_id", F.array(*mins).alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
@@ -124,7 +176,10 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     an exact-dup cluster — is exactly the output we want anyway).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    # self-join below would otherwise recompute the full signature
+    # expression on BOTH sides — checkpoint the (tiny, id+sig) relation
+    # once so each side is a block-manager scan
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col).localCheckpoint()
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -163,7 +218,12 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     32-bit int comparable by Hamming distance.
     """
     toks = F.filter(F.split(normalize_ws(F.col(text_col)), " "), lambda t: t != "")
-    th = F.transform(toks, lambda t: portable_hash64(t))
+    # token hashes as a materialized column: one md5 per token, not one
+    # per (token, bit) — lambdas re-evaluate closed-over subexpressions
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, lambda t: portable_hash64(t)).alias("_th"),
+    )
     # (h >> b) & 1 with a *column* shift amount: pyspark's shiftright only
     # takes literal counts, so test the bit with a mask instead:
     # (h & 2^b) != 0. 2^b is exact in double for b < 63, then cast long.
@@ -171,7 +231,7 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     bit_sums = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda b: F.aggregate(
-            th,
+            "_th",
             F.lit(0),
             lambda acc, h: acc
             + F.when(h.bitwiseAND(pow2(b)) != 0, 1).otherwise(-1),
@@ -186,7 +246,7 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_dup_groups(docs: DataFrame, bits: int = 32) -> DataFrame:

@@ -1,0 +1,70 @@
+"""Similarity-search tests: brute-force exactness vs a numpy oracle and
+IVF recall against the brute-force baseline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pg_iui_ner_api_spark.operators import ann as A
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(11)
+    data = [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(N)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    return df, {i: np.array(v) for i, v in data}
+
+
+def _oracle_topk(by_id, q_ids, k):
+    out = {}
+    for q in q_ids:
+        qv = by_id[q]
+        sims = []
+        for i, v in by_id.items():
+            if i == q:
+                continue
+            cos = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            sims.append((round(cos, 6), -i))
+        sims.sort(reverse=True)
+        out[q] = [(-negi) for _, negi in sims[:k]]
+    return out
+
+
+def test_brute_force_matches_numpy_oracle(vecs):
+    df, by_id = vecs
+    q = df.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    got = {}
+    for r in A.brute_force_topk(df, q, k=5).collect():
+        got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"]))
+    want = _oracle_topk(by_id, range(4), 5)
+    for qid in range(4):
+        assert [v for _, v in sorted(got[qid])] == want[qid]
+
+
+def test_ivf_recall_vs_brute_force(vecs):
+    df, _ = vecs
+    q = df.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    bf = {}
+    for r in A.brute_force_topk(df, q, k=10).collect():
+        bf.setdefault(r["q_id"], set()).add(r["vec_id"])
+    ivf = {}
+    for r in A.ivf_topk(df, q, dim=DIM, k=10, ncells=8, nprobe=4).collect():
+        ivf.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(bf[q_] & ivf.get(q_, set())) / 10 for q_ in bf]
+    # nprobe=4 of 8 cells: recall well above chance; exactness not claimed
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_cell_assignment_total(vecs):
+    df, _ = vecs
+    assigned = A.assign_cells(df, DIM, ncells=8)
+    assert assigned.count() == N
+    assert assigned.select("cell").distinct().count() > 1

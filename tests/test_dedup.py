@@ -1,0 +1,105 @@
+"""Dedup-family operator tests: exact, n-gram Jaccard, MinHash LSH,
+SimHash, embedding near-dup — engine vs straightforward Python oracles."""
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_iui_ner_api_spark.operators import dedup as D
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+    (2, "The  quick   Brown fox jumps over the lazy DOG"),       # ws/case dup of 0
+    (3, "the quick brown fox jumps over the sleepy dog"),        # near dup
+    (4, "completely different text about spark dataframes here"),
+    (5, "another unrelated document mentioning query engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _norm(t: str) -> str:
+    return re.sub(r"\s+", " ", t).strip().lower()
+
+
+def _shingles(t: str, n=3) -> set:
+    toks = _norm(t).split(" ")
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_dedup_exact_groups(docs_df):
+    rows = {r["keep_id"]: r["n_dups"] for r in D.dedup_exact(docs_df).collect()}
+    # docs 0,1,2 collapse to keeper 0; the rest are singletons
+    assert rows[0] == 3
+    assert rows[3] == rows[4] == rows[5] == 1
+
+
+def test_ngram_jaccard_pairs(docs_df):
+    got = {(r["da"], r["db"]): r["jaccard"] for r in
+           D.ngram_jaccard_pairs(docs_df, n=3, threshold=0.3).collect()}
+    # exact dups have jaccard 1.0
+    assert got[(0, 1)] == 1.0 and got[(0, 2)] == 1.0 and got[(1, 2)] == 1.0
+    # near-dup 0-3: oracle value
+    a, b = _shingles(DOCS[0][1]), _shingles(DOCS[3][1])
+    expect = round(len(a & b) / len(a | b), 6)
+    assert got[(0, 3)] == pytest.approx(expect)
+    # unrelated docs don't pair
+    assert (4, 5) not in got and (0, 4) not in got
+
+
+def test_minhash_signature_matches_oracle(docs_df):
+    sigs = {r["doc_id"]: r["sig"] for r in
+            D.minhash_signatures(docs_df, num_hashes=8).collect()}
+    for doc_id, text in DOCS:
+        shs = [_h64(s) % D.MINHASH_P for s in _shingles(text)]
+        want = [
+            min((a * h + b) % D.MINHASH_P for h in shs)
+            for a, b in D._minhash_coeffs(8)
+        ]
+        assert sigs[doc_id] == want, doc_id
+
+
+def test_minhash_lsh_finds_dups(docs_df):
+    pairs = {(r["da"], r["db"]) for r in
+             D.minhash_lsh_pairs(docs_df, num_hashes=8, bands=4).collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    assert (4, 5) not in pairs
+
+
+def test_simhash_collision_on_dups(docs_df):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs_df, bits=32).collect()}
+    assert sh[0] == sh[1] == sh[2]
+    assert sh[0] != sh[4]
+    groups = {tuple(r["docs"]) for r in D.simhash_dup_groups(docs_df, bits=32).collect()}
+    assert (0, 1, 2) in groups
+
+
+def test_embedding_near_dups_blocked_vs_exact(spark):
+    import random
+
+    rng = random.Random(3)
+    base = [rng.gauss(0, 1) for _ in range(16)]
+    vecs = [(0, base), (1, [x + rng.gauss(0, 0.01) for x in base])]  # near-dup pair
+    for i in range(2, 30):
+        vecs.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {(r["va"], r["vb"]) for r in
+             D.embedding_near_dups(df, threshold=0.95, planes=0).collect()}
+    blocked = {(r["va"], r["vb"]) for r in
+               D.embedding_near_dups(df, threshold=0.95, planes=4).collect()}
+    assert (0, 1) in exact
+    # sign-LSH recall: the true near-dup pair survives blocking
+    assert (0, 1) in blocked
+    assert blocked <= exact
