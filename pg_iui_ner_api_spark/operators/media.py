@@ -50,8 +50,13 @@ FEATURE_DIM = 16
 def media_spans(documents: DataFrame) -> DataFrame:
     """documents -> one row per media span. Only kind/media_ref/offset are
     read (nested pruning drops spans.text from the parquet scan)."""
+    # explicit nested narrowing via arrays_zip (no spans.text in the
+    # scan) — see operators/ner.explode_text_spans for the rationale
+    narrowed = F.arrays_zip(
+        F.col("spans.kind").alias("kind"), F.col("spans.media_ref").alias("media_ref")
+    )
     return (
-        documents.select("doc_id", F.posexplode("spans").alias("span_idx", "span"))
+        documents.select("doc_id", F.posexplode(narrowed).alias("span_idx", "span"))
         .where(F.col("span.kind") != "text")
         .select(
             "doc_id",

@@ -43,10 +43,16 @@ def explode_text_spans(documents: DataFrame) -> DataFrame:
     spark.sql.optimizer.nestedSchemaPruning.enabled the parquet scan
     reads just spans.kind + spans.text, never media payloads.
     """
+    # narrow the span struct BEFORE exploding: Catalyst prunes through
+    # neither posexplode nor lambda field accesses, but it DOES prune
+    # direct array-field extractions (GetArrayStructFields), so zip the
+    # two needed subfield arrays — the parquet scan then reads only
+    # spans.kind + spans.text (tests/test_plans.py pins the ReadSchema)
+    narrowed = F.arrays_zip(
+        F.col("spans.kind").alias("kind"), F.col("spans.text").alias("text")
+    )
     return (
-        documents.select(
-            "doc_id", F.posexplode("spans").alias("span_idx", "span")
-        )
+        documents.select("doc_id", F.posexplode(narrowed).alias("span_idx", "span"))
         .where(F.col("span.kind") == "text")
         .select(
             "doc_id",

@@ -1,0 +1,88 @@
+"""Blocked mention-similarity edges with hub-key salting (SURVEY.md J4).
+
+The canonicalization graph needs edges between co-referent mentions.
+A naive blocked self-join pairs every two mentions sharing a blocking
+key — O(n²) inside a block, fatal for hub entities ('Acme' with 10^9
+mentions). Two complementary mitigations, both here:
+
+  * ``salted_block_edges`` — connectivity-preserving edge construction:
+    hub blocks (rows > hub_threshold) are SALTED into ``salt``
+    sub-blocks via pmod(xxhash64(id), salt); each sub-block pairs
+    internally against its minimum id (star, O(n) edges) and sub-block
+    representatives are bridged so the block stays one component. Output
+    is exactly what connected components needs — NOT the full pair
+    list — with per-task pair work bounded by block_size/salt.
+  * ``blocked_pair_edges`` — the complete pairwise list for small
+    blocks (similarity scoring, near-dup review): blocks above
+    ``max_block`` rows are dropped with a count so the caller sees the
+    truncation (no silent caps); AQE skew-join splitting handles the
+    residual reduce-side skew.
+
+The alternative used on the default path (operators/components.py)
+factors the graph through the bipartite entity↔surface projection —
+cheaper still when the blocking key IS the linked entity. This module
+is the general form for blocking keys with no small dictionary (e.g.
+normalized surface n-grams across an open vocabulary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_block_edges(df: DataFrame, block_col: str, id_col: str,
+                       salt: int = 16, hub_threshold: int = 100_000) -> DataFrame:
+    """(id) pairs (u, v) connecting every row sharing a block value into
+    one component, with bounded per-key fan-in.
+
+    Plan: block counts → broadcast hub set → salted star edges within
+    (block, salt_bucket) → bridge edges (bucket representative → block
+    minimum). Two shuffles over the id projection; no pairwise blowup.
+    """
+    ids = df.select(F.col(block_col).alias("b"), F.xxhash64(F.col(id_col)).alias("node"))
+    counts = ids.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    hubs = F.broadcast(counts.where(F.col("n") > hub_threshold).select("b"))
+    salted = ids.join(hubs.withColumn("is_hub", F.lit(True)), "b", "left").select(
+        "b",
+        "node",
+        F.when(
+            F.col("is_hub").isNotNull(), F.pmod(F.col("node"), F.lit(salt))
+        ).otherwise(F.lit(0)).alias("bucket"),
+    )
+    # star within each (block, bucket): node -> min(node)
+    mins = salted.groupBy("b", "bucket").agg(F.min("node").alias("hub_node"))
+    star = (
+        salted.join(mins, ["b", "bucket"])
+        .where(F.col("node") != F.col("hub_node"))
+        .select(F.col("node").alias("u"), F.col("hub_node").alias("v"))
+    )
+    # bridges: every bucket representative -> block-global minimum
+    block_min = mins.groupBy("b").agg(F.min("hub_node").alias("root"))
+    bridge = (
+        mins.join(block_min, "b")
+        .where(F.col("hub_node") != F.col("root"))
+        .select(F.col("hub_node").alias("u"), F.col("root").alias("v"))
+    )
+    return star.union(bridge)
+
+
+def blocked_pair_edges(df: DataFrame, block_col: str, id_col: str,
+                       max_block: int = 10_000) -> tuple[DataFrame, DataFrame]:
+    """Complete within-block pairs (a < b) for blocks of tolerable size.
+
+    Returns (pairs, dropped_blocks) where dropped_blocks lists blocks
+    whose size exceeded max_block with their sizes — the caller decides
+    whether to route them through salted_block_edges instead. No silent
+    truncation.
+    """
+    ids = df.select(F.col(block_col).alias("b"), F.col(id_col).alias("id"))
+    counts = ids.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    ok = counts.where(F.col("n") <= max_block).select("b")
+    dropped = counts.where(F.col("n") > max_block)
+    small = ids.join(F.broadcast(ok), "b")
+    a, b = small.alias("a"), small.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.b").alias("block"), F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
+    )
+    return pairs, dropped

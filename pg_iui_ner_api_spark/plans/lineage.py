@@ -54,19 +54,21 @@ class StageRunner:
         return meta.get("input_fingerprint") == self.fingerprint
 
     # ------------------------------------------------------------------
-    def stage(self, name: str, build, partition_by: str | None = None) -> DataFrame:
+    def stage(self, name: str, build, partition_by: str | None = None,
+              persist: bool = True) -> DataFrame:
         """Run (or resume) one stage.
 
         ``build`` is a thunk returning the stage DataFrame. With no
-        workdir the stage runs unmaterialized (pure lazy pipeline).
+        workdir the stage runs unmaterialized (pure lazy pipeline);
+        ``persist`` marks stages with MULTIPLE downstream consumers
+        (extraction feeds mentions+predicates, linked feeds
+        components+nodes+edges) — single-consumer stages skip the cache
+        write entirely.
         """
         if self.workdir is None:
             self.events.append({"stage": name, "action": "inline"})
-            # stage boundaries are consumed by several downstream stages
-            # (extraction feeds mentions+predicates; linked feeds
-            # components+nodes+edges) — persist so each is computed once
-            # per job, mirroring what parquet materialization gives the
-            # checkpointed path.
+            if not persist:
+                return build()
             from pyspark import StorageLevel
 
             return build().persist(StorageLevel.MEMORY_AND_DISK)

@@ -48,9 +48,12 @@ def run_kg_pipeline(
     linked = runner.stage(
         "linked_mentions", lambda: L.link_mentions(mentions, alias, embs)
     )
-    comps = runner.stage("components", lambda: C.canonical_components(linked))
-    nodes = runner.stage("nodes", lambda: C.canonical_nodes(linked, comps))
-    edges = runner.stage("edges", lambda: T.assemble_triples(linked, predicates))
+    comps = runner.stage("components", lambda: C.canonical_components(linked),
+                         persist=False)
+    nodes = runner.stage("nodes", lambda: C.canonical_nodes(linked, comps),
+                         persist=False)
+    edges = runner.stage("edges", lambda: T.assemble_triples(linked, predicates),
+                         persist=False)
 
     return {
         "extraction": extraction,

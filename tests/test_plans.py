@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(predicate pushdown, nested-schema pruning, broadcast joins, no Python
+in JVM-only stages) asserted against explain output so they can't
+silently regress."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_iui_ner_api_spark import synth
+from pg_iui_ner_api_spark.operators import linking as L, media as M, ner as N
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("corpus") / "documents")
+    synth.synth_documents(spark, 50, partitions=2).write.parquet(p)
+    return p
+
+
+def test_text_path_prunes_media_ref(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    plan = _plan(N.explode_text_spans(docs))
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan, plan
+    # nested pruning: the text path must not read media_ref payload refs
+    assert "media_ref" not in scan[0]
+    assert "text" in scan[0] and "kind" in scan[0]
+
+
+def test_media_path_prunes_text(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    plan = _plan(M.media_spans(docs))
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    # media metadata path never reads the (huge at scale) text payload
+    assert "text" not in scan.split("ReadSchema")[-1]
+    assert "media_ref" in scan
+
+
+def test_parquet_filter_pushdown(spark, tmp_path):
+    p = str(tmp_path / "orders")
+    spark.range(0, 1000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 7).alias("o_custkey")
+    ).write.parquet(p)
+    q = spark.read.parquet(p).where(F.col("o_orderkey") == 42)
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+
+
+def test_candidate_join_is_broadcast(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    mentions = N.mentions_of(N.extract(docs))
+    linked = L.link_mentions(mentions, synth.alias_df(spark), synth.entity_emb_df(spark))
+    plan = _plan(linked)
+    assert "BroadcastHashJoin" in plan
+    # dims are VALUES LocalRelations — no Python RDD scans anywhere
+    assert "applySchemaToPythonRDD" not in plan
+
+
+def test_extraction_is_the_only_python_crossing(spark, corpus_path):
+    docs = spark.read.parquet(corpus_path)
+    mentions = N.mentions_of(N.extract(docs))
+    linked = L.link_mentions(mentions, synth.alias_df(spark), synth.entity_emb_df(spark))
+    plan = _plan(linked)
+    # exactly one Python operator family: the extraction mapInPandas
+    assert plan.count("MapInPandas") == plan.count("MapInPandas extract_batch")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_covers_scan_filter(spark, tmp_path):
+    p = str(tmp_path / "t")
+    spark.range(0, 1000).write.parquet(p)
+    q = spark.read.parquet(p).where(F.col("id") > 10).select((F.col("id") * 2).alias("x"))
+    # the "*(n)" prefix marks whole-stage-codegen spans in plan text
+    assert "*(1)" in _plan(q)

@@ -1,0 +1,59 @@
+"""Registry maintenance tests: copy-on-write insert/upsert/update/delete
+semantics (SURVEY §2.10) and the liveness reconciliation anti-join."""
+
+from pyspark.sql import functions as F
+
+from pg_iui_ner_api_spark.sources import registry as R
+
+
+def test_bootstrap_is_idempotent(spark, tmp_path):
+    reg = R.bootstrap_model_registry(spark, str(tmp_path))
+    first = sorted(r["base_model"] for r in reg.read().collect())
+    reg2 = R.bootstrap_model_registry(spark, str(tmp_path))
+    again = sorted(r["base_model"] for r in reg2.read().collect())
+    assert first == again == ["roberta_eng", "roberta_pl"]
+
+
+def test_insert_update_delete_roundtrip(spark, tmp_path):
+    reg = R.bootstrap_model_registry(spark, str(tmp_path))
+    row = reg.read().where(F.col("id") == 1).withColumn("id", F.lit(77)).withColumn(
+        "model_name", F.lit("custom")
+    ).withColumn("is_trained", F.lit(False))
+    reg.insert(row)
+    assert reg.read().count() == 3
+
+    # U3: mark training progress like execute_training does
+    reg.update("id", 77, {"is_training": True, "epoch": 2})
+    got = reg.read().where(F.col("id") == 77).collect()[0]
+    assert got["is_training"] is True and got["epoch"] == 2
+    # other rows untouched
+    assert reg.read().where(F.col("id") == 1).collect()[0]["is_training"] is False
+
+    # U4: delete by id
+    reg.delete(F.col("id") == 77)
+    assert reg.read().count() == 2
+
+
+def test_versions_accumulate_and_current_moves(spark, tmp_path):
+    import os
+
+    reg = R.bootstrap_model_registry(spark, str(tmp_path))
+    reg.update("id", 1, {"epoch": 5})
+    vdirs = [d for d in os.listdir(reg.dir) if d.startswith("v_")]
+    assert len(vdirs) >= 2  # snapshots are immutable; _current repoints
+    with open(os.path.join(reg.dir, "_current")) as f:
+        assert f.read().strip() == sorted(vdirs, key=lambda v: int(v[2:]))[-1]
+
+
+def test_reconcile_dead_processes(spark, tmp_path):
+    reg = R.process_registry(spark, str(tmp_path))
+    reg.insert(
+        spark.createDataFrame(
+            [("100", "train_a"), ("200", "train_b"), ("300", "train_c")],
+            reg.schema,
+        )
+    )
+    live = spark.createDataFrame([("100", "train_a")], "pid string, name string")
+    dead = R.reconcile_dead_processes(reg, live)
+    assert {r["pid"] for r in dead.collect()} == {"200", "300"}
+    assert {r["pid"] for r in reg.read().collect()} == {"100"}
