@@ -156,12 +156,14 @@ class GazetteerTagger:
 class HFTagger:
     """Real transformer NER, loaded once per executor (S4/S5).
 
-    Import-gated: transformers/torch are absent in this sandbox, so the
-    constructor raises unless the stack is available. The decode path
-    reuses GazetteerTagger's aggregation contract: argmax BIO tags ->
-    merge consecutive same-type tokens -> mean score -> char offsets.
-    Model artifacts ship to executors via ``--archives`` /
-    ``SparkFiles`` (never re-downloaded per task).
+    The DECODE path is fully implemented and tested
+    (operators/bio_decode.decode_bio_simple — HF "simple" aggregation
+    semantics); only the model FORWARD is import-gated because
+    torch/transformers are absent in this container. Model artifacts
+    ship to executors via ``--archives`` / ``SparkFiles`` (never
+    re-downloaded per task), and the instance is a per-worker singleton
+    — the fix for the reference's reload-per-request anti-pattern
+    (main_endpoints.py:161-166).
     """
 
     _SINGLETON = None
@@ -179,6 +181,8 @@ class HFTagger:
                 "use GazetteerTagger for hermetic runs"
             ) from e
         self.model_path = model_path  # pragma: no cover
+        self._tok = RobertaTokenizerFast.from_pretrained(model_path)  # pragma: no cover
+        self._model = RobertaForTokenClassification.from_pretrained(model_path)  # pragma: no cover
 
     @classmethod
     def get(cls, model_path: str) -> "HFTagger":  # pragma: no cover
@@ -186,8 +190,41 @@ class HFTagger:
             cls._SINGLETON = cls(model_path)
         return cls._SINGLETON
 
-    def tag(self, text: str):  # pragma: no cover
-        raise NotImplementedError
+    def tag(self, text: str):  # pragma: no cover - needs torch
+        """str -> (mentions, predicate matches). Forward pass + the
+        shared decode; truncation at MAX_LEN for reference parity."""
+        import torch
+
+        from .bio_decode import decode_bio_simple
+
+        enc = self._tok(
+            text, return_offsets_mapping=True, truncation=True,
+            max_length=S.MAX_LEN, return_tensors="pt",
+        )
+        offsets = [
+            (int(a), int(b)) for a, b in enc.pop("offset_mapping")[0].tolist()
+            if not (a == 0 and b == 0)  # drop specials
+        ]
+        with torch.no_grad():
+            logits = self._model(**enc).logits[0]
+        probs = torch.softmax(logits, dim=-1).numpy()[1 : 1 + len(offsets)]
+        spans = decode_bio_simple(text, offsets, probs)
+        bounds = GazetteerTagger._sentence_bounds(text)
+        import bisect as _b
+
+        mentions = [
+            Mention(
+                entity_group=s.entity_group,
+                word=s.word,
+                start=s.start,
+                end=s.end,
+                score=s.score,
+                sentence_id=_b.bisect_right(bounds, s.start),
+                ctx=text[max(0, s.start - CTX_WINDOW) : s.end + CTX_WINDOW],
+            )
+            for s in spans
+        ]
+        return mentions, []
 
 
 def mention_score_of(alias: str) -> float:
