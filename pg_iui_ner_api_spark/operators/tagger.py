@@ -76,7 +76,18 @@ class GazetteerTagger:
     batch, no per-row Python beyond the regex scan itself.
     """
 
-    def __init__(self, lexicon: dict[str, tuple[str, float]] | None = None):
+    def __init__(self, lexicon: dict[str, tuple[str, float]] | None = None,
+                 long_text: str = "truncate"):
+        """``long_text``: 'truncate' drops matches beyond the MAX_LEN-th
+        token — exact parity with the reference's 512-subword cap
+        (training.py:13,23-25), the default for the parity tests;
+        'full' processes the whole span (the chunk-with-overlap result
+        for a lexicon tagger, since regex matching needs no window) —
+        the production choice when dropped tail entities matter more
+        than bitwise reference parity (SURVEY §4)."""
+        if long_text not in ("truncate", "full"):
+            raise ValueError(long_text)
+        self.long_text = long_text
         self.lexicon = lexicon or tagger_lexicon()
         aliases = sorted(self.lexicon, key=len, reverse=True)
         self._rx = re.compile(
@@ -103,7 +114,10 @@ class GazetteerTagger:
 
     def tag(self, text: str) -> tuple[list[Mention], list[PredMatch]]:
         """One text span -> (mentions in text order, predicate matches)."""
-        cutoff = self._truncation_cutoff(text) if len(text) > 1024 else len(text)
+        if self.long_text == "full" or len(text) <= 1024:
+            cutoff = len(text)
+        else:
+            cutoff = self._truncation_cutoff(text)
         bounds = self._sentence_bounds(text)
 
         def sent_id(pos: int) -> int:

@@ -88,3 +88,18 @@ def test_media_spans_pass_through_untouched(spark, docs_df):
         assert r["kind"] in ("image", "audio")
         assert r["text"] == ""
         assert r["media_ref"].startswith("media://")
+
+
+def test_long_text_truncation_vs_full():
+    """Parity mode drops matches past the 512th token (the reference's
+    silent truncation); 'full' mode keeps them (SURVEY §4 flag)."""
+    from pg_iui_ner_api_spark.operators.tagger import GazetteerTagger
+
+    filler = "pad " * 600  # 600 tokens of padding
+    text = "Curie met Turing. " + filler + " Hopper works for Globex."
+    trunc, _ = GazetteerTagger().tag(text)
+    full, _ = GazetteerTagger(long_text="full").tag(text)
+    assert {m.word for m in trunc} == {"Curie", "Turing"}
+    assert {m.word for m in full} == {"Curie", "Turing", "Hopper", "Globex"}
+    # prefixes agree exactly
+    assert [m.word for m in full[: len(trunc)]] == [m.word for m in trunc]
