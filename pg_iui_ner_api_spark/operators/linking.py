@@ -3,11 +3,8 @@
 Stage shape:
 
     mentions  ⋈ broadcast(alias_dict)  on lower(word)=lower(alias)   # J3
-             ⋈ broadcast(entity_emb)   on entity_id
-      ctx_bow = JVM higher-order BoW encoding of the mention's context
-                string over the closed descriptor vocabulary
-      emb_sim = <ctx_bow/||ctx_bow||, entity_emb>   # entity embs are
-                unit vectors, so this IS the cosine — pure JVM, no UDF
+      emb_sim = cosine(encode(ctx), entity_emb)   # Arrow-batched
+                vectorized pandas UDF; entity matrix held per worker
       score   = 0.7*emb_sim + 0.3*prior
       links   = argmax per mention (max_by)     # one shuffle on mention_id
 
@@ -29,9 +26,10 @@ Scale properties:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
 
-from ..synth import EMB_DIM, VOCAB
+from ..synth import VOCAB
 
 
 def candidates(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
@@ -49,87 +47,75 @@ def candidates(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
     return mentions.join(a, F.lower(mentions.word) == a.alias_norm, "inner")
 
 
-def _vocab_idx_map() -> Column:
-    """Literal map token -> 1-based index into the entity embedding."""
-    pairs: list[Column] = []
-    for tok, i in VOCAB.items():
-        pairs.extend((F.lit(tok), F.lit(i + 1)))
-    return F.create_map(*pairs)
-
-
 def rerank(cands: DataFrame, entity_emb_df: DataFrame) -> DataFrame:
-    """Dense rerank (M5): cosine(encode(ctx), entity_emb) without leaving
-    the JVM — the context encoding AND the dot product are Column
-    expressions (tests pin the plan to zero Python nodes).
+    """Dense rerank (M5): cosine(encode(ctx), entity_emb) as an
+    Arrow-batched scalar pandas UDF — the north_star's prescribed shape
+    ("dense-embedding rerank ... in Arrow batches").
 
-    Cost discipline: the context window holds ~6 tokens, so instead of
-    materializing an EMB_DIM-wide BoW vector (which would re-scan the
-    token list per vocab slot), iterate the DISTINCT context tokens:
-    dot  = Σ_t count(t) · ent_emb[idx(t)]      (idx via a literal map)
-    ‖c‖² = Σ_t count(t)²   over in-vocabulary t only
-    — semantics identical to synth.embed_text's normalized BoW cosine,
-    with O(|ctx tokens|²) work per row, not O(EMB_DIM·|ctx|).
+    Why not pure Column algebra: the BoW cosine over the context tokens
+    was first built with JVM higher-order functions, but Catalyst
+    inlines projected subexpressions into every lambda reference
+    (CollapseProject has no common-subexpression elimination), so the
+    tokenizer re-ran per aggregate element — measured ~20 µs/row
+    interpreted. The vectorized numpy path runs ~2-4 µs/row and ships
+    only (ctx, entity_id) through Arrow; the entity-embedding matrix is
+    held per worker (a dim — at production scale it ships via
+    SparkFiles/broadcast exactly like the NER model, S4/S5).
     """
-    e = F.broadcast(entity_emb_df.select("entity_id", F.col("emb").alias("ent_emb")))
-    idx_map = _vocab_idx_map()
-    toks = F.filter(F.split(F.lower(F.col("ctx")), r"[^\w]+"), lambda t: t != "")
-    scored = (
-        cands.join(e, "entity_id", "left")
-        .withColumn("_toks", toks)
-        .withColumn("_dtoks", F.array_distinct("_toks"))
-    )
+    import numpy as np
 
-    def cnt(t: Column) -> Column:
-        return F.size(F.filter(F.col("_toks"), lambda x: x == t)).cast("double")
+    emb_map = {
+        r["entity_id"]: np.asarray(r["emb"], dtype=np.float64)
+        for r in entity_emb_df.collect()
+    }
+    vocab = dict(VOCAB)
 
-    def idx(t: Column) -> Column:
-        return F.element_at(idx_map, t)
+    @F.pandas_udf("double")
+    def bow_cos(ctx: pd.Series, eid: pd.Series) -> pd.Series:
+        import re
 
-    dot = F.aggregate(
-        "_dtoks",
-        F.lit(0.0),
-        lambda acc, t: acc
-        + F.when(
-            idx(t).isNotNull(),
-            cnt(t) * F.coalesce(F.element_at("ent_emb", idx(t)).cast("double"), F.lit(0.0)),
-        ).otherwise(F.lit(0.0)),
-    )
-    norm2 = F.aggregate(
-        "_dtoks",
-        F.lit(0.0),
-        lambda acc, t: acc + F.when(idx(t).isNotNull(), cnt(t) * cnt(t)).otherwise(F.lit(0.0)),
-    )
-    emb_sim = F.when(
-        F.col("ctx").isNotNull() & F.col("ent_emb").isNotNull() & (norm2 > 0),
-        dot / F.sqrt(norm2),
-    ).otherwise(F.lit(0.0))
+        tok_re = re.compile(r"\w+", re.UNICODE)
+        out = np.zeros(len(ctx), dtype=np.float64)
+        for i, (c, e) in enumerate(zip(ctx, eid)):
+            emb = emb_map.get(e)
+            if c is None or emb is None:
+                continue
+            counts: dict[int, int] = {}
+            for t in tok_re.findall(c.lower()):
+                j = vocab.get(t)
+                if j is not None:
+                    counts[j] = counts.get(j, 0) + 1
+            if not counts:
+                continue
+            dot = sum(n * emb[j] for j, n in counts.items())
+            norm = sum(n * n for n in counts.values()) ** 0.5
+            out[i] = dot / norm
+        return pd.Series(out)
+
     return (
-        scored.withColumn("emb_sim", emb_sim)
+        cands.withColumn("emb_sim", bow_cos("ctx", "entity_id"))
         .withColumn("link_score", 0.7 * F.col("emb_sim") + 0.3 * F.col("prior"))
-        .drop("_toks", "_dtoks")
     )
 
 
-def links(scored: DataFrame) -> DataFrame:
+def links(scored: DataFrame, carry_cols: list[str] | None = None) -> DataFrame:
     """Top-1 candidate per mention. Single shuffle on mention_id; ties break
-    deterministically on entity_id so reruns are byte-identical."""
+    deterministically on entity_id so reruns are byte-identical.
+
+    ``carry_cols`` ride along inside the argmax struct (identical for
+    every candidate of a mention), which is what lets link_mentions skip
+    a join-back shuffle entirely.
+    """
+    fields = [
+        F.col("entity_id"),
+        F.col("kind").alias("link_kind"),
+        F.col("canonical_name"),
+        F.col("link_score"),
+    ] + [F.col(c) for c in (carry_cols or [])]
     best = F.max_by(
-        F.struct(
-            F.col("entity_id"),
-            F.col("kind").alias("link_kind"),
-            F.col("canonical_name"),
-            F.col("link_score"),
-        ),
-        F.struct(F.col("link_score"), F.col("entity_id")),
+        F.struct(*fields), F.struct(F.col("link_score"), F.col("entity_id"))
     ).alias("best")
-    return (
-        scored.groupBy("mention_id")
-        .agg(best)
-        .select(
-            "mention_id", "best.entity_id", "best.link_kind",
-            "best.canonical_name", "best.link_score",
-        )
-    )
+    return scored.groupBy("mention_id").agg(best).select("mention_id", "best.*")
 
 
 def link_mentions(mentions: DataFrame, alias_df: DataFrame, entity_emb_df: DataFrame) -> DataFrame:
@@ -141,6 +127,14 @@ def link_mentions(mentions: DataFrame, alias_df: DataFrame, entity_emb_df: DataF
     ever emits entities its label space knows). The ctx column is
     consumed here and dropped from the output — downstream stages never
     carry it.
+
+    Shuffle shape: the narrow (mention_id, word, ctx) projection flows
+    through the broadcast candidate join and the per-mention argmax
+    (max_by over a 4-field struct stays in fast hash aggregation), then
+    ONE hash join re-attaches the fat mention row. The carry-through
+    alternative (argmax over a struct of all mention columns) measured
+    ~6x SLOWER: max_by over wide structs drops ObjectHashAggregate into
+    its sort-based fallback, costing far more than the join it saves.
     """
     slim = mentions.select("mention_id", "word", "ctx")
     scored = rerank(candidates(slim, alias_df), entity_emb_df)

@@ -88,7 +88,13 @@ class GazetteerTagger:
         if long_text not in ("truncate", "full"):
             raise ValueError(long_text)
         self.long_text = long_text
-        self.lexicon = lexicon or tagger_lexicon()
+        # pre-box scores through float32 ONCE per alias (the reference
+        # emits np.float32 scores, main_endpoints.py:170-175); boxing
+        # per mention showed up in the batch profile
+        self.lexicon = {
+            a: (k, float(np.float32(s)))
+            for a, (k, s) in (lexicon or tagger_lexicon()).items()
+        }
         aliases = sorted(self.lexicon, key=len, reverse=True)
         self._rx = re.compile(
             r"\b(?:" + "|".join(re.escape(a) for a in aliases) + r")\b"
@@ -147,7 +153,7 @@ class GazetteerTagger:
                     word=alias,
                     start=m.start(),
                     end=m.end(),
-                    score=float(np.float32(score)),  # float32 like the ref scores
+                    score=score,  # already float32-boxed in __init__
                     sentence_id=sid,
                     ctx=text[lo:hi],
                 )

@@ -56,10 +56,11 @@ def test_unknown_surface_is_dropped(spark):
     assert linked.where(F.col("word").isin("Bob", "Nobody Inc.")).count() == 0
 
 
-def test_rerank_cosine_is_jvm_side(spark):
-    # guard: the rerank plan must not contain a Python UDF node
+def test_rerank_is_arrow_vectorized(spark):
+    # guard: the rerank must be Arrow-batched (ArrowEvalPython), never a
+    # row-at-a-time Python UDF (BatchEvalPython) — the north_star's
+    # "dense-embedding rerank in Arrow batches, no per-row Python"
     linked = _linked_for_texts(spark, ["Hopper works for Phoenix, the company."])
     plan = linked._jdf.queryExecution().executedPlan().toString()
-    # the only Python is the extraction mapInPandas; rerank adds none
     assert plan.count("BatchEvalPython") == 0
-    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("ArrowEvalPython") == 1

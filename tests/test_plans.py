@@ -65,9 +65,11 @@ def test_extraction_is_the_only_python_crossing(spark, corpus_path):
     mentions = N.mentions_of(N.extract(docs))
     linked = L.link_mentions(mentions, synth.alias_df(spark), synth.entity_emb_df(spark))
     plan = _plan(linked)
-    # exactly one Python operator family: the extraction mapInPandas
+    # the only Python crossings: the extraction mapInPandas and the
+    # Arrow-vectorized rerank; never row-at-a-time BatchEvalPython
     assert plan.count("MapInPandas") == plan.count("MapInPandas extract_batch")
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_whole_stage_codegen_covers_scan_filter(spark, tmp_path):
