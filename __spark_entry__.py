@@ -326,6 +326,12 @@ def _q_kg_nodes(spark, sf):
     return res["nodes"]
 
 
+def _q_sessionize(spark, sf):  # W1 generalized: gap-based sessionization
+    from pg_iui_ner_api_spark.operators.sessionize import session_stats
+
+    return session_stats(_t(spark, sf, "events"), gap_seconds=1800)
+
+
 def _q_media_features(spark, sf):
     docs = synth.synth_documents(spark, _KG_DOCS, partitions=8)
     return M.extract_media_features(docs).select(
@@ -348,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_langs": _q_union_langs,
         "except_diff": _q_except_diff,
         "tumbling_bucket": _q_tumbling_bucket,
+        "sessionize": _q_sessionize,
         "to_json_props": _q_to_json_props,
         "limit_sample": _q_limit_sample,
         "join_agg": _q_join_agg,
@@ -436,6 +443,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w, "
         "count(*) AS n, round(sum(value), 4) AS sum_value FROM events GROUP BY 1"
     )
+    sql["sessionize"] = """
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
+        FROM sess GROUP BY user_id, session_id
+    """
     sql["to_json_props"] = (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val FROM events"
     )

@@ -33,7 +33,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # scaling legs need enough per-core work that fixed costs (session
 # startup, stage scheduling, broadcasts) don't mask the scalable part
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "600000"))
 # this sandbox is a microVM whose effective CPU throughput fluctuates
 # several-fold minute to minute (host-level contention, no steal
 # reported); single-shot leg timings are meaningless, so legs alternate

@@ -295,7 +295,7 @@ def cosine(a, b):  # Column, Column -> Column
 
 def embedding_near_dups(embs: DataFrame, threshold: float = 0.95,
                         id_col: str = "vec_id", emb_col: str = "embedding",
-                        planes: int = 8) -> DataFrame:
+                        planes: int = 8, dim: int = 64) -> DataFrame:
     """Pairs with cosine >= threshold, blocked by a random-hyperplane
     sign bucket so the pair join is per-bucket (sign-LSH: true near-dups
     almost always share the bucket at high thresholds).
@@ -306,37 +306,29 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.95,
     """
     e = embs.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"))
     if planes:
-        dim_idx = F.sequence(F.lit(1), F.size("emb"))
-        bucket = F.concat_ws(
-            "",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(planes - 1)),
-                lambda p: F.when(
-                    F.aggregate(
-                        F.zip_with(
-                            "emb",
-                            F.transform(
-                                dim_idx,
-                                lambda i: F.when(
-                                    F.shiftright(
-                                        portable_hash64(F.concat_ws("#", p.cast("string"), i.cast("string"))),
-                                        3,
-                                    ).bitwiseAND(F.lit(1))
-                                    == 1,
-                                    1.0,
-                                ).otherwise(-1.0),
-                            ),
-                            lambda x, h: x * h,
-                        ),
-                        F.lit(0.0),
-                        lambda s, v: s + v,
-                    )
-                    > 0,
-                    "1",
-                ).otherwise("0"),
-            ),
-        )
-        e = e.withColumn("bucket", bucket)
+        # hyperplanes are row-independent constants: precompute the ±1
+        # sign vectors in Python (md5-seeded, deterministic) and embed
+        # them as foldable literal arrays — the per-row work is `planes`
+        # constant-vector dot products, not planes*dim digests
+        import hashlib
+
+        def plane_vec(p: int) -> list[float]:
+            return [
+                1.0 if (int(hashlib.md5(f"{p}#{i + 1}".encode()).hexdigest()[:15], 16) >> 3) & 1
+                else -1.0
+                for i in range(dim)
+            ]
+
+        def sign_bit(p: int):
+            lit = F.array(*[F.lit(v) for v in plane_vec(p)])
+            dot = F.aggregate(
+                F.zip_with("emb", lit, lambda x, h: x.cast("double") * h),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            return F.when(dot > 0, "1").otherwise("0")
+
+        e = e.withColumn("bucket", F.concat(*[sign_bit(p) for p in range(planes)]))
         join_cond = (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id"))
     else:
         join_cond = F.col("x.vec_id") < F.col("y.vec_id")

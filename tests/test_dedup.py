@@ -98,7 +98,7 @@ def test_embedding_near_dups_blocked_vs_exact(spark):
     exact = {(r["va"], r["vb"]) for r in
              D.embedding_near_dups(df, threshold=0.95, planes=0).collect()}
     blocked = {(r["va"], r["vb"]) for r in
-               D.embedding_near_dups(df, threshold=0.95, planes=4).collect()}
+               D.embedding_near_dups(df, threshold=0.95, planes=4, dim=16).collect()}
     assert (0, 1) in exact
     # sign-LSH recall: the true near-dup pair survives blocking
     assert (0, 1) in blocked
