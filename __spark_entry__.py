@@ -453,8 +453,8 @@ def oracle_sql() -> dict[str, str]:
           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         ), sess AS (
           SELECT user_id, ts,
-                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                               ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+                 CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
           FROM marked
         )
         SELECT user_id, session_id, count(*) AS n_events,

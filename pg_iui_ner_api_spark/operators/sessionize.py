@@ -22,10 +22,13 @@ def sessionize(events: DataFrame, key_col: str = "user_id", ts_col: str = "ts",
     determinism.
     """
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
-    prev_ts = F.lag(ts_col).over(w)
+    # TIMESTAMP_NTZ-safe epoch seconds: Spark 4 rejects CAST(TIMESTAMP_NTZ AS
+    # BIGINT) directly, but NTZ -> TIMESTAMP -> BIGINT is legal and what the
+    # driver testdata (events.ts is TIMESTAMP_NTZ) needs.
+    ts_sec = F.col(ts_col).cast("timestamp").cast("long")
+    prev_sec = F.lag(ts_sec).over(w)
     new_session = F.when(
-        prev_ts.isNull()
-        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds),
+        prev_sec.isNull() | (ts_sec - prev_sec > gap_seconds),
         1,
     ).otherwise(0)
     return events.withColumn("_ns", new_session).withColumn(
