@@ -264,6 +264,13 @@ def _q_ngram_jaccard(spark, sf):
     return D.ngram_jaccard_pairs(_t(spark, sf, "documents"), n=3, threshold=0.2)
 
 
+def _q_jaccard_verified(spark, sf):
+    # scale path: LSH candidates -> exact Jaccard verify (no df^2 term)
+    return D.jaccard_verified_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.2, num_hashes=8, bands=4
+    )
+
+
 def _q_minhash_sig(spark, sf):
     sigs = D.minhash_signatures(_t(spark, sf, "documents"), num_hashes=8)
     return sigs.select(
@@ -364,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
+        "jaccard_verified": _q_jaccard_verified,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
@@ -540,6 +548,41 @@ def oracle_sql() -> dict[str, str]:
     sql["minhash_sig"] = f"""
         WITH sh AS (SELECT doc_id, {_SHINGLES.format(x='text')} AS shs FROM documents)
         SELECT doc_id, array_to_string([{mins}], ',') AS sig FROM sh
+    """
+    # banded-LSH candidate pairs (num_hashes=8, bands=4 -> rows=2); the
+    # band signature is the comma-joined slice, same as Spark's concat_ws
+    _lsh_cands = f"""
+        sigs AS (
+          SELECT doc_id, [{mins}] AS sig
+          FROM (SELECT doc_id, {_SHINGLES.format(x='text')} AS shs FROM documents)
+        ),
+        banded AS (
+          SELECT doc_id, r.b AS band,
+                 array_to_string(sig[r.b * 2 + 1 : r.b * 2 + 2], ',') AS bsig
+          FROM sigs CROSS JOIN range(0, 4) r(b)
+        ),
+        cands AS (
+          SELECT x.doc_id AS da, y.doc_id AS db
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )"""
+    sql["minhash_pairs"] = f"WITH {_lsh_cands} SELECT da, db FROM cands"
+    sql["jaccard_verified"] = f"""
+        WITH {_lsh_cands},
+        sh0 AS (SELECT doc_id, unnest({_SHINGLES.format(x='text')}) AS sh FROM documents),
+        dsh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+        inter AS (
+          SELECT c.da, c.db, count(*) AS c
+          FROM cands c
+          JOIN dsh a ON a.doc_id = c.da
+          JOIN dsh b ON b.doc_id = c.db AND b.sh = a.sh
+          GROUP BY 1, 2
+        )
+        SELECT da, db, round(c / (sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.2
     """
     h_t = _H.format(x="t")
     sql["simhash"] = f"""

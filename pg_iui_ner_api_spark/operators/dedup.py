@@ -88,35 +88,56 @@ def shingle_table(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """All doc pairs (a < b) with n-gram Jaccard >= threshold.
+def ngram_jaccard_pairs_report(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                               id_col: str = "doc_id", text_col: str = "text",
+                               df_cap: int = 1000) -> tuple[DataFrame, DataFrame]:
+    """All doc pairs (a < b) with n-gram Jaccard >= threshold, PLUS the
+    dropped hub shingles — no silent caps (same contract as
+    similarity.blocked_pair_edges).
+
+    Returns ``(pairs, dropped_shingles)``: dropped_shingles lists every
+    shingle whose document frequency exceeded ``df_cap`` together with
+    its df, so the caller can audit what the intersection counts ignored
+    (intersections over rare shingles only UNDERESTIMATE Jaccard when
+    hubs are dropped) and route hub-heavy corpora through
+    ``jaccard_verified_pairs`` instead.
 
     intersection counts come from a self-equi-join ON THE SHINGLE (not a
-    doc×doc cross join): cost is Σ_sh df(sh)², bounded in practice by
-    dropping ubiquitous shingles (df > DF_CAP) — the standard stopword-
-    shingle guard that keeps hub shingles from exploding the join.
+    doc×doc cross join): cost is Σ_sh df(sh)², bounded by the df_cap
+    guard. At 100 TB prefer ``jaccard_verified_pairs`` (LSH candidates →
+    exact verify), which has no df² term at all; this operator is the
+    exact-at-small-scale oracle the LSH path is measured against.
     """
-    DF_CAP = 1000  # shingles in more docs than this carry no dedup signal
     sh = shingle_table(docs, n, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    rare = sh.join(
-        sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= DF_CAP),
-        "sh",
-    ).select("doc_id", "sh")
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    dropped = dfreq.where(F.col("df") > df_cap)
+    rare = sh.join(dfreq.where(F.col("df") <= df_cap), "sh").select("doc_id", "sh")
     a, b = rare.alias("a"), rare.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return (
+    raw = F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))
+    pairs = (
         inter.join(sizes.withColumnsRenamed({"doc_id": "da", "sz": "sza"}), "da")
         .join(sizes.withColumnsRenamed({"doc_id": "db", "sz": "szb"}), "db")
-        .withColumn("jaccard", F.round(F.col("c") / (F.col("sza") + F.col("szb") - F.col("c")), 6))
-        .where(F.col("jaccard") >= threshold)
-        .select("da", "db", "jaccard")
+        # filter on the RAW ratio (matches the DuckDB oracle's WHERE);
+        # round only for output — rounding before the threshold flipped
+        # borderline rows (raw 0.1999997 -> 0.2) vs the oracle
+        .where(raw >= threshold)
+        .select("da", "db", F.round(raw, 6).alias("jaccard"))
     )
+    return pairs, dropped
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        df_cap: int = 1000) -> DataFrame:
+    """Pairs-only convenience wrapper over ``ngram_jaccard_pairs_report``."""
+    pairs, _dropped = ngram_jaccard_pairs_report(docs, n, threshold, id_col, text_col, df_cap)
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +223,43 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         )
         .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
         .distinct()
+    )
+
+
+def jaccard_verified_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                           num_hashes: int = 16, bands: int = 4,
+                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard >= threshold, computed ONLY on MinHash-LSH
+    candidate pairs — the documented 100 TB scale path.
+
+    ``ngram_jaccard_pairs`` pays Σ_sh df(sh)² on the shingle self-join
+    and must drop hub shingles to stay bounded (underestimating Jaccard
+    when it does). This variant generates candidates with banded LSH
+    (cost linear in corpus + bucket collisions), then verifies the exact
+    Jaccard per candidate by joining the candidate list back to the
+    shingle table on each side: cost is |candidates| x shingles/doc — no
+    df² term, no hub-shingle cap, exact values on every emitted pair.
+
+    Approximation is one-sided and explicit: a true near-dup pair missed
+    by every LSH band is missed here too (recall tuned by
+    num_hashes/bands); every pair that IS emitted carries its exact
+    full-shingle-set Jaccard.
+    """
+    cands = minhash_lsh_pairs(docs, num_hashes, bands, n, id_col, text_col)
+    sh = shingle_table(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cands.join(sh.withColumnsRenamed({"doc_id": "da"}), "da")
+        .join(sh.withColumnsRenamed({"doc_id": "db"}), ["db", "sh"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "da", "sz": "sza"}), "da")
+        .join(sizes.withColumnsRenamed({"doc_id": "db", "sz": "szb"}), "db")
+        .where(raw >= threshold)
+        .select("da", "db", F.round(raw, 6).alias("jaccard"))
     )
 
 
@@ -333,12 +391,16 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.95,
     else:
         join_cond = F.col("x.vec_id") < F.col("y.vec_id")
     x, y = e.alias("x"), e.alias("y")
+    raw = cosine(F.col("x.emb"), F.col("y.emb"))
+    # threshold the RAW cosine (matches the oracle's WHERE on the
+    # unrounded expression); round only for output
     return (
         x.join(y, join_cond)
         .select(
             F.col("x.vec_id").alias("va"),
             F.col("y.vec_id").alias("vb"),
-            F.round(cosine(F.col("x.emb"), F.col("y.emb")), 6).alias("cos"),
+            raw.alias("_raw"),
         )
-        .where(F.col("cos") >= threshold)
+        .where(F.col("_raw") >= threshold)
+        .select("va", "vb", F.round(F.col("_raw"), 6).alias("cos"))
     )

@@ -64,20 +64,28 @@ def rerank(cands: DataFrame, entity_emb_df: DataFrame) -> DataFrame:
     """
     import numpy as np
 
-    emb_map = {
-        r["entity_id"]: np.asarray(r["emb"], dtype=np.float64)
-        for r in entity_emb_df.collect()
-    }
+    # L2-normalize entity embeddings up front so the UDF's dot/||ctx|| is a
+    # true cosine even if a real encoder hands us un-normalized vectors
+    # (the synth dim is already unit-norm, so scores are unchanged there).
+    emb_map = {}
+    for r in entity_emb_df.collect():
+        v = np.asarray(r["emb"], dtype=np.float64)
+        emb_map[r["entity_id"]] = v / (np.linalg.norm(v) or 1.0)
+    # Ship the dim via a Spark broadcast variable (one torrent transfer per
+    # executor) instead of closure capture (re-pickled into every task) —
+    # this is the code path the 100 TB story claims.
+    bc_emb = entity_emb_df.sparkSession.sparkContext.broadcast(emb_map)
     vocab = dict(VOCAB)
 
     @F.pandas_udf("double")
     def bow_cos(ctx: pd.Series, eid: pd.Series) -> pd.Series:
         import re
 
+        local_emb = bc_emb.value
         tok_re = re.compile(r"\w+", re.UNICODE)
         out = np.zeros(len(ctx), dtype=np.float64)
         for i, (c, e) in enumerate(zip(ctx, eid)):
-            emb = emb_map.get(e)
+            emb = local_emb.get(e)
             if c is None or emb is None:
                 continue
             counts: dict[int, int] = {}

@@ -103,3 +103,34 @@ def test_embedding_near_dups_blocked_vs_exact(spark):
     # sign-LSH recall: the true near-dup pair survives blocking
     assert (0, 1) in blocked
     assert blocked <= exact
+
+
+def test_jaccard_verified_subset_with_exact_values(docs_df):
+    """Every LSH-verified pair carries the exact full-shingle Jaccard and
+    appears in the exhaustive ngram_jaccard output; the exact dups are
+    always recalled (they collide in every band)."""
+    exact = {(r["da"], r["db"]): r["jaccard"] for r in
+             D.ngram_jaccard_pairs(docs_df, n=3, threshold=0.3).collect()}
+    verified = {(r["da"], r["db"]): r["jaccard"] for r in
+                D.jaccard_verified_pairs(docs_df, n=3, threshold=0.3,
+                                         num_hashes=16, bands=4).collect()}
+    assert set(verified) <= set(exact)
+    for pair, j in verified.items():
+        assert j == pytest.approx(exact[pair])
+    # identical docs share all bands -> guaranteed recall
+    assert (0, 1) in verified and (0, 2) in verified and (1, 2) in verified
+
+
+def test_ngram_jaccard_reports_dropped_hub_shingles(spark):
+    """No silent caps: shingles over df_cap must be listed with their df."""
+    hub = "alpha beta gamma"
+    docs = [(i, f"{hub} unique{i} tail{i} filler{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs, dropped = D.ngram_jaccard_pairs_report(df, n=3, threshold=0.9, df_cap=3)
+    drops = {r["sh"]: r["df"] for r in dropped.collect()}
+    assert drops.get("alpha beta gamma") == 6
+    # with the hub dropped no pair reaches 0.9
+    assert pairs.count() == 0
+    # with a high cap nothing is dropped
+    _, dropped_hi = D.ngram_jaccard_pairs_report(df, n=3, threshold=0.9, df_cap=1000)
+    assert dropped_hi.count() == 0

@@ -78,3 +78,17 @@ def test_whole_stage_codegen_covers_scan_filter(spark, tmp_path):
     q = spark.read.parquet(p).where(F.col("id") > 10).select((F.col("id") * 2).alias("x"))
     # the "*(n)" prefix marks whole-stage-codegen spans in plan text
     assert "*(1)" in _plan(q)
+
+
+def test_ivf_assign_cells_is_map_only(spark):
+    """VERDICT r1 scale-killer: cell assignment must NOT shuffle the
+    vector corpus. The argmin over a foldable centroid literal is a pure
+    projection — zero Exchange anywhere in the plan."""
+    from pg_iui_ner_api_spark.operators import ann as A
+
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("float") for i in range(16)]).alias("embedding"),
+    )
+    plan = _plan(A.assign_cells(vecs, dim=16, ncells=8))
+    assert "Exchange" not in plan, plan
