@@ -34,6 +34,16 @@ class StageRunner:
         self.run_id = run_id
         self.fingerprint = input_fingerprint
         self.events: list[dict] = []  # in-memory log, inspected by tests
+        self._persisted: list[DataFrame] = []  # cache handles for unpersist()
+
+    def unpersist(self) -> None:
+        """Release every cache this runner created (workdir=None mode
+        persists MEMORY_AND_DISK and would otherwise accumulate blocks
+        across repeated pipeline runs in one session — bench legs,
+        notebooks). Call when the pipeline result has been consumed."""
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted.clear()
 
     # ------------------------------------------------------------------
     def _paths(self, stage: str) -> tuple[str, str]:
@@ -71,7 +81,9 @@ class StageRunner:
                 return build()
             from pyspark import StorageLevel
 
-            return build().persist(StorageLevel.MEMORY_AND_DISK)
+            df = build().persist(StorageLevel.MEMORY_AND_DISK)
+            self._persisted.append(df)
+            return df
 
         out, manifest = self._paths(name)
         if self._completed(name):
