@@ -288,6 +288,14 @@ def _q_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), bits=16)
 
 
+def _q_simhash_near(spark, sf):
+    # banded Hamming-k pairs; the oracle brute-forces all pairs (exact
+    # banding recall = 1.0, so results coincide)
+    return D.simhash_near_pairs(_t(spark, sf, "documents"), bits=16, k=2).select(
+        "da", "db", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def _q_embedding_near_dup(spark, sf):
     return D.embedding_near_dups(
         _t(spark, sf, "embeddings"), threshold=0.5, planes=0
@@ -333,6 +341,19 @@ def _q_kg_nodes(spark, sf):
     return res["nodes"]
 
 
+def _q_epoch_metrics(spark, sf):
+    """A4: per-epoch metric aggregation (reference training.py:94-101).
+
+    events stands in as the eval-batch metric stream: epoch derived from
+    event_id, `value` as the loss."""
+    from pg_iui_ner_api_spark.operators.metrics import epoch_metric_summary
+
+    ev = _t(spark, sf, "events").select(
+        (F.col("event_id") % 5).alias("epoch"), F.col("value").alias("loss")
+    )
+    return epoch_metric_summary(ev)
+
+
 def _q_sessionize(spark, sf):  # W1 generalized: gap-based sessionization
     from pg_iui_ner_api_spark.operators.sessionize import session_stats
 
@@ -362,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_diff": _q_except_diff,
         "tumbling_bucket": _q_tumbling_bucket,
         "sessionize": _q_sessionize,
+        "epoch_metrics": _q_epoch_metrics,
         "to_json_props": _q_to_json_props,
         "limit_sample": _q_limit_sample,
         "join_agg": _q_join_agg,
@@ -375,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
+        "simhash_near": _q_simhash_near,
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
@@ -469,6 +492,13 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
         FROM sess GROUP BY user_id, session_id
+    """
+    sql["epoch_metrics"] = """
+        SELECT event_id % 5 AS epoch, count(*) AS n_batches,
+               round(avg(value), 6) AS avg_metric,
+               round(min(value), 6) AS min_metric,
+               round(max(value), 6) AS max_metric
+        FROM events GROUP BY 1
     """
     sql["to_json_props"] = (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val FROM events"
@@ -592,6 +622,20 @@ def oracle_sql() -> dict[str, str]:
             CASE WHEN ({h_t} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
           THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
         FROM t
+    """
+    sql["simhash_near"] = f"""
+        WITH t0 AS (SELECT doc_id, {_TOKS.format(x=_NORM.format(x='text'))} AS toks FROM documents),
+        t AS (
+          SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b ->
+            CASE WHEN list_sum(list_transform(toks, t ->
+              CASE WHEN ({h_t} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+            THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
+          FROM t0
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
     """
     _cos = (
         "list_sum(list_transform(range(1, len(a.embedding) + 1), "

@@ -308,14 +308,63 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
 
 
 def simhash_dup_groups(docs: DataFrame, bits: int = 32) -> DataFrame:
-    """Exact-simhash collision groups (Hamming-0). Hamming-k would band
-    the fingerprint into k+1 segments and join per segment — same plan
-    shape as minhash_lsh_pairs."""
+    """Exact-simhash collision groups (Hamming-0); Hamming-k lives in
+    ``simhash_near_pairs``."""
     return (
         simhash(docs, bits)
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .where(F.col("n") > 1)
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, bits: int = 32, k: int = 2,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """All pairs (a < b) with Hamming(simhash_a, simhash_b) <= k.
+
+    Banded exactly like minhash_lsh_pairs: split the fingerprint into
+    k+1 bit segments — by pigeonhole, any pair within Hamming-k agrees
+    EXACTLY on at least one segment — join candidates per (band,
+    segment value), then verify the true distance with
+    bit_count(a XOR b). The only shuffle is the segment equi-join; never
+    an all-pairs comparison, and recall is 1.0 by construction (unlike
+    probabilistic LSH).
+    """
+    bands = k + 1
+    seg = bits // bands
+    sh = simhash(docs, bits, id_col, text_col).localCheckpoint()
+    segments = []
+    for b in range(bands):
+        lo = b * seg
+        width = (bits - lo) if b == bands - 1 else seg
+        segments.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", lo).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ).alias("segval"),
+            )
+        )
+    banded = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*segments)).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.segval")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.segval") == F.col("y.segval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("da"),
+            F.col("y.doc_id").alias("db"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= k)
+        .distinct()
     )
 
 

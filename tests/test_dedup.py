@@ -134,3 +134,24 @@ def test_ngram_jaccard_reports_dropped_hub_shingles(spark):
     # with a high cap nothing is dropped
     _, dropped_hi = D.ngram_jaccard_pairs_report(df, n=3, threshold=0.9, df_cap=1000)
     assert dropped_hi.count() == 0
+
+
+def test_simhash_near_pairs_matches_brute_force(spark):
+    """Banded Hamming-k pairs == brute-force pairs (recall 1.0 by
+    pigeonhole), verified against a pure-Python all-pairs oracle."""
+    import itertools
+
+    docs = [(i, f"w{i % 4} common alpha beta w{i % 3} gamma delta tok{i % 5} "
+                f"epsilon zeta w{i % 2}") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash(df, bits=16).collect()}
+    want = {
+        (a, b): bin(sims[a] ^ sims[b]).count("1")
+        for a, b in itertools.combinations(sorted(sims), 2)
+        if bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {(r["da"], r["db"]): r["hamming"]
+           for r in D.simhash_near_pairs(df, bits=16, k=3).collect()}
+    assert got == want
+    # Hamming-0-only groups miss the near (distance 1..k) pairs
+    assert any(h > 0 for h in want.values())
