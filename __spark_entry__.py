@@ -341,6 +341,17 @@ def _q_kg_nodes(spark, sf):
     return res["nodes"]
 
 
+def _q_model_routing(spark, sf):
+    """Per-language model routing (reference config.py:14-15): broadcast
+    join docs.lang against the (lang, model_path) dim, English fallback."""
+    from pg_iui_ner_api_spark.operators import routing as RT
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    return RT.route_documents(docs, RT.default_routing_df(spark)).select(
+        "doc_id", "lang", "model_path"
+    )
+
+
 def _q_epoch_metrics(spark, sf):
     """A4: per-epoch metric aggregation (reference training.py:94-101).
 
@@ -384,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tumbling_bucket": _q_tumbling_bucket,
         "sessionize": _q_sessionize,
         "epoch_metrics": _q_epoch_metrics,
+        "model_routing": _q_model_routing,
         "to_json_props": _q_to_json_props,
         "limit_sample": _q_limit_sample,
         "join_agg": _q_join_agg,
@@ -492,6 +504,12 @@ def oracle_sql() -> dict[str, str]:
                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS t_start,
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS t_end
         FROM sess GROUP BY user_id, session_id
+    """
+    sql["model_routing"] = """
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'pl' THEN 'models/roberta_pl'
+                    ELSE 'models/roberta_eng' END AS model_path
+        FROM documents
     """
     sql["epoch_metrics"] = """
         SELECT event_id % 5 AS epoch, count(*) AS n_batches,

@@ -173,6 +173,31 @@ class GazetteerTagger:
         return mentions, preds
 
 
+def align_offsets_to_probs(
+    offset_mapping: list[tuple[int, int]], probs: "np.ndarray"
+) -> tuple[list[tuple[int, int]], "np.ndarray"]:
+    """Drop special tokens from a fast-tokenizer offset mapping and keep
+    probs ALIGNED BY INDEX.
+
+    HF fast tokenizers mark specials (<s>, </s>, <pad>, and some
+    zero-width artifacts) with the offset (0, 0). Round 1 filtered
+    offsets by value but sliced probs positionally
+    (``probs[1:1+len(offsets)]``), which silently misaligns every token
+    after a mid-sequence (0, 0) entry — e.g. a <pad>-free pair encoding
+    or a zero-width normalization artifact. Index-based selection keeps
+    (offset, prob) rows paired no matter where specials sit.
+
+    ``offset_mapping`` is the full per-token mapping INCLUDING specials;
+    ``probs`` must have one row per entry of it.
+    """
+    if len(offset_mapping) != len(probs):
+        raise ValueError(
+            f"offset_mapping has {len(offset_mapping)} rows, probs {len(probs)}"
+        )
+    keep = [i for i, (a, b) in enumerate(offset_mapping) if not (a == 0 and b == 0)]
+    return [offset_mapping[i] for i in keep], probs[keep]
+
+
 class HFTagger:
     """Real transformer NER, loaded once per executor (S4/S5).
 
@@ -221,13 +246,12 @@ class HFTagger:
             text, return_offsets_mapping=True, truncation=True,
             max_length=S.MAX_LEN, return_tensors="pt",
         )
-        offsets = [
-            (int(a), int(b)) for a, b in enc.pop("offset_mapping")[0].tolist()
-            if not (a == 0 and b == 0)  # drop specials
-        ]
+        mapping = [(int(a), int(b)) for a, b in enc.pop("offset_mapping")[0].tolist()]
         with torch.no_grad():
             logits = self._model(**enc).logits[0]
-        probs = torch.softmax(logits, dim=-1).numpy()[1 : 1 + len(offsets)]
+        offsets, probs = align_offsets_to_probs(
+            mapping, torch.softmax(logits, dim=-1).numpy()
+        )
         spans = decode_bio_simple(text, offsets, probs)
         bounds = GazetteerTagger._sentence_bounds(text)
         import bisect as _b

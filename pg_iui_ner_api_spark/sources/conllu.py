@@ -11,20 +11,24 @@ generator (/root/reference/src/utils/process_input_file.py:26-62):
 
 Spark-native equivalent — one pass, all built-ins:
 
-    spark.read.text                       (distributed line scan)
-      -> zipWithIndex-free line numbers   (monotonically_increasing_id is
-         per-partition-ordered, which is exactly the order text splits
-         preserve within a file block)
+    spark.read.text(wholetext=True)       (one row per file — a file is
+         NEVER split, so line order is contract-guaranteed; round 1 used
+         monotonically_increasing_id over split lines, whose in-file
+         ordering relied on Spark's split packing, an implementation
+         detail)
+      -> posexplode(split(value, '\\r?\\n'))  (guaranteed 0-based line_no)
       -> sentence_id = running count of blank lines (window running sum —
          the W1 sessionization)
       -> filter malformed (P13), split fields, label-encode via a
          broadcast label dim (P14)
       -> groupBy sentence -> sort_array(collect_list(struct(...))) (A3)
 
-Scale note: the window runs per file (partitionBy input_file_name), so
-a 100 TB corpus of many files parallelizes per file; only a single
-pathological one-file corpus would serialize, same as any line-oriented
-format without sync markers.
+Scale note: the sentence window partitions by file, so per-file work was
+ALWAYS serialized onto one task — wholetext therefore costs no
+parallelism; it bounds memory at one file per task instead. A 100 TB
+corpus of many files parallelizes per file; a single pathological
+multi-TB file should be pre-chunked, same as any line-oriented format
+without sync markers.
 """
 
 from __future__ import annotations
@@ -49,11 +53,10 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
     """path -> sentences(file, sentence_id, tokens array<string>,
     ner_tags array<int>) with reference-parser semantics."""
     lines = (
-        spark.read.text(path)
+        spark.read.text(path, wholetext=True)
         .select(
             F.input_file_name().alias("file"),
-            F.monotonically_increasing_id().alias("line_no"),
-            F.col("value"),
+            F.posexplode(F.split("value", "\r?\n")).alias("line_no", "value"),
         )
     )
     w = Window.partitionBy("file").orderBy("line_no")
