@@ -435,7 +435,13 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.95,
             )
             return F.when(dot > 0, "1").otherwise("0")
 
-        e = e.withColumn("bucket", F.concat(*[sign_bit(p) for p in range(planes)]))
+        # materialize (vec_id, emb, bucket) ONCE: the self-join would
+        # otherwise evaluate the `planes` fold expressions on BOTH sides
+        # (same trick as minhash_lsh_pairs' signature checkpoint; at
+        # warehouse scale this is the bucketed table write)
+        e = e.withColumn(
+            "bucket", F.concat(*[sign_bit(p) for p in range(planes)])
+        ).localCheckpoint()
         join_cond = (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id"))
     else:
         join_cond = F.col("x.vec_id") < F.col("y.vec_id")

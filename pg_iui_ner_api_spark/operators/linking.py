@@ -127,7 +127,7 @@ def links(scored: DataFrame, carry_cols: list[str] | None = None) -> DataFrame:
 
 
 def link_mentions(mentions: DataFrame, alias_df: DataFrame, entity_emb_df: DataFrame) -> DataFrame:
-    """mentions + alias dict + embeddings -> linked mentions.
+    """mentions + alias dict + embeddings -> linked mentions, MAP-ONLY.
 
     Returns the mention rows augmented with (entity_id, canonical_name,
     link_kind, link_score); mentions whose surface is out-of-dictionary
@@ -136,15 +136,83 @@ def link_mentions(mentions: DataFrame, alias_df: DataFrame, entity_emb_df: DataF
     consumed here and dropped from the output — downstream stages never
     carry it.
 
-    Shuffle shape: the narrow (mention_id, word, ctx) projection flows
-    through the broadcast candidate join and the per-mention argmax
-    (max_by over a 4-field struct stays in fast hash aggregation), then
-    ONE hash join re-attaches the fat mention row. The carry-through
-    alternative (argmax over a struct of all mention columns) measured
-    ~6x SLOWER: max_by over wide structs drops ObjectHashAggregate into
-    its sort-based fallback, costing far more than the join it saves.
+    Plan shape (round 2): a surface has only a handful of candidate
+    entities, so the alias dict is pre-grouped per normalized surface
+    into a candidate ARRAY and broadcast; each mention row then scores
+    its candidates in-row (one Arrow crossing computes the BoW context
+    vector ONCE per mention and dots it against every candidate) and
+    takes the argmax with array_max — same (link_score, entity_id) tie
+    rule as the old max_by. ZERO shuffles: round 1 shuffled the corpus
+    twice here (groupBy(mention_id) argmax + join-back), which at 10^12
+    documents was the pipeline's largest avoidable exchange. Measured at
+    1M docs: linking stage 45.2 s -> map-only (see BASELINE.md r2).
     """
-    slim = mentions.select("mention_id", "word", "ctx")
-    scored = rerank(candidates(slim, alias_df), entity_emb_df)
-    l = links(scored)
-    return mentions.drop("ctx").join(l, "mention_id", "inner")
+    import numpy as np
+
+    cand_dim = F.broadcast(
+        alias_df.groupBy(F.lower("alias").alias("alias_norm")).agg(
+            F.collect_list(
+                F.struct("entity_id", "kind", "canonical_name", "prior")
+            ).alias("cands")
+        )
+    )
+    emb_map = {}
+    for r in entity_emb_df.collect():
+        v = np.asarray(r["emb"], dtype=np.float64)
+        emb_map[r["entity_id"]] = v / (np.linalg.norm(v) or 1.0)
+    bc_emb = entity_emb_df.sparkSession.sparkContext.broadcast(emb_map)
+    vocab = dict(VOCAB)
+
+    @F.pandas_udf("array<double>")
+    def bow_cos_multi(ctx: pd.Series, eids: pd.Series) -> pd.Series:
+        import re
+
+        local_emb = bc_emb.value
+        tok_re = re.compile(r"\w+", re.UNICODE)
+        out = []
+        for c, es in zip(ctx, eids):
+            if c is None or es is None:
+                out.append([0.0] * (0 if es is None else len(es)))
+                continue
+            counts: dict[int, int] = {}
+            for t in tok_re.findall(c.lower()):
+                j = vocab.get(t)
+                if j is not None:
+                    counts[j] = counts.get(j, 0) + 1
+            if not counts:
+                out.append([0.0] * len(es))
+                continue
+            norm = sum(n * n for n in counts.values()) ** 0.5
+            sims = []
+            for e in es:
+                emb = local_emb.get(e)
+                sims.append(
+                    0.0 if emb is None
+                    else sum(n * emb[j] for j, n in counts.items()) / norm
+                )
+            out.append(sims)
+        return pd.Series(out)
+
+    with_cands = mentions.join(
+        cand_dim, F.lower(mentions.word) == cand_dim.alias_norm, "inner"
+    )
+    sims = bow_cos_multi("ctx", F.col("cands.entity_id"))
+    scored = F.zip_with(
+        "cands", sims,
+        lambda cand, sim: F.struct(
+            (0.7 * sim + 0.3 * cand["prior"]).alias("link_score"),
+            cand["entity_id"].alias("entity_id"),
+            cand["kind"].alias("link_kind"),
+            cand["canonical_name"].alias("canonical_name"),
+        ),
+    )
+    best = F.array_max(scored)
+    return (
+        with_cands.withColumn("best", best)
+        .drop("ctx", "alias_norm", "cands")
+        .withColumn("entity_id", F.col("best.entity_id"))
+        .withColumn("link_kind", F.col("best.link_kind"))
+        .withColumn("canonical_name", F.col("best.canonical_name"))
+        .withColumn("link_score", F.col("best.link_score"))
+        .drop("best")
+    )
