@@ -39,10 +39,28 @@ def get_spark(
     # Throughput GC: G1's concurrent refinement anti-scales badly on
     # virtualized hosts (measured 2x wall-clock at local[32] on this
     # sandbox); ParallelGC is the right choice for batch ETL anyway.
+    # Heap shape matters as much as the collector here (r2 findings):
+    #   * -Xms == -Xmx: an adaptively GROWING heap fires "Ergonomics"
+    #     FULL GCs on every resize — measured 13-29 s pauses each on
+    #     this bandwidth-throttled microVM (74-121 s of a ~170 s run);
+    #     with a fixed heap the only fulls left are tiny startup
+    #     Metadata ones, removed by MetaspaceSize.
+    #   * NewRatio=1 + adaptive sizing off: task/Arrow garbage is
+    #     short-lived; a large, stable young gen keeps it out of the
+    #     old gen entirely.
+    #   * ParallelGCThreads=8: 32 GC threads hammering memory together
+    #     trip the host's bandwidth throttle; 8 threads collected the
+    #     same young gens at equal wall with ~1000 fewer CPU-s.
     # SPARK_SUBMIT_OPTS reaches the driver JVM that pyspark launches.
+    mem = os.environ.get("SPARK_DRIVER_MEM", "20g")
+    gc_opts = (
+        f"-XX:+UseParallelGC -Xms{mem} -XX:NewRatio=1 "
+        "-XX:-UseAdaptiveSizePolicy -XX:ParallelGCThreads=8 "
+        "-XX:MetaspaceSize=256m"
+    )
     if "-XX:+Use" not in os.environ.get("SPARK_SUBMIT_OPTS", ""):
         os.environ["SPARK_SUBMIT_OPTS"] = (
-            os.environ.get("SPARK_SUBMIT_OPTS", "") + " -XX:+UseParallelGC"
+            os.environ.get("SPARK_SUBMIT_OPTS", "") + " " + gc_opts
         ).strip()
     if shuffle_partitions is None:
         # one shuffle partition per core locally; a real cluster would
@@ -66,9 +84,18 @@ def get_spark(
         # --- parquet scan sizing (128 MiB splits, the cluster default)
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # local mode runs every executor thread inside the driver JVM, so
+        # the driver heap carries all task memory + caches; sized with a
+        # matching -Xms above (fixed heap — see the GC note)
+        .config("spark.driver.memory", mem)
         # executors on a real cluster get the same throughput GC
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # executors on a real cluster get the same GC shape (minus -Xms,
+        # which the cluster manager sets via spark.executor.memory)
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:NewRatio=1 -XX:-UseAdaptiveSizePolicy "
+            "-XX:ParallelGCThreads=8 -XX:MetaspaceSize=256m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
