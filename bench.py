@@ -45,7 +45,7 @@ KG_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 # headline efficiency is the best PAIRED ratio (a pair shares the same
 # noise minute; best-of-leg across reps mixes noise regimes and is
 # reported separately)
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
 # tasks per core and per shuffle: >1 so a straggler task doesn't idle

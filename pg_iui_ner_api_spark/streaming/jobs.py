@@ -76,6 +76,102 @@ def stream_windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+SESSION_OUT = ("user_id long, session_id long, n_events long, "
+               "t_start timestamp, t_end timestamp")
+_SESSION_STATE = "session_id long, n_events long, t_start double, t_end double"
+
+
+def stream_sessionize(events: DataFrame, gap_seconds: int = 1800,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap-based sessionization — the custom STATEFUL operator
+    (W1's true streaming twin; batch form in operators/sessionize.py).
+
+    Implemented with ``applyInPandasWithState``: per user the state
+    carries (open session ordinal, event count, start, last ts). A
+    session CLOSES — and is emitted — when a later event for the same
+    user arrives more than ``gap_seconds`` after the last one, or when
+    the event-time timeout fires (watermark passes last_ts + gap), so
+    trailing sessions drain without needing a successor event. This is
+    the engine form of the reference parser's carried sentence state
+    (process_input_file.py:36-62): state lives in Spark's checkpointed
+    state store, so a restarted job resumes mid-corpus.
+
+    Within a micro-batch events are processed in event-time order;
+    cross-batch stragglers older than the watermark are handled by the
+    watermark contract (dropped), the standard approximation for
+    streaming sessionization.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            sid, n, ts0, ts1 = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "user_id": [user_id], "session_id": [sid], "n_events": [n],
+                "t_start": [pd.Timestamp(ts0, unit="s")],
+                "t_end": [pd.Timestamp(ts1, unit="s")],
+            })
+            return
+        sid, n, ts0, ts1 = state.get if state.exists else (0, 0, None, None)
+        closed: list[tuple] = []
+        for pdf in pdf_iter:
+            for t in sorted(pdf["ts"]):
+                te = t.timestamp()
+                if ts1 is not None and te - ts1 > gap_seconds:
+                    closed.append((sid, n, ts0, ts1))
+                    sid, n, ts0 = sid + 1, 0, None
+                if ts0 is None:
+                    ts0 = te
+                n += 1
+                ts1 = te
+        state.update((sid, n, float(ts0), float(ts1)))
+        # close the trailing session once event time passes last+gap
+        state.setTimeoutTimestamp(int((ts1 + gap_seconds) * 1000))
+        if closed:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(closed),
+                "session_id": [c[0] for c in closed],
+                "n_events": [c[1] for c in closed],
+                "t_start": [pd.Timestamp(c[2], unit="s") for c in closed],
+                "t_end": [pd.Timestamp(c[3], unit="s") for c in closed],
+            })
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_OUT, _SESSION_STATE, "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_stream_sessionize(spark: SparkSession, input_dir: str, output_dir: str,
+                          checkpoint_dir: str, gap_seconds: int = 1800,
+                          watermark: str = "2 hours"):
+    """File-source variant: drain the events directory with availableNow;
+    re-running with the same checkpoint resumes the per-user state."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(input_dir)
+    )
+    sessions = stream_sessionize(ev, gap_seconds, watermark)
+    return (
+        sessions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_windowed_event_counts(spark: SparkSession, input_dir: str, output_dir: str,
                               checkpoint_dir: str):
     """File-source streaming variant over an events parquet directory."""

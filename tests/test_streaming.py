@@ -70,3 +70,50 @@ def test_windowed_event_counts_match_batch(spark, tmp_path, sf_dir):
     assert want  # sanity: some windows must have closed
     for k, v in want.items():
         assert got.get(k) == v, k
+
+
+def test_stream_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a session closes when a later
+    event exceeds the gap; state survives across separate availableNow
+    runs through the streaming checkpoint."""
+    import datetime as dt
+
+    import pandas as pd
+
+    indir = str(tmp_path / "ev_in")
+    outdir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    os.makedirs(indir, exist_ok=True)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+
+    def write_batch(name, rows):
+        # the file stream source lists files in the root (no recursion):
+        # append a new part file per batch
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(indir)
+
+    # batch 1: user 7 has two events 100 s apart (one open session)
+    write_batch("b1", [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=100), 7, "click", 1.0, "{}"),
+    ])
+    q = J.run_stream_sessionize(spark, indir, outdir, ckpt, gap_seconds=1800)
+    q.awaitTermination(120)
+    # nothing closed yet (session still open in state)
+    got1 = spark.read.schema(J.SESSION_OUT).parquet(outdir)
+    assert got1.count() == 0
+
+    # batch 2, separate run: an event 5000 s later closes session 0
+    write_batch("b2", [
+        (3, t0 + dt.timedelta(seconds=5100), 7, "click", 1.0, "{}"),
+    ])
+    q = J.run_stream_sessionize(spark, indir, outdir, ckpt, gap_seconds=1800)
+    q.awaitTermination(120)
+    rows = spark.read.schema(J.SESSION_OUT).parquet(outdir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["session_id"], r["n_events"]) == (7, 0, 2)
+    assert r["t_start"] == t0
+    assert r["t_end"] == t0 + dt.timedelta(seconds=100)
