@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from pg_iui_ner_api_spark.functions.text import (
     LANG_MARKERS,
+    spread,
     bpe_ish_piece_count,
     fingerprint,
     punct_ratio,
@@ -222,12 +223,12 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_fingerprint(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = spread(_t(spark, sf, "documents"))
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 def _q_token_stats(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = spread(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -236,7 +237,7 @@ def _q_token_stats(spark, sf):
 
 
 def _q_quality_score(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = spread(_t(spark, sf, "documents"))
     return d.select(
         "doc_id",
         F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
@@ -245,7 +246,7 @@ def _q_quality_score(spark, sf):
 
 
 def _q_lang_id(spark, sf):
-    d = _t(spark, sf, "documents")
+    d = spread(_t(spark, sf, "documents"))
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))

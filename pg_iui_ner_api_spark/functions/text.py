@@ -12,6 +12,26 @@ specific hash functions (Spark xxhash64 and DuckDB hash() disagree).
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Ensure at least one partition per core before CPU-heavy in-row
+    Column compute (shingling, hashing, per-token folds).
+
+    A parquet file is splittable only at row-group boundaries; a
+    single-row-group file scans as ONE task no matter how many cores the
+    cluster has, so the expensive expressions run single-threaded (the
+    driver testdata is exactly this shape). At warehouse scale inputs
+    carry thousands of row groups and this is a no-op — the partition
+    count check costs planning only, no job.
+    """
+    sc = df.sparkSession.sparkContext
+    n = df.rdd.getNumPartitions()
+    if n < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
 from pyspark.sql import Column, functions as F
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID

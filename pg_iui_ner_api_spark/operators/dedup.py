@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import fingerprint, normalize_ws, portable_hash64
+from ..functions.text import fingerprint, normalize_ws, portable_hash64, spread
 
 # ---------------------------------------------------------------------------
 # exact
@@ -62,7 +62,7 @@ def _with_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataF
     """
     from ..functions.text import normalize_ws, tokens
 
-    t = docs.select(
+    t = spread(docs).select(
         F.col(id_col).alias("doc_id"), tokens(normalize_ws(F.col(text_col))).alias("_toks")
     )
     toks = F.col("_toks")
@@ -80,10 +80,22 @@ def _with_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataF
 
 def shingle_table(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) distinct — the exploded form both dedup ops share."""
+    """(doc_id, shingle) distinct — the exploded form both dedup ops share.
+
+    explode_outer, NOT explode: for a plain explode Catalyst's
+    InferFiltersFromGenerate injects ``size(<input>) > 0`` and predicate
+    pushdown then substitutes the ENTIRE shingle expression into the
+    parquet scan's DataFilters — re-running the tokenize+shingle work
+    per row inside the (possibly single-split) scan task. Measured: the
+    whole sf0.1 corpus shingled in ONE task for ~15 s via that pushed
+    filter. The rule skips outer generates; the shingle array is never
+    empty by construction (the CASE emits a 1-element array), so the
+    isNotNull guard is a no-op semantically.
+    """
     return (
         _with_shingles(docs, n, id_col, text_col)
-        .select("doc_id", F.explode("sh").alias("sh"))
+        .select("doc_id", F.explode_outer("sh").alias("sh"))
+        .where(F.col("sh").isNotNull())
         .distinct()
     )
 
@@ -108,7 +120,10 @@ def ngram_jaccard_pairs_report(docs: DataFrame, n: int = 3, threshold: float = 0
     exact verify), which has no df² term at all; this operator is the
     exact-at-small-scale oracle the LSH path is measured against.
     """
-    sh = shingle_table(docs, n, id_col, text_col)
+    # materialize the exploded shingle table once: it has FOUR consumers
+    # (sizes, dfreq, both self-join sides) and each would otherwise
+    # re-run the tokenize+shingle expressions over the corpus
+    sh = shingle_table(docs, n, id_col, text_col).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     dropped = dfreq.where(F.col("df") > df_cap)
@@ -246,7 +261,8 @@ def jaccard_verified_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     full-shingle-set Jaccard.
     """
     cands = minhash_lsh_pairs(docs, num_hashes, bands, n, id_col, text_col)
-    sh = shingle_table(docs, n, id_col, text_col)
+    # three consumers of the shingle table (sizes + both verify joins)
+    sh = shingle_table(docs, n, id_col, text_col).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cands.join(sh.withColumnsRenamed({"doc_id": "da"}), "da")
@@ -278,7 +294,7 @@ def simhash(docs: DataFrame, bits: int = 32, id_col: str = "doc_id",
     toks = F.filter(F.split(normalize_ws(F.col(text_col)), " "), lambda t: t != "")
     # token hashes as a materialized column: one md5 per token, not one
     # per (token, bit) — lambdas re-evaluate closed-over subexpressions
-    hashed = docs.select(
+    hashed = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         F.transform(toks, lambda t: portable_hash64(t)).alias("_th"),
     )
@@ -411,7 +427,7 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.95,
     reproducible across runs and engines. Pass ``planes=0`` for the
     exact (unblocked) variant used as the small-scale oracle.
     """
-    e = embs.select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"))
+    e = spread(embs).select(F.col(id_col).alias("vec_id"), F.col(emb_col).alias("emb"))
     if planes:
         # hyperplanes are row-independent constants: precompute the ±1
         # sign vectors in Python (md5-seeded, deterministic) and embed
