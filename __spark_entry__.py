@@ -311,6 +311,17 @@ def _q_ann_topk(spark, sf):
     return ANN.brute_force_topk(e, q, k=10)
 
 
+def _q_ann_ivf_trained(spark, sf):  # rows-only: approximate by construction
+    """IVF with spherical-k-means-trained centroids (FAISS-style train
+    step as distributed DataFrame aggregation)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cents = ANN.train_centroids(e, dim=64, ncells=16, iters=2)
+    return ANN.ivf_topk(e, q, dim=64, k=10, ncells=16, nprobe=4, centroids=cents)
+
+
 def _q_ann_ivf(spark, sf):  # rows-only: approximate by construction
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 3).select(
@@ -414,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,

@@ -76,8 +76,28 @@ def _centroid_df(spark, dim: int, ncells: int):
     )
 
 
+def _argmax_cell(cents: list[tuple[int, list[float]]], emb_col: str):
+    """Map-only argmax-dot Column over a foldable centroid literal array
+    (centroids unit-norm, so argmax(dot) == argmax(cosine); ties to the
+    LOWEST cell via the (dot, -cell) struct max)."""
+    emb_d = F.col(emb_col).cast("array<double>")
+    scored = F.array(*[
+        F.struct(
+            F.aggregate(
+                F.zip_with(emb_d, F.array(*[F.lit(float(x)) for x in cent]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x,
+            ).alias("dot"),
+            F.lit(-c).alias("neg_cell"),
+        )
+        for c, cent in cents
+    ])
+    return (-F.array_max(scored)["neg_cell"]).cast("int")
+
+
 def assign_cells(vectors: DataFrame, dim: int, ncells: int = 16,
-                 id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", emb_col: str = "embedding",
+                 centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
     """IVF index build: argmax centroid per vector as a MAP-ONLY projection.
 
     The centroids are folded into the plan as a literal
@@ -96,29 +116,66 @@ def assign_cells(vectors: DataFrame, dim: int, ncells: int = 16,
     ``spread``'s small-input guard, a no-op whenever the scan already
     has >= one partition per core (always true at warehouse scale; the
     plan test pins the no-Exchange shape for that case)."""
-    emb_d = F.col(emb_col).cast("array<double>")
-    scored = F.array(*[
-        F.struct(
-            F.aggregate(
-                F.zip_with(emb_d, F.array(*[F.lit(float(x)) for x in cent]),
-                           lambda a, b: a * b),
-                F.lit(0.0), lambda acc, x: acc + x,
-            ).alias("dot"),
-            F.lit(-c).alias("neg_cell"),
-        )
-        for c, cent in _centroids(dim, ncells)
-    ])
+    cents = centroids if centroids is not None else _centroids(dim, ncells)
     return spread(vectors).select(
         F.col(id_col).alias("vec_id"),
         F.col(emb_col).alias("emb"),
-        (-F.array_max(scored)["neg_cell"]).cast("int").alias("cell"),
+        _argmax_cell(cents, emb_col).alias("cell"),
     )
+
+
+def train_centroids(vectors: DataFrame, dim: int, ncells: int = 16,
+                    iters: int = 3, id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) refinement of the seed centroids —
+    distributed, one pass per iteration.
+
+    Per iteration: MAP-ONLY cell assignment (the same foldable-literal
+    argmax the index build uses — no vector ever shuffles), then the
+    per-cell mean via posexplode to (cell, pos, val) SCALARS and a
+    (cell, pos) hash aggregate — the shuffle carries ncells*dim partial
+    sums per partition after map-side combine, never the vectors
+    themselves. Means are L2-normalized (spherical k-means) so the
+    dot-product argmax stays a cosine argmax. Empty cells keep their
+    previous centroid. This is the FAISS-style IVF training step
+    re-expressed as DataFrame aggregation; at 10^12 vectors you train on
+    a sampled sub-corpus (pass ``vectors.sample(...)``) exactly as FAISS
+    trains on a sample.
+    """
+    import numpy as np
+
+    cents = _centroids(dim, ncells)
+    v = spread(vectors).select(F.col(emb_col).cast("array<double>").alias("emb"))
+    for _ in range(iters):
+        assigned = v.select(_argmax_cell(cents, "emb").alias("cell"), "emb")
+        stats = (
+            assigned.select("cell", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums = np.zeros((ncells, dim))
+        counts = np.zeros(ncells)
+        for r in stats:
+            sums[r["cell"]][r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        new = []
+        for c, old in cents:
+            if counts[c] > 0:
+                m = sums[c] / counts[c]
+                m = m / (np.linalg.norm(m) or 1.0)
+                new.append((c, [float(x) for x in m]))
+            else:
+                new.append((c, old))
+        cents = new
+    return cents
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              ncells: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding",
-             q_id_col: str = "q_id", q_emb_col: str = "q_emb") -> DataFrame:
+             q_id_col: str = "q_id", q_emb_col: str = "q_emb",
+             centroids: list[tuple[int, list[float]]] | None = None) -> DataFrame:
     """Approximate top-k: search only each query's nprobe nearest cells.
 
     At scale the indexed table is written ``partitionBy("cell")`` so the
@@ -126,8 +183,15 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     the (cell) equi-join condition.
     """
     spark = vectors.sparkSession
-    indexed = assign_cells(vectors, dim, ncells, id_col, emb_col)
-    cents = F.broadcast(_centroid_df(spark, dim, ncells))
+    cent_rows = centroids if centroids is not None else _centroids(dim, ncells)
+    indexed = assign_cells(vectors, dim, ncells, id_col, emb_col, centroids=cent_rows)
+    from ..synth import local_dim_df
+
+    cents = F.broadcast(
+        local_dim_df(spark, cent_rows, ["cell", "cent"]).select(
+            "cell", F.col("cent").cast("array<double>").alias("cent")
+        )
+    )
     q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_emb_col).alias("q_emb"))
     probe_w = Window.partitionBy("q_id").orderBy(F.desc("qc"), F.asc("cell"))
     probes = (

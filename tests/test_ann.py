@@ -68,3 +68,48 @@ def test_ivf_cell_assignment_total(vecs):
     assigned = A.assign_cells(df, DIM, ncells=8)
     assert assigned.count() == N
     assert assigned.select("cell").distinct().count() > 1
+
+
+def test_trained_centroids_improve_recall_on_clustered_data(spark):
+    """Spherical k-means training: on clustered vectors the trained
+    cells align with the clusters, so IVF recall at small nprobe beats
+    the untrained md5 seed cells."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(6, DIM)) * 4
+    data = []
+    for i in range(240):
+        v = centers[i % 6] + rng.normal(size=DIM) * 0.3
+        data.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    bf = {}
+    for r in A.brute_force_topk(df, q, k=10).collect():
+        bf.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    def recall(cents):
+        ivf = {}
+        for r in A.ivf_topk(df, q, dim=DIM, k=10, ncells=8, nprobe=2,
+                            centroids=cents).collect():
+            ivf.setdefault(r["q_id"], set()).add(r["vec_id"])
+        return sum(len(bf[qq] & ivf.get(qq, set())) / 10 for qq in bf) / len(bf)
+
+    trained = A.train_centroids(df, DIM, ncells=8, iters=4)
+    r_seed = recall(None)
+    r_trained = recall(trained)
+    assert r_trained >= r_seed
+    assert r_trained >= 0.9, (r_seed, r_trained)
+
+
+def test_train_centroids_unit_norm_and_stable(spark):
+    rng = np.random.default_rng(3)
+    data = [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(100)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    cents = A.train_centroids(df, DIM, ncells=4, iters=2)
+    assert [c for c, _ in cents] == [0, 1, 2, 3]
+    for _, v in cents:
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9
+    # deterministic: same input -> same centroids
+    again = A.train_centroids(df, DIM, ncells=4, iters=2)
+    assert cents == again
