@@ -92,3 +92,47 @@ def test_ivf_assign_cells_is_map_only(spark):
     )
     plan = _plan(A.assign_cells(vecs, dim=16, ncells=8))
     assert "Exchange" not in plan, plan
+
+
+def test_linking_has_no_corpus_shuffle(spark, corpus_path):
+    """Round-2 map-only linking: the mention table must NOT shuffle —
+    no Exchange keyed on mention_id (round 1 paid a groupBy argmax +
+    join-back there). Only the broadcast of the candidate dim and the
+    tiny dim-side groupBy may exchange."""
+    docs = spark.read.parquet(corpus_path)
+    linked = L.link_mentions(
+        N.mentions_of(N.extract(docs)), synth.alias_df(spark), synth.entity_emb_df(spark)
+    )
+    plan = _plan(linked)
+    assert "hashpartitioning(mention_id" not in plan, plan
+
+
+def test_shingle_scan_has_no_pushed_expression_filter(spark, tmp_path):
+    """Regression pin for the InferFiltersFromGenerate blowup: a plain
+    explode let pushdown substitute the whole tokenize+shingle
+    expression into the parquet scan's DataFilters (re-running the regex
+    per row in a single-split scan task). With explode_outer the scan
+    must carry no regexp work."""
+    from pg_iui_ner_api_spark.operators import dedup as D
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p)
+    plan = _plan(D.shingle_table(docs, 3))
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scans, plan
+    for s in scans:
+        assert "regexp_replace" not in s and "split(" not in s, s
+
+
+def test_spread_is_noop_when_already_parallel(spark):
+    from pg_iui_ner_api_spark.functions.text import spread
+
+    par = spark.sparkContext.defaultParallelism
+    df = spark.range(1000, numPartitions=par)
+    assert spread(df) is df
+    narrow = spark.range(1000, numPartitions=1)
+    assert spread(narrow).rdd.getNumPartitions() == par
