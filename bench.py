@@ -249,8 +249,12 @@ def main() -> None:
             # inflating the small leg's throughput. Affinity is what "an
             # N-core cluster" means; the JVM also sizes its thread pools
             # from the affinity mask.
-            cmd = ["taskset", "-c", f"0-{par - 1}",
-                   sys.executable, os.path.abspath(__file__), "--scale-run", str(par)]
+            import shutil
+
+            pin = (["taskset", "-c", f"0-{par - 1}"]
+                   if shutil.which("taskset") else [])
+            cmd = pin + [sys.executable, os.path.abspath(__file__),
+                         "--scale-run", str(par)]
             r = subprocess.run(
                 cmd, capture_output=True, text=True, env=dict(os.environ), timeout=3600,
             )
