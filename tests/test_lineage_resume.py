@@ -69,3 +69,18 @@ def test_lineage_manifest_contents(spark, tmp_path):
     assert meta["wall_ms"] >= 0
     assert len(meta["partitions"]) >= 1
     assert sum(p["rows"] for p in meta["partitions"]) == meta["rows_out"]
+
+
+def test_workdir_none_unpersist_releases_caches(spark):
+    """ADVICE r1: workdir=None mode persisted MEMORY_AND_DISK and never
+    released, accumulating blocks across pipeline runs in one session.
+    unpersist() must leave no cached RDDs behind."""
+    from pg_iui_ner_api_spark.plans.lineage import StageRunner
+
+    base = int(spark.sparkContext._jsc.sc().getPersistentRDDs().size())
+    runner = StageRunner(spark, workdir=None)
+    df = runner.stage("s1", lambda: spark.range(1000).selectExpr("id", "id * 2 AS v"))
+    df.count()  # materialize the cache
+    assert int(spark.sparkContext._jsc.sc().getPersistentRDDs().size()) > base
+    runner.unpersist()
+    assert int(spark.sparkContext._jsc.sc().getPersistentRDDs().size()) == base
