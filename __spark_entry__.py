@@ -383,6 +383,11 @@ def _q_sessionize(spark, sf):  # W1 generalized: gap-based sessionization
     return session_stats(_t(spark, sf, "events"), gap_seconds=1800)
 
 
+def _q_media_resize(spark, sf):  # rows-only: upstream features are synth-derived
+    docs = synth.synth_documents(spark, _KG_DOCS, partitions=8)
+    return M.resize_geometry(M.extract_media_features(docs), max_side=224)
+
+
 def _q_media_features(spark, sf):
     docs = synth.synth_documents(spark, _KG_DOCS, partitions=8)
     return M.extract_media_features(docs).select(
@@ -430,6 +435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
     }
 
 

@@ -131,6 +131,34 @@ def extract_media_features(
     return spans.mapInPandas(featurize, schema=MEDIA_FEATURES)
 
 
+def resize_geometry(features: DataFrame, max_side: int = 224) -> DataFrame:
+    """Aspect-preserving resize targets: the geometry half of a
+    thumbnail/resize stage, as pure column algebra.
+
+    Computes (out_width, out_height, scale) such that the longer side
+    fits ``max_side`` and media smaller than the target is NEVER
+    upscaled (scale capped at 1.0) — the standard training-data
+    convention. The pixel resample itself lives behind the same stub
+    seam as decode (PIL's ``Image.resize`` / ffmpeg scale filter slot in
+    at extract_media_features' decode='real'); keeping the geometry in
+    JVM expressions means the planner prunes media whose size already
+    complies before any payload is decoded.
+    """
+    longer = F.greatest("width", "height").cast("double")
+    scale = F.least(F.lit(1.0), F.lit(float(max_side)) / longer)
+    return features.select(
+        "doc_id",
+        "span_idx",
+        "media_ref",
+        "kind",
+        "width",
+        "height",
+        F.round(scale, 6).alias("scale"),
+        F.greatest(F.lit(1), F.round(F.col("width") * scale).cast("int")).alias("out_width"),
+        F.greatest(F.lit(1), F.round(F.col("height") * scale).cast("int")).alias("out_height"),
+    )
+
+
 def frame_sample_plan(features: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling metadata: which frame indices a video decode would
     materialize. Pure column algebra over n_frames (the decode itself is

@@ -56,3 +56,21 @@ def test_media_count_matches_span_kinds(spark, docs):
         F.explode("spans").alias("s")
     ).where(F.col("s.kind") != "text").count()
     assert M.extract_media_features(docs).count() == n_media
+
+
+def test_resize_geometry_aspect_and_no_upscale(spark, docs):
+    feats = M.extract_media_features(docs)
+    rows = M.resize_geometry(feats, max_side=64).collect()
+    assert rows
+    for r in rows:
+        longer = max(r["width"], r["height"])
+        if longer <= 64:
+            # never upscale
+            assert r["scale"] == 1.0
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        else:
+            assert max(r["out_width"], r["out_height"]) == 64
+            # aspect preserved within the +-0.5px rounding of each side
+            rel = abs(r["out_width"] / r["out_height"] / (r["width"] / r["height"]) - 1)
+            assert rel <= 0.5 / r["out_width"] + 0.5 / r["out_height"] + 1e-9, r
+        assert r["out_width"] >= 1 and r["out_height"] >= 1
