@@ -131,6 +131,9 @@ def scale_run(par: int) -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if corpus_bytes == 0:
+        # standalone --scale-run invocation: main() normally materializes
+        _materialize_corpus(spark, KG_DOCS, CORPUS_PATH)
     # warmup: JIT + Python worker pool spin-up (not measured)
     _kg_job(spark, synth.synth_documents(spark, 2000, partitions=WAVES * par),
             partitions=WAVES * par)
