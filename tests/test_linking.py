@@ -64,3 +64,38 @@ def test_rerank_is_arrow_vectorized(spark):
     plan = linked._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BatchEvalPython") == 0
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_decomposed_api_matches_map_only_path(spark):
+    """candidates() + rerank() + links() (the decomposed round-1 API,
+    kept public) must agree with the map-only link_mentions on
+    (mention_id -> entity_id, link_score)."""
+    texts = [
+        "Hopper works for Phoenix, the company.",
+        "Acme Corp, the company, is located in Phoenix.",
+        "Globex hired Turing in Paris.",
+    ]
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": f"t{i}",
+                "spans": [{"kind": "text", "text": t, "media_ref": None, "offset": 0}],
+            }
+            for i, t in enumerate(texts)
+        ],
+        schema=__import__("pg_iui_ner_api_spark.schema", fromlist=["DOCUMENTS"]).DOCUMENTS,
+    )
+    mentions = ner.mentions_of(ner.extract(docs))
+    alias, embs = synth.alias_df(spark), synth.entity_emb_df(spark)
+    fused = {
+        r["mention_id"]: (r["entity_id"], round(r["link_score"], 9))
+        for r in linking.link_mentions(mentions, alias, embs).collect()
+    }
+    scored = linking.rerank(
+        linking.candidates(mentions.select("mention_id", "word", "ctx"), alias), embs
+    )
+    decomposed = {
+        r["mention_id"]: (r["entity_id"], round(r["link_score"], 9))
+        for r in linking.links(scored).collect()
+    }
+    assert fused == decomposed and fused
