@@ -46,6 +46,8 @@ KG_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 # noise minute; best-of-leg across reps mixes noise regimes and is
 # reported separately)
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# runs per headline query; per-query time is min-of-runs (see _headline)
+HEADLINE_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_QRUNS", "3"))
 
 
 # tasks per core and per shuffle: >1 so a straggler task doesn't idle
@@ -192,21 +194,30 @@ def _headline(spark) -> dict[str, float]:
         "quality_score", "lang_id", "token_stats",
         "ann_topk", "ann_ivf", "kg_mentions", "kg_edges", "media_features",
     ]
-    out: dict[str, float] = {}
-    for name in picks:
-        t0 = time.monotonic()
-        _noop_write(qs[name](spark, SF_DIR))
-        out[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {out[name]}s", file=sys.stderr, flush=True)
-    # embedding near-dup: bench the LSH-bucketed scale path (the exact
-    # O(n^2) variant stays as the sf0.01 oracle query)
-    t0 = time.monotonic()
-    _noop_write(
-        D.embedding_near_dups(
-            spark.read.parquet(f"{SF_DIR}/embeddings.parquet"), threshold=0.5, planes=8
+    def lsh_near_dup(spark, sf_dir):
+        # embedding near-dup: bench the LSH-bucketed scale path (the
+        # exact O(n^2) variant stays as the sf0.01 oracle query)
+        return D.embedding_near_dups(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.5, planes=8
         )
-    )
-    out["embedding_near_dup_lsh"] = round(time.monotonic() - t0, 3)
+
+    # Per-query time = BEST of HEADLINE_RUNS runs. This host's effective
+    # CPU throughput swings several-fold minute-to-minute (see the
+    # scaling-leg notes); a single-shot time conflates plan cost with the
+    # noise minute it landed in. Run 1 additionally pays one-time costs
+    # (JIT, Python worker spin-up, page-cache fill), so min-of-3 is the
+    # plan's cost in a quiet moment — the comparable-across-rounds number.
+    out: dict[str, float] = {}
+    for name in picks + ["embedding_near_dup_lsh"]:
+        fn = lsh_near_dup if name == "embedding_near_dup_lsh" else qs[name]
+        runs = []
+        for _ in range(HEADLINE_RUNS):
+            t0 = time.monotonic()
+            _noop_write(fn(spark, SF_DIR))
+            runs.append(time.monotonic() - t0)
+        out[name] = round(min(runs), 3)
+        print(f"# {name}: best {out[name]}s of {[round(r, 2) for r in runs]}",
+              file=sys.stderr, flush=True)
     return out
 
 
@@ -220,7 +231,17 @@ def main() -> None:
     t_total = time.monotonic()
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+
+    # bracket the per-query section with host-ceiling probes so each
+    # round's per-query times carry their own noise-regime evidence
+    def _ceiling() -> float:
+        p8, p32 = cpu_probe(8), cpu_probe(32)
+        return round((p32 / p8) / 4.0, 4)
+
+    hl_ceil = [_ceiling()]
     queries = _headline(spark)
+    hl_ceil.append(_ceiling())
+    print(f"# headline probe bracket: {hl_ceil}", file=sys.stderr, flush=True)
     _materialize_corpus(spark, KG_DOCS, CORPUS_PATH)  # untimed input table
     spark.stop()
 
@@ -283,16 +304,23 @@ def main() -> None:
         scaling[f"local[{par}]_docs_per_sec"] = round(dps[par], 1)
         scaling[f"local[{par}]_sec"] = round(s, 3)
     if 8 in dps and 32 in dps:
-        # HEADLINE efficiency: best same-rep (paired) ratio — the only
-        # estimator whose numerator and denominator share a noise regime
+        # Same-rep (paired) ratios: the only estimator whose numerator
+        # and denominator share a noise regime. HEADLINE = MEDIAN of the
+        # paired ratios (round 2 headlined the best pair, which
+        # cherry-picks the most favorable rep — and a slow-8-leg rep can
+        # even read superlinear); best-of is kept under its own
+        # explicitly-named key for reference.
         pair = [t[8] / t[32] / 4.0 for t in rep_times if 8 in t and 32 in t]
         if pair:
-            best_rep = max(range(len(pair)), key=lambda i: pair[i])
-            scaling["efficiency_8_to_32"] = round(pair[best_rep], 4)
+            import statistics
+
+            scaling["efficiency_8_to_32"] = round(statistics.median(pair), 4)
             scaling["efficiency_per_rep"] = [round(x, 4) for x in pair]
-            # ceiling measured in the SAME rep (same noise regime) as
-            # the headline efficiency — the apples-to-apples comparison
-            scaling["host_ceiling"] = round(ceilings[best_rep], 4)
+            best_rep = max(range(len(pair)), key=lambda i: pair[i])
+            scaling["efficiency_paired_best"] = round(pair[best_rep], 4)
+            # ceiling per rep (same noise regime as that rep's ratio);
+            # headline ceiling = median, matching the headline efficiency
+            scaling["host_ceiling"] = round(statistics.median(ceilings), 4)
         scaling["efficiency_best_of_legs"] = round((dps[32] / dps[8]) / 4.0, 4)
         # machine-checkable host ceiling: the >=0.8 target is physically
         # unreachable when the host itself scales below it
@@ -305,7 +333,11 @@ def main() -> None:
         infl = [c[32] / c[8] for c in rep_cpu
                 if c.get(8) and c.get(32)]
         if infl:
-            scaling["cpu_work_inflation_32_vs_8"] = round(min(infl), 4)
+            import statistics
+
+            scaling["cpu_work_inflation_32_vs_8"] = round(
+                statistics.median(infl), 4)
+            scaling["cpu_work_inflation_per_rep"] = [round(x, 4) for x in infl]
         for par in (8, 32):
             utils = [c[par] / (t[par] * par)
                      for c, t in zip(rep_cpu, rep_times)
@@ -321,6 +353,7 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "kg_bench_docs": KG_DOCS,
         "kg_docs_per_sec": scaling.get("local[32]_docs_per_sec"),
+        "headline_host_ceiling": hl_ceil,
         "scaling": scaling,
     }
     print(json.dumps(result))

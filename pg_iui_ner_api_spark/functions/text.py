@@ -12,27 +12,43 @@ specific hash functions (Spark xxhash64 and DuckDB hash() disagree).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     """Ensure at least one partition per core before CPU-heavy in-row
     Column compute (shingling, hashing, per-token folds).
 
     A parquet file is splittable only at row-group boundaries; a
     single-row-group file scans as ONE task no matter how many cores the
     cluster has, so the expensive expressions run single-threaded (the
-    driver testdata is exactly this shape). At warehouse scale inputs
-    carry thousands of row groups and this is a no-op — the partition
-    count check costs planning only, no job.
-    """
-    sc = df.sparkSession.sparkContext
-    n = df.rdd.getNumPartitions()
-    if n < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+    driver testdata is exactly this shape). At warehouse scale inputs are
+    far larger than ``maxPartitionBytes`` and this is a no-op.
 
-from pyspark.sql import Column, functions as F
+    Parallelism need is estimated from the optimizer's plan statistics
+    (``sizeInBytes`` / ``maxPartitionBytes``) — catalog/file-footer
+    metadata only, no ``.rdd`` materialization (which would force full
+    physical planning per call and, under AQE, report a pre-execution
+    partition count that may not match what runs). Pass ``partitions``
+    to skip the estimate entirely.
+    """
+    sess = df.sparkSession
+    target = partitions if partitions is not None else sess.sparkContext.defaultParallelism
+    if target <= 1:
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        # conf may come back as "134217728", "134217728b" or "128MB"
+        raw = sess.conf.get("spark.sql.files.maxPartitionBytes").lower()
+        num = float(raw.rstrip("kmgtb"))
+        maxpb = int(num * {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}.get(
+            raw.rstrip("b")[-1:], 1))
+        est_tasks = max(1, size // max(maxpb, 1))
+    except Exception:  # non-JVM-backed plan (e.g. mocked); fall back
+        est_tasks = df.rdd.getNumPartitions()
+    if est_tasks < target:
+        return df.repartition(target)
+    return df
 
 # Tiny per-language marker-word lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small: the point is the *operator shape*

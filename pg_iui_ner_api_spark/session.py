@@ -12,6 +12,40 @@ import os
 
 from pyspark.sql import SparkSession
 
+import re
+
+
+def _jvm_opt_family(opt: str) -> str:
+    """Collision key for a JVM option: any ``-XX:[+-]Use*GC`` flag is the
+    single "GC collector" family; otherwise the flag/name without its
+    sign or value (so a user-set ``-XX:+UseAdaptiveSizePolicy`` blocks our
+    ``-XX:-...`` and ``-Xms4g`` blocks ``-Xms20g``)."""
+    if re.fullmatch(r"-XX:[+-]Use\w*GC", opt):
+        return "GC"
+    m = re.match(r"-XX:[+-]?([A-Za-z]\w*)", opt) or re.match(r"-(Xms|Xmx|Xmn)", opt)
+    return m.group(1) if m else opt
+
+
+def _gib(mem: str) -> float:
+    """'20g'/'2048m' → GiB (defensively: unparseable → inf, so the -Xms
+    pin is skipped rather than risked)."""
+    m = re.fullmatch(r"(\d+)([gGmM])", mem.strip())
+    if not m:
+        return float("inf")
+    return int(m.group(1)) * (1.0 if m.group(2) in "gG" else 1.0 / 1024)
+
+
+def _host_mem_gib() -> float:
+    """MemAvailable from /proc/meminfo in GiB (0.0 if unreadable)."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1024 * 1024)
+    except OSError:
+        pass
+    return 0.0
+
 
 def get_spark(
     app_name: str = "pg-iui-ner-api-spark",
@@ -53,15 +87,26 @@ def get_spark(
     #     same young gens at equal wall with ~1000 fewer CPU-s.
     # SPARK_SUBMIT_OPTS reaches the driver JVM that pyspark launches.
     mem = os.environ.get("SPARK_DRIVER_MEM", "20g")
-    gc_opts = (
-        f"-XX:+UseParallelGC -Xms{mem} -XX:NewRatio=1 "
-        "-XX:-UseAdaptiveSizePolicy -XX:ParallelGCThreads=8 "
-        "-XX:MetaspaceSize=256m"
-    )
-    if "-XX:+Use" not in os.environ.get("SPARK_SUBMIT_OPTS", ""):
-        os.environ["SPARK_SUBMIT_OPTS"] = (
-            os.environ.get("SPARK_SUBMIT_OPTS", "") + " " + gc_opts
-        ).strip()
+    # -Xms == -Xmx is only safe when the host can actually back the full
+    # heap; on a smaller box a pre-committed 20g heap would abort JVM
+    # startup where a lazily-grown one worked. Pin only when MemAvailable
+    # comfortably covers it (or the user opts in via SPARK_DRIVER_MEM).
+    pin_xms = "SPARK_DRIVER_MEM" in os.environ or _host_mem_gib() >= _gib(mem) + 4
+    opts = [
+        "-XX:+UseParallelGC",
+        *([f"-Xms{mem}"] if pin_xms else []),
+        "-XX:NewRatio=1",
+        "-XX:-UseAdaptiveSizePolicy",
+        "-XX:ParallelGCThreads=8",
+        "-XX:MetaspaceSize=256m",
+    ]
+    # Append each option only if the user hasn't already set one of the
+    # same family — never drop the whole block because of one override.
+    cur = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    have = {_jvm_opt_family(t) for t in cur.split()}
+    add = [o for o in opts if _jvm_opt_family(o) not in have]
+    if add:
+        os.environ["SPARK_SUBMIT_OPTS"] = (cur + " " + " ".join(add)).strip()
     if shuffle_partitions is None:
         # one shuffle partition per core locally; a real cluster would
         # size this to ~2-3x total cores (AQE coalesces the excess).

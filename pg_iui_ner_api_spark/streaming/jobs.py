@@ -80,6 +80,14 @@ SESSION_OUT = ("user_id long, session_id long, n_events long, "
                "t_start timestamp, t_end timestamp")
 _SESSION_STATE = "session_id long, n_events long, t_start double, t_end double"
 
+# After a timeout closes the trailing session, the NEXT session ordinal is
+# retained (n_events == 0 marks "ordinal-only" state) so a reappearing user
+# continues the batch contract's contiguous per-user session_id sequence
+# instead of restarting at 0. The retained state self-expires once event
+# time passes last_ts + RETENTION * gap with no new activity, bounding the
+# state store: idle users cost one ordinal row for a window, never forever.
+_ORDINAL_RETENTION = 10
+
 
 def stream_sessionize(events: DataFrame, gap_seconds: int = 1800,
                       watermark: str = "2 hours") -> DataFrame:
@@ -96,10 +104,12 @@ def stream_sessionize(events: DataFrame, gap_seconds: int = 1800,
     (process_input_file.py:36-62): state lives in Spark's checkpointed
     state store, so a restarted job resumes mid-corpus.
 
-    Within a micro-batch events are processed in event-time order;
-    cross-batch stragglers older than the watermark are handled by the
-    watermark contract (dropped), the standard approximation for
-    streaming sessionization.
+    A micro-batch group's events arrive as MULTIPLE Arrow chunks when the
+    group exceeds ``spark.sql.execution.arrow.maxRecordsPerBatch``; all
+    chunks are concatenated and sorted ONCE before the gap scan, so
+    boundaries are correct regardless of chunking. Cross-batch stragglers
+    older than the watermark are handled by the watermark contract
+    (dropped), the standard approximation for streaming sessionization.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -109,7 +119,21 @@ def stream_sessionize(events: DataFrame, gap_seconds: int = 1800,
         (user_id,) = key
         if state.hasTimedOut:
             sid, n, ts0, ts1 = state.get
-            state.remove()
+            if n == 0:
+                # ordinal-retention window expired with no new events
+                state.remove()
+                return
+            # Emit the trailing session but KEEP the next ordinal so the
+            # per-user session_id sequence stays contiguous if the user
+            # reappears (see _ORDINAL_RETENTION note above). If the
+            # retention window already lies behind the watermark (timeout
+            # fired late), retaining is pointless — drop the state.
+            retention_ms = int((ts1 + gap_seconds * _ORDINAL_RETENTION) * 1000)
+            if retention_ms <= state.getCurrentWatermarkMs():
+                state.remove()
+            else:
+                state.update((sid + 1, 0, float(ts1), float(ts1)))
+                state.setTimeoutTimestamp(retention_ms)
             yield pd.DataFrame({
                 "user_id": [user_id], "session_id": [sid], "n_events": [n],
                 "t_start": [pd.Timestamp(ts0, unit="s")],
@@ -117,17 +141,22 @@ def stream_sessionize(events: DataFrame, gap_seconds: int = 1800,
             })
             return
         sid, n, ts0, ts1 = state.get if state.exists else (0, 0, None, None)
+        if n == 0:
+            ts0 = ts1 = None  # ordinal-only state: no open session yet
         closed: list[tuple] = []
-        for pdf in pdf_iter:
-            for t in sorted(pdf["ts"]):
-                te = t.timestamp()
-                if ts1 is not None and te - ts1 > gap_seconds:
-                    closed.append((sid, n, ts0, ts1))
-                    sid, n, ts0 = sid + 1, 0, None
-                if ts0 is None:
-                    ts0 = te
-                n += 1
-                ts1 = te
+        # One global event-time sort across ALL Arrow chunks: per-chunk
+        # sorting would process a >maxRecordsPerBatch group out of order
+        # at the chunk seams and mis-place session boundaries.
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        for t in pdf["ts"].sort_values():
+            te = t.timestamp()
+            if ts1 is not None and te - ts1 > gap_seconds:
+                closed.append((sid, n, ts0, ts1))
+                sid, n, ts0 = sid + 1, 0, None
+            if ts0 is None:
+                ts0 = te
+            n += 1
+            ts1 = te
         state.update((sid, n, float(ts0), float(ts1)))
         # close the trailing session once event time passes last+gap
         state.setTimeoutTimestamp(int((ts1 + gap_seconds) * 1000))

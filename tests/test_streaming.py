@@ -72,6 +72,122 @@ def test_windowed_event_counts_match_batch(spark, tmp_path, sf_dir):
         assert got.get(k) == v, k
 
 
+def _write_events(spark, indir, rows):
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append").parquet(indir)
+
+
+def test_stream_sessionize_multichunk_group(spark, tmp_path):
+    """A group larger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    pandas chunks; session boundaries must come from one global
+    event-time sort, not per-chunk sorts (per-chunk sorting misplaces
+    boundaries at chunk seams for out-of-order input)."""
+    import datetime as dt
+
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # 30 events 10 s apart (one session), then 10 events after a 5000 s
+    # gap (second, still-open session) — written in a fixed interleaved
+    # permutation so every chunk mixes early and late events.
+    times = [i * 10 for i in range(30)] + [5000 + i * 10 for i in range(10)]
+    perm = sorted(range(40), key=lambda i: (i * 17) % 40)
+    rows = [(i, t0 + dt.timedelta(seconds=times[p]), 1, "c", 1.0, "{}")
+            for i, p in enumerate(perm)]
+    _write_events(spark, indir, rows)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        q = J.run_stream_sessionize(spark, indir, outdir, ckpt, gap_seconds=1800)
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    rows = spark.read.schema(J.SESSION_OUT).parquet(outdir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["session_id"], r["n_events"]) == (1, 0, 30)
+    assert r["t_start"] == t0
+    assert r["t_end"] == t0 + dt.timedelta(seconds=290)
+
+
+def test_stream_sessionize_late_drop_and_timeout(spark, tmp_path):
+    """Watermark contract: an event older than the watermark is dropped
+    (never resurrects a session); a trailing session with no successor
+    event is emitted by the event-time timeout once the watermark passes
+    last_ts + gap."""
+    import datetime as dt
+
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    h = dt.timedelta(hours=1)
+
+    def run():
+        q = J.run_stream_sessionize(spark, indir, outdir, ckpt,
+                                    gap_seconds=1800, watermark="2 hours")
+        q.awaitTermination(120)
+        return spark.read.schema(J.SESSION_OUT).parquet(outdir).collect()
+
+    _write_events(spark, indir, [(1, t0, 9, "c", 1.0, "{}"),
+                                 (2, t0 + dt.timedelta(seconds=50), 9, "c", 1.0, "{}")])
+    assert run() == []
+    # advance the watermark far past user 9's timeout (t0+50+1800)
+    _write_events(spark, indir, [(3, t0 + 10 * h, 8, "c", 1.0, "{}")])
+    run()
+    # next batch runs with watermark = t0+8h: user 9's trailing session
+    # fires via EventTimeTimeout; user 8's first session closes by gap
+    _write_events(spark, indir, [(4, t0 + 20 * h, 8, "c", 1.0, "{}")])
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in run()}
+    assert got[(9, 0)] == 2 and got[(8, 0)] == 1
+    # a straggler older than the watermark (t0+18h) must be DROPPED —
+    # it must not seed a new user-9 session
+    _write_events(spark, indir, [(5, t0 + dt.timedelta(seconds=100), 9, "c", 1.0, "{}")])
+    n_after_late = len(run())
+    assert n_after_late == 2
+    # drain everything: if the late event had been accepted, a second
+    # user-9 row would eventually time out and appear here
+    _write_events(spark, indir, [(6, t0 + 40 * h, 8, "c", 1.0, "{}")])
+    final = run()
+    assert [r for r in final if r["user_id"] == 9 and r["session_id"] != 0] == []
+
+
+def test_stream_sessionize_ordinal_continuity(spark, tmp_path):
+    """After a timeout emits a trailing session, a reappearing user's next
+    session continues the contiguous per-user ordinal (batch contract)
+    instead of restarting at 0."""
+    import datetime as dt
+
+    indir, outdir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda x: t0 + dt.timedelta(seconds=x)  # noqa: E731
+
+    def run():
+        q = J.run_stream_sessionize(spark, indir, outdir, ckpt,
+                                    gap_seconds=100, watermark="0 seconds")
+        q.awaitTermination(120)
+        return spark.read.schema(J.SESSION_OUT).parquet(outdir).collect()
+
+    _write_events(spark, indir, [(1, s(0), 1, "c", 1.0, "{}"),
+                                 (2, s(10), 1, "c", 1.0, "{}")])
+    run()
+    _write_events(spark, indir, [(3, s(500), 2, "c", 1.0, "{}")])
+    run()  # watermark -> t0+500 (> user-1 timeout at t0+110)
+    _write_events(spark, indir, [(4, s(700), 2, "c", 1.0, "{}")])
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in run()}
+    assert got[(1, 0)] == 2  # emitted via timeout; ordinal 1 retained
+    # user 1 reappears within the ordinal-retention window (10 s + 10*100 s)
+    _write_events(spark, indir, [(5, s(800), 1, "c", 1.0, "{}")])
+    run()
+    _write_events(spark, indir, [(6, s(2000), 3, "c", 1.0, "{}")])
+    run()  # watermark -> t0+800 (< user-1 timeout t0+900): not yet
+    _write_events(spark, indir, [(7, s(3000), 3, "c", 1.0, "{}")])
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in run()}
+    assert got[(1, 1)] == 1  # continued at ordinal 1, not a second 0
+    assert (1, 0) in got and len([k for k in got if k[0] == 1]) == 2
+
+
 def test_stream_sessionize_stateful(spark, tmp_path):
     """applyInPandasWithState sessionizer: a session closes when a later
     event exceeds the gap; state survives across separate availableNow
