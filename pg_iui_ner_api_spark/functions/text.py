@@ -37,6 +37,8 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     if target <= 1:
         return df
     try:
+        if not df.inputFiles():
+            raise ValueError("not file-backed")
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         # conf may come back as "134217728", "134217728b" or "128MB"
         raw = sess.conf.get("spark.sql.files.maxPartitionBytes").lower()
@@ -44,7 +46,10 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
         maxpb = int(num * {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}.get(
             raw.rstrip("b")[-1:], 1))
         est_tasks = max(1, size // max(maxpb, 1))
-    except Exception:  # non-JVM-backed plan (e.g. mocked); fall back
+    except Exception:
+        # non-file plan (Range/LocalRelation/in-memory): its stats say
+        # nothing about partition count; the RDD probe is cheap here —
+        # no file listing is involved
         est_tasks = df.rdd.getNumPartitions()
     if est_tasks < target:
         return df.repartition(target)

@@ -53,7 +53,34 @@ class StageRunner:
             os.path.join(self.workdir, "_lineage", f"{stage}.json"),
         )
 
-    def _completed(self, stage: str) -> bool:
+    def _table_name(self, stage: str) -> str:
+        """Catalog name for a bucketed stage table: stable across
+        sessions for one workdir (resume re-registers it), distinct
+        across workdirs sharing a warehouse."""
+        import hashlib
+
+        suffix = hashlib.md5(self.workdir.encode()).hexdigest()[:8]
+        return f"kg_{stage}_{suffix}"
+
+    def _register_bucketed(self, stage: str, out: str, bucket_by: str,
+                           n_buckets: int) -> DataFrame:
+        """(Re-)register the already-materialized bucketed stage files as
+        an external catalog table, so a resumed session's scans still
+        report the bucket HashPartitioning (plain read.parquet would
+        lose it and downstream joins would shuffle again)."""
+        name = self._table_name(stage)
+        if not self.spark.catalog.tableExists(name):
+            schema = self.spark.read.parquet(out).schema
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema)
+            self.spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"CLUSTERED BY (`{bucket_by}`) SORTED BY (`{bucket_by}`) "
+                f"INTO {n_buckets} BUCKETS LOCATION '{out}'"
+            )
+        return self.spark.table(name)
+
+    def _completed(self, stage: str, bucket_by: str | None = None,
+                   n_buckets: int | None = None) -> bool:
         out, manifest = self._paths(stage)
         if not os.path.exists(os.path.join(out, "_SUCCESS")):
             return False
@@ -61,11 +88,21 @@ class StageRunner:
             return False
         with open(manifest) as f:
             meta = json.load(f)
-        return meta.get("input_fingerprint") == self.fingerprint
+        if meta.get("input_fingerprint") != self.fingerprint:
+            return False
+        # bucketing-layout mismatch (older non-bucketed run, different
+        # bucket count) => NOT resumable: re-registering such files as a
+        # CLUSTERED BY table would claim a hash layout the rows don't
+        # have, silently corrupting co-located joins. Recompute instead.
+        want = {"bucket_by": bucket_by, "n_buckets": n_buckets} if bucket_by else {}
+        have = ({"bucket_by": meta.get("bucket_by"), "n_buckets": meta.get("n_buckets")}
+                if meta.get("bucket_by") else {})
+        return want == have
 
     # ------------------------------------------------------------------
     def stage(self, name: str, build, partition_by: str | None = None,
-              persist: bool = True) -> DataFrame:
+              persist: bool = True, bucket_by: str | None = None,
+              n_buckets: int = 64) -> DataFrame:
         """Run (or resume) one stage.
 
         ``build`` is a thunk returning the stage DataFrame. With no
@@ -74,6 +111,12 @@ class StageRunner:
         (extraction feeds mentions+predicates, linked feeds
         components+nodes+edges) — single-consumer stages skip the cache
         write entirely.
+
+        ``bucket_by`` materializes the stage as a BUCKETED external
+        catalog table at the same workdir path (plans/bucketing.py
+        rationale): downstream re-joins of two stages bucketed on the
+        same key with the same count need zero Exchange — the 100 TB
+        write-side shape for tables that are re-joined constantly.
         """
         if self.workdir is None:
             self.events.append({"stage": name, "action": "inline"})
@@ -86,20 +129,41 @@ class StageRunner:
             return df
 
         out, manifest = self._paths(name)
-        if self._completed(name):
+        if self._completed(name, bucket_by, n_buckets):
             self.events.append({"stage": name, "action": "resumed"})
+            if bucket_by:
+                return self._register_bucketed(name, out, bucket_by, n_buckets)
             return self.spark.read.parquet(out)
 
         t0 = time.monotonic()
         df = build()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(partition_by)
-        writer.parquet(out)
+        if bucket_by:
+            # one task per bucket (shuffle on the bucket hash), else each
+            # input partition writes a file into EVERY bucket — n_part *
+            # n_buckets small files at scale
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(name)}")
+            (
+                df.repartition(n_buckets, F.col(bucket_by))
+                .write.mode("overwrite")
+                .option("path", out)
+                .bucketBy(n_buckets, bucket_by)
+                .sortBy(bucket_by)
+                .saveAsTable(self._table_name(name))
+            )
+        else:
+            # drop any stale catalog entry from a previous bucketed run
+            # of this stage — it would otherwise keep advertising a hash
+            # layout the rewritten plain files no longer have
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(name)}")
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(out)
         wall_ms = int((time.monotonic() - t0) * 1000)
 
         # per-partition (= per output file) lineage metrics
-        reread = self.spark.read.parquet(out)
+        reread = (self.spark.table(self._table_name(name)) if bucket_by
+                  else self.spark.read.parquet(out))
         per_file = (
             reread.groupBy(F.input_file_name().alias("file"))
             .count()
@@ -111,6 +175,8 @@ class StageRunner:
             "run_id": self.run_id,
             "stage": name,
             "input_fingerprint": self.fingerprint,
+            "bucket_by": bucket_by,
+            "n_buckets": n_buckets if bucket_by else None,
             "wall_ms": wall_ms,
             "rows_out": rows_out,
             "partitions": [

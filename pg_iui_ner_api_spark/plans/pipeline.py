@@ -41,21 +41,35 @@ def run_kg_pipeline(
         # downstream per-doc work; no further full-corpus shuffles.
         return N.extract(documents).repartition(n_part, "doc_id")
 
-    extraction = runner.stage("extraction", _extract, partition_by=None)
+    # Materialized stages are written BUCKETED (workdir mode): mentions/
+    # linked/edges co-bucketed on doc_id, nodes on entity_id, plus an
+    # edges_by_subj twin, so every downstream re-join — incremental batch
+    # against the existing graph, mentions⋈edges provenance lookups,
+    # nodes⋈edges entity expansion — reads co-located pre-sorted buckets
+    # with ZERO Exchange instead of re-shuffling 10^12-document tables.
+    bk = dict(bucket_by="doc_id", n_buckets=n_part)
+    extraction = runner.stage("extraction", _extract, **bk)
     mentions = N.mentions_of(extraction)
     predicates = N.predicates_of(extraction)
 
     linked = runner.stage(
-        "linked_mentions", lambda: L.link_mentions(mentions, alias, embs)
+        "linked_mentions", lambda: L.link_mentions(mentions, alias, embs), **bk
     )
     comps = runner.stage("components", lambda: C.canonical_components(linked),
                          persist=False)
     nodes = runner.stage("nodes", lambda: C.canonical_nodes(linked, comps),
-                         persist=False)
+                         persist=False, bucket_by="entity_id", n_buckets=n_part)
     edges = runner.stage("edges", lambda: T.assemble_triples(linked, predicates),
-                         persist=False)
+                         persist=False, **bk)
+    out = {}
+    if runner.workdir is not None:
+        # entity-keyed twin of the edge table: re-bucket (one shuffle at
+        # write time) so graph-side joins against nodes are co-located
+        out["edges_by_subj"] = runner.stage(
+            "edges_by_subj", lambda: edges, bucket_by="subj", n_buckets=n_part
+        )
 
-    return {
+    return out | {
         "extraction": extraction,
         "mentions": mentions,
         "predicates": predicates,

@@ -41,6 +41,88 @@ def test_cobucketed_join_has_no_exchange(spark, bucketed_pair):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_pipeline_outputs_are_cobucketed(spark, tmp_path):
+    """VERDICT r2 #2: run_kg_pipeline's materialized stages are bucketed,
+    so downstream re-joins of the OUTPUT tables (nodes⋈edges on entity
+    id, linked⋈edges on doc_id) run with ZERO Exchange — the write-side
+    shape that matters when these tables are re-joined at 10^12 docs."""
+    from pg_iui_ner_api_spark import synth
+    from pg_iui_ner_api_spark.plans.pipeline import run_kg_pipeline
+
+    docs = synth.synth_documents(spark, 60)
+    res = run_kg_pipeline(spark, docs, workdir=str(tmp_path / "wd"),
+                          input_fingerprint="synth:60:42", doc_partitions=4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # entity-side: edges_by_subj ⋈ nodes on subj = entity_id
+        j1 = res["edges_by_subj"].join(
+            res["nodes"], res["edges_by_subj"].subj == res["nodes"].entity_id
+        )
+        p1 = j1._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p1, p1
+        assert "SortMergeJoin" in p1, p1
+        assert j1.count() > 0
+        # doc-side: linked_mentions ⋈ edges on doc_id
+        j2 = res["linked_mentions"].select("doc_id", "mention_id").join(
+            res["edges"].select("doc_id", "subj"), "doc_id"
+        )
+        p2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in p2, p2
+        assert j2.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # resume in the same session: re-run must resume every stage and
+    # still hand back bucketed (catalog-backed) tables
+    res2 = run_kg_pipeline(spark, docs, workdir=str(tmp_path / "wd"),
+                           input_fingerprint="synth:60:42", doc_partitions=4)
+    assert all(e["action"] == "resumed" for e in res2["_runner"].events)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p3 = (
+            res2["edges_by_subj"]
+            .join(res2["nodes"], res2["edges_by_subj"].subj == res2["nodes"].entity_id)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in p3 and "Exchange" not in p3, p3
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_stale_bucket_layout_recomputes(spark, tmp_path):
+    """A checkpoint written under a DIFFERENT bucket layout (plain
+    parquet, or another bucket count) must NOT be resumed as bucketed —
+    registering a CLUSTERED BY table over files with a different row
+    layout would silently corrupt co-located joins. The manifest records
+    the layout; a mismatch recomputes."""
+    from pg_iui_ner_api_spark.plans.lineage import StageRunner
+
+    wd = str(tmp_path / "wd")
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+
+    r1 = StageRunner(spark, wd, input_fingerprint="fp")
+    r1.stage("s", lambda: df)  # plain-parquet layout
+    assert r1.events[-1]["action"] == "computed"
+
+    r2 = StageRunner(spark, wd, input_fingerprint="fp")
+    r2.stage("s", lambda: df, bucket_by="k", n_buckets=4)
+    assert r2.events[-1]["action"] == "computed"  # layout mismatch -> rebuild
+
+    r3 = StageRunner(spark, wd, input_fingerprint="fp")
+    got = r3.stage("s", lambda: df, bucket_by="k", n_buckets=4)
+    assert r3.events[-1]["action"] == "resumed"  # same layout -> resume
+    assert got.count() == 100
+
+    r4 = StageRunner(spark, wd, input_fingerprint="fp")
+    r4.stage("s", lambda: df, bucket_by="k", n_buckets=8)
+    assert r4.events[-1]["action"] == "computed"  # bucket-count mismatch
+
+    r5 = StageRunner(spark, wd, input_fingerprint="fp")
+    r5.stage("s", lambda: df)  # bucketed files, plain expected -> rebuild
+    assert r5.events[-1]["action"] == "computed"
+    spark.sql(f"DROP TABLE IF EXISTS {r3._table_name('s')}")
+
+
 def test_bucketed_join_results_match_plain_join(spark, bucketed_pair):
     ta, tb = bucketed_pair
     got = {(r["k"], r["va"], r["vb"])
