@@ -75,6 +75,21 @@ def extract(documents: DataFrame, tagger: GazetteerTagger | None = None) -> Data
         import pandas as pd
 
         tg = tagger or GazetteerTagger()
+        if hasattr(tg, "tag_batch"):
+            # vectorized path: one regex pass + numpy row mapping per
+            # Arrow batch (GazetteerTagger.tag_batch) — zero per-row
+            # Python; emit order is identical to the per-row loop below
+            # (pinned by test_span_parity's batch-parity test)
+            for pdf in batches:
+                out = tg.tag_batch(pdf)
+                if out is not None:
+                    yield out
+                # skip empty frames (historically an all-object empty
+                # frame broke Arrow's list<float> conversion; ctx is a
+                # plain string now but the guard stays — it is cheaper).
+            return
+        # per-row fallback for taggers without a batch form (HFTagger —
+        # its cost is the model forward, not this loop)
         for pdf in batches:
             out = {k: [] for k in (
                 "doc_id", "span_idx", "row_kind", "entity_group", "word",
@@ -108,9 +123,6 @@ def extract(documents: DataFrame, tagger: GazetteerTagger | None = None) -> Data
                     out["ctx"].append(None)
             if out["doc_id"]:
                 yield pd.DataFrame(out)
-            # else: skip empty frames (historically an all-object empty
-            # frame broke Arrow's list<float> conversion; ctx is a plain
-            # string now but the guard stays — it is also cheaper).
 
     return text_spans.mapInPandas(extract_batch, schema=S.EXTRACTION)
 

@@ -95,6 +95,9 @@ class GazetteerTagger:
             a: (k, float(np.float32(s)))
             for a, (k, s) in (lexicon or tagger_lexicon()).items()
         }
+        # split maps for the vectorized batch path (pd.Series.map)
+        self._groups = {a: ks[0] for a, ks in self.lexicon.items()}
+        self._scores = {a: ks[1] for a, ks in self.lexicon.items()}
         aliases = sorted(self.lexicon, key=len, reverse=True)
         self._rx = re.compile(
             r"\b(?:" + "|".join(re.escape(a) for a in aliases) + r")\b"
@@ -171,6 +174,135 @@ class GazetteerTagger:
                 )
             )
         return mentions, preds
+
+
+    # -- vectorized batch path --------------------------------------------
+    def tag_batch(self, pdf: "object") -> "object":
+        """Whole-Arrow-batch form of :meth:`tag` — SURVEY §2.8's "zero
+        per-row Python" promise made literal for the hot path.
+
+        All texts of the batch are joined into ONE blob with a ``\\x00``
+        separator (matches neither ``\\w``, ``\\s`` nor any alias, so
+        ``\\b``/sentence semantics at text edges are identical to
+        per-text matching), each regex runs ONCE per batch, and matches
+        map back to their rows via ``np.searchsorted`` over the
+        cumulative text offsets. Field materialization is numpy/
+        ``Series.map`` — no dataclasses, no per-mention appends. Output
+        rows are ordered exactly as the per-row loop emitted them
+        (per input row: mentions in text order, then predicate
+        matches), pinned by ``test_span_parity``'s batch-parity test.
+
+        Returns a pandas DataFrame in the EXTRACTION column layout, or
+        ``None`` when the batch yields no rows.
+        """
+        import pandas as pd
+
+        texts = pdf["text"].tolist()
+        nrows = len(texts)
+        if nrows == 0:
+            return None
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=nrows)
+        starts = np.zeros(nrows, dtype=np.int64)
+        if nrows > 1:
+            np.cumsum(lens[:-1] + 1, out=starts[1:])
+        text_end = starts + lens
+        if self.long_text == "full":
+            cutoffs = lens
+        else:
+            cutoffs = np.fromiter(
+                (len(t) if len(t) <= 1024 else self._truncation_cutoff(t)
+                 for t in texts),
+                dtype=np.int64, count=nrows,
+            )
+        blob = "\x00".join(texts)
+        bounds = np.fromiter(
+            (m.end() for m in SENT_BOUND_RE.finditer(blob)), dtype=np.int64
+        )
+
+        def _matches(rx):
+            s, e, w = [], [], []
+            ap_s, ap_e, ap_w = s.append, e.append, w.append
+            for m in rx.finditer(blob):
+                ap_s(m.start())
+                ap_e(m.end())
+                ap_w(m.group(0))
+            g_s = np.array(s, dtype=np.int64)
+            g_e = np.array(e, dtype=np.int64)
+            row = np.searchsorted(starts, g_s, side="right") - 1
+            keep = (g_s - starts[row]) < cutoffs[row]
+            return (row[keep], g_s[keep], g_e[keep],
+                    np.array(w, dtype=object)[keep])
+
+        def _sentence_info(g_s, row):
+            idx = np.searchsorted(bounds, g_s, side="right")
+            base = np.searchsorted(bounds, starts[row], side="right")
+            n = len(g_s)
+            if len(bounds):
+                prev_b = np.where(idx > 0, bounds[np.maximum(idx - 1, 0)], -1)
+                next_b = np.where(idx < len(bounds),
+                                  bounds[np.minimum(idx, len(bounds) - 1)],
+                                  np.int64(1) << 62)
+            else:
+                prev_b = np.full(n, -1, dtype=np.int64)
+                next_b = np.full(n, np.int64(1) << 62, dtype=np.int64)
+            return idx - base, prev_b, next_b
+
+        m_row, m_gs, m_ge, m_words = _matches(self._rx)
+        m_sid, m_prev, m_next = _sentence_info(m_gs, m_row)
+        s_lo = np.maximum(m_prev, starts[m_row])
+        s_hi = np.minimum(m_next, text_end[m_row])
+        c_lo = np.maximum(s_lo, m_gs - CTX_WINDOW)
+        c_hi = np.minimum(s_hi, m_ge + CTX_WINDOW)
+        ctx = np.fromiter(
+            (blob[a:b] for a, b in zip(c_lo.tolist(), c_hi.tolist())),
+            dtype=object, count=len(m_gs),
+        )
+        wser = pd.Series(m_words, copy=False)
+
+        p_row, p_gs, p_ge, p_words = _matches(self._pred_rx)
+        p_sid = _sentence_info(p_gs, p_row)[0]
+
+        n_m, n_p = len(m_row), len(p_row)
+        total = n_m + n_p
+        if total == 0:
+            return None
+        rows_all = np.concatenate([m_row, p_row])
+        kind_all = np.concatenate(
+            [np.zeros(n_m, np.int8), np.ones(n_p, np.int8)]
+        )
+        start_all = np.concatenate([m_gs - starts[m_row], p_gs - starts[p_row]])
+        end_all = np.concatenate([m_ge - starts[m_row], p_ge - starts[p_row]])
+        # reproduce the per-row loop's emit order exactly
+        order = np.lexsort((start_all, kind_all, rows_all))
+
+        # float64 with NaN for preds — exactly what the per-row loop's
+        # mixed [float..., None] lists became under pandas inference
+        score_obj = np.full(total, np.nan)
+        score_obj[:n_m] = wser.map(self._scores).to_numpy()
+        group_obj = np.full(total, None, dtype=object)
+        group_obj[:n_m] = wser.map(self._groups).to_numpy(dtype=object)
+        ctx_obj = np.full(total, None, dtype=object)
+        ctx_obj[:n_m] = ctx
+        word_all = np.concatenate(
+            [m_words,
+             pd.Series(p_words, copy=False).map(PRED_LEXICON).to_numpy(dtype=object)]
+        ) if n_p else m_words
+
+        doc_np = pdf["doc_id"].to_numpy()
+        span_np = pdf["span_idx"].to_numpy()
+        kind_str = np.where(kind_all == 0, "mention", "pred")
+        return pd.DataFrame({
+            "doc_id": doc_np[rows_all][order],
+            "span_idx": span_np[rows_all][order],
+            "row_kind": kind_str[order],
+            "entity_group": group_obj[order],
+            "word": word_all[order],
+            "start": start_all[order],
+            "end": end_all[order],
+            "score": score_obj[order],
+            "sentence_id": np.concatenate([m_sid, p_sid])[order],
+            "ctx": ctx_obj[order],
+        })
 
 
 def align_offsets_to_probs(

@@ -103,3 +103,64 @@ def test_long_text_truncation_vs_full():
     assert {m.word for m in full} == {"Curie", "Turing", "Hopper", "Globex"}
     # prefixes agree exactly
     assert [m.word for m in full[: len(trunc)]] == [m.word for m in trunc]
+
+
+def test_tag_batch_matches_per_row_tag(spark, docs_df):
+    """The vectorized batch tagger (GazetteerTagger.tag_batch — blob
+    concat + one regex pass + searchsorted row mapping) must emit
+    byte-identical rows IN THE SAME ORDER as the per-row tag() loop,
+    including truncation, sentence ids, ctx clipping and NaN pred
+    scores."""
+    import math
+
+    import pandas as pd
+
+    from pg_iui_ner_api_spark.operators import ner as N
+    from pg_iui_ner_api_spark.operators.tagger import GazetteerTagger
+
+    pdf = N.explode_text_spans(docs_df).toPandas()
+    # adversarial extras: empty text, no-match text, >512-token text with
+    # a post-cutoff entity, multi-sentence text, punctuation edges
+    filler = "pad " * 600
+    extra = pd.DataFrame({
+        "doc_id": [f"x{i}" for i in range(5)],
+        "span_idx": [0] * 5,
+        "text": [
+            "",
+            "nothing to see here",
+            "Curie met Turing. " + filler + " Hopper works for Globex.",
+            "Curie met Turing. Turing works for Initech. Hopper!",
+            "  Curie...Turing?! ",
+        ],
+    })
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+
+    for tg in (GazetteerTagger(), GazetteerTagger(long_text="full")):
+        for lo in range(0, len(pdf), 512):
+            chunk = pdf.iloc[lo:lo + 512].reset_index(drop=True)
+            got = tg.tag_batch(chunk)
+            rows = []
+            for doc_id, span_idx, text in zip(
+                chunk["doc_id"], chunk["span_idx"], chunk["text"]
+            ):
+                mentions, preds = tg.tag(text)
+                rows += [
+                    (doc_id, span_idx, "mention", m.entity_group, m.word,
+                     m.start, m.end, m.score, m.sentence_id, m.ctx)
+                    for m in mentions
+                ]
+                rows += [
+                    (doc_id, span_idx, "pred", None, p.pred, p.start, p.end,
+                     float("nan"), p.sentence_id, None)
+                    for p in preds
+                ]
+            if got is None:
+                assert rows == []
+                continue
+            assert len(got) == len(rows)
+            for want, have in zip(rows, got.itertuples(index=False)):
+                for w, h in zip(want, tuple(have)):
+                    if isinstance(w, float) and math.isnan(w):
+                        assert isinstance(h, float) and math.isnan(h)
+                    else:
+                        assert w == h, (want, tuple(have))
