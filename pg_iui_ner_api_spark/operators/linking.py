@@ -32,6 +32,72 @@ from pyspark.sql import DataFrame, functions as F
 from ..synth import VOCAB
 
 
+def _bow_count_matrix(ctx_list, vocab, V):
+    """Dense per-row BoW count matrix + L2 norms for an Arrow batch of
+    context strings — fully vectorized (one regex pass over a
+    \\x00-joined blob, searchsorted row mapping, bincount fill); the
+    batch twin of the old per-row tokenize/collect loop. None contexts
+    become all-zero rows (norm 0)."""
+    import re
+
+    import numpy as np
+
+    texts = [c.lower() if c is not None else "" for c in ctx_list]
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), np.int64, count=n)
+    starts = np.zeros(n, np.int64)
+    if n > 1:
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+    blob = "\x00".join(texts)
+    pos, toks = [], []
+    ap_p, ap_t = pos.append, toks.append
+    for m in re.finditer(r"\w+", blob):
+        ap_p(m.start())
+        ap_t(m.group(0))
+    vidx = pd.Series(toks, dtype=object).map(vocab)
+    ok = vidx.notna().to_numpy()
+    rows = np.searchsorted(starts, np.array(pos, np.int64)[ok], side="right") - 1
+    vi = vidx.to_numpy()[ok].astype(np.int64)
+    keep = vi < V  # vocab entries beyond the embedding dim contribute 0
+    rows, vi = rows[keep], vi[keep]
+    C = np.bincount(rows * V + vi, minlength=n * V).reshape(n, V).astype(np.float64)
+    norms = np.sqrt(np.einsum("ij,ij->i", C, C))
+    return C, norms
+
+
+def _entity_matrix(emb_map):
+    """(id -> column index, n_e x V matrix) from the broadcast dict;
+    deterministic column order."""
+    import numpy as np
+
+    ids = sorted(emb_map)
+    col = {e: i for i, e in enumerate(ids)}
+    mat = np.stack([emb_map[e] for e in ids]) if ids else np.zeros((0, 1))
+    return col, mat
+
+
+def _cosine_rows(C, norms, emb_col, emb_mat, rows_flat, eids_flat):
+    """cos(context BoW of ``rows_flat[i]``, embedding of ``eids_flat[i]``)
+    for every flattened (row, candidate) pair. Small entity dims go
+    through one BLAS matmul (rows x V @ V x n_e); large dims gather only
+    the referenced pairs."""
+    import numpy as np
+
+    m = len(rows_flat)
+    eidx = np.fromiter((emb_col.get(e, -1) for e in eids_flat), np.int64, count=m)
+    known = eidx >= 0
+    safe_norm = np.where(norms > 0, norms, 1.0)
+    sims = np.zeros(m)
+    if len(emb_col) <= 4096:
+        P = (C @ emb_mat.T) / safe_norm[:, None]
+        sims[known] = P[rows_flat[known], eidx[known]]
+    else:  # pragma: no cover - production-size dim path, same math
+        r, e = rows_flat[known], eidx[known]
+        sims[known] = np.einsum("ij,ij->i", C[r], emb_mat[e]) / safe_norm[r]
+    sims[norms[rows_flat] == 0] = 0.0
+    return sims
+
+
 def candidates(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
     """Mention surface -> candidate entities. Broadcast hash join (J3)."""
     a = F.broadcast(
@@ -76,29 +142,20 @@ def rerank(cands: DataFrame, entity_emb_df: DataFrame) -> DataFrame:
     # this is the code path the 100 TB story claims.
     bc_emb = entity_emb_df.sparkSession.sparkContext.broadcast(emb_map)
     vocab = dict(VOCAB)
+    holder: dict = {}  # per-worker (entity column map, matrix) cache
 
     @F.pandas_udf("double")
     def bow_cos(ctx: pd.Series, eid: pd.Series) -> pd.Series:
-        import re
+        import numpy as np
 
-        local_emb = bc_emb.value
-        tok_re = re.compile(r"\w+", re.UNICODE)
-        out = np.zeros(len(ctx), dtype=np.float64)
-        for i, (c, e) in enumerate(zip(ctx, eid)):
-            emb = local_emb.get(e)
-            if c is None or emb is None:
-                continue
-            counts: dict[int, int] = {}
-            for t in tok_re.findall(c.lower()):
-                j = vocab.get(t)
-                if j is not None:
-                    counts[j] = counts.get(j, 0) + 1
-            if not counts:
-                continue
-            dot = sum(n * emb[j] for j, n in counts.items())
-            norm = sum(n * n for n in counts.values()) ** 0.5
-            out[i] = dot / norm
-        return pd.Series(out)
+        if "col" not in holder:
+            holder["col"], holder["mat"] = _entity_matrix(bc_emb.value)
+        col, mat = holder["col"], holder["mat"]
+        V = mat.shape[1]
+        C, norms = _bow_count_matrix(ctx.tolist(), vocab, V)
+        sims = _cosine_rows(C, norms, col, mat,
+                            np.arange(len(ctx)), eid.tolist())
+        return pd.Series(sims)
 
     return (
         cands.withColumn("emb_sim", bow_cos("ctx", "entity_id"))
@@ -162,36 +219,28 @@ def link_mentions(mentions: DataFrame, alias_df: DataFrame, entity_emb_df: DataF
         emb_map[r["entity_id"]] = v / (np.linalg.norm(v) or 1.0)
     bc_emb = entity_emb_df.sparkSession.sparkContext.broadcast(emb_map)
     vocab = dict(VOCAB)
+    holder: dict = {}  # per-worker (entity column map, matrix) cache
 
     @F.pandas_udf("array<double>")
     def bow_cos_multi(ctx: pd.Series, eids: pd.Series) -> pd.Series:
-        import re
+        import numpy as np
 
-        local_emb = bc_emb.value
-        tok_re = re.compile(r"\w+", re.UNICODE)
-        out = []
-        for c, es in zip(ctx, eids):
-            if c is None or es is None:
-                out.append([0.0] * (0 if es is None else len(es)))
-                continue
-            counts: dict[int, int] = {}
-            for t in tok_re.findall(c.lower()):
-                j = vocab.get(t)
-                if j is not None:
-                    counts[j] = counts.get(j, 0) + 1
-            if not counts:
-                out.append([0.0] * len(es))
-                continue
-            norm = sum(n * n for n in counts.values()) ** 0.5
-            sims = []
-            for e in es:
-                emb = local_emb.get(e)
-                sims.append(
-                    0.0 if emb is None
-                    else sum(n * emb[j] for j, n in counts.items()) / norm
-                )
-            out.append(sims)
-        return pd.Series(out)
+        if "col" not in holder:
+            holder["col"], holder["mat"] = _entity_matrix(bc_emb.value)
+        col, mat = holder["col"], holder["mat"]
+        V = mat.shape[1]
+        es_list = eids.tolist()
+        if not es_list:
+            return pd.Series([], dtype=object)
+        n_cands = np.fromiter(
+            (0 if es is None else len(es) for es in es_list),
+            np.int64, count=len(es_list),
+        )
+        rows_flat = np.repeat(np.arange(len(es_list)), n_cands)
+        flat_eids = [e for es in es_list if es is not None for e in es]
+        C, norms = _bow_count_matrix(ctx.tolist(), vocab, V)
+        sims = _cosine_rows(C, norms, col, mat, rows_flat, flat_eids)
+        return pd.Series(np.split(sims, np.cumsum(n_cands)[:-1]))
 
     with_cands = mentions.join(
         cand_dim, F.lower(mentions.word) == cand_dim.alias_norm, "inner"
