@@ -113,43 +113,23 @@ def extract_routed(
     def extract_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        from .ner import tag_frame
+
         taggers: dict[str, GazetteerTagger] = {}
         for pdf in batches:
-            out = {k: [] for k in (
-                "doc_id", "span_idx", "row_kind", "entity_group", "word",
-                "start", "end", "score", "sentence_id", "ctx",
-            )}
-            for doc_id, span_idx, model_path, text in zip(
-                pdf["doc_id"].to_numpy(), pdf["span_idx"].to_numpy(),
-                pdf["model_path"].to_numpy(), pdf["text"].to_numpy(),
-            ):
-                tg = taggers.get(model_path)
+            # one sub-batch per model (groupby preserves first-appearance
+            # order): each model's rows go through the tagger's
+            # vectorized batch path, and a worker still loads each model
+            # exactly once however its batches interleave languages
+            frames = []
+            for path, sub in pdf.groupby("model_path", sort=False):
+                tg = taggers.get(path)
                 if tg is None:
-                    tg = taggers[model_path] = factory(model_path)
-                mentions, preds = tg.tag(text)
-                for m in mentions:
-                    out["doc_id"].append(doc_id)
-                    out["span_idx"].append(span_idx)
-                    out["row_kind"].append("mention")
-                    out["entity_group"].append(m.entity_group)
-                    out["word"].append(m.word)
-                    out["start"].append(m.start)
-                    out["end"].append(m.end)
-                    out["score"].append(m.score)
-                    out["sentence_id"].append(m.sentence_id)
-                    out["ctx"].append(m.ctx)
-                for p in preds:
-                    out["doc_id"].append(doc_id)
-                    out["span_idx"].append(span_idx)
-                    out["row_kind"].append("pred")
-                    out["entity_group"].append(None)
-                    out["word"].append(p.pred)
-                    out["start"].append(p.start)
-                    out["end"].append(p.end)
-                    out["score"].append(None)
-                    out["sentence_id"].append(p.sentence_id)
-                    out["ctx"].append(None)
-            if out["doc_id"]:
-                yield pd.DataFrame(out)
+                    tg = taggers[path] = factory(path)
+                out = tag_frame(tg, sub.reset_index(drop=True))
+                if out is not None:
+                    frames.append(out)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return text_spans.mapInPandas(extract_batch, schema=S.EXTRACTION)
