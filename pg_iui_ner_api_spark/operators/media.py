@@ -88,31 +88,63 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]
     return width, height, n_frames, feat
 
 
+def _real_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]:
+    """Actual image decode via PIL (trial-imported by the caller).
+
+    Feature = the grayscale image resampled to a 1×FEATURE_DIM strip,
+    normalized to [0, 1] — a deterministic, library-portable stand-in
+    for a learned embedding. Audio/video stay behind the stub seam
+    (pyav/torchaudio are a separate optional dependency)."""
+    if kind != "image":
+        raise NotImplementedError(
+            "real audio/video decode needs pyav/torchaudio (optional deps)"
+        )
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    width, height = img.size
+    strip = img.convert("L").resize((FEATURE_DIM, 1))
+    feat = [p / 255.0 for p in strip.getdata()]
+    return width, height, 1, feat
+
+
 def extract_media_features(
-    documents: DataFrame, decode: Literal["fake", "real"] = "fake"
+    documents: DataFrame,
+    decode: Literal["fake", "real"] = "fake",
+    fetcher=fetch_payload,
 ) -> DataFrame:
     """Media pipeline: explode → fetch → mapInPandas(decode+featurize).
 
     Arrow batches keep payloads off the driver; the Python worker sees
-    pandas columns of bytes. With decode='real' this is where PIL /
-    torchaudio / pyav decode, resize, and frame-sample — not available
-    in this container, so it raises at the seam.
+    pandas columns of bytes. decode='real' trial-imports PIL on the
+    worker and decodes actual image bytes (geometry + grayscale-strip
+    feature); when PIL is absent it raises at the exact seam where the
+    codec would slot in. ``fetcher`` resolves media_ref → payload bytes
+    (object-store read in production; injectable for tests that supply
+    real image payloads).
     """
-    spans = fetch_payload(media_spans(documents))
+    spans = fetcher(media_spans(documents))
 
     def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        if decode == "real":  # pragma: no cover - libs absent in sandbox
-            raise NotImplementedError(
-                "real media decode needs PIL/torchaudio/pyav (not in this "
-                "container); decode='fake' exercises the full Spark plumbing"
-            )
+        if decode == "real":
+            try:
+                import PIL  # noqa: F401
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "real media decode needs PIL/torchaudio/pyav (not in "
+                    "this container); decode='fake' exercises the full "
+                    "Spark plumbing"
+                ) from exc
+        decoder = _real_decode if decode == "real" else _fake_decode
         for pdf in batches:
             if pdf.empty:
                 continue
             geo = [
-                _fake_decode(p, k)
+                decoder(p, k)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame(

@@ -1,6 +1,8 @@
 """Multimodal plumbing tests: media span explode, payload fetch, the
 stubbed decode/featurize mapInPandas, and frame sampling."""
 
+import importlib.util
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -8,6 +10,8 @@ from pg_iui_ner_api_spark import synth
 from pg_iui_ner_api_spark.operators import media as M
 
 N_DOCS = 120
+
+HAVE_PIL = importlib.util.find_spec("PIL") is not None
 
 
 @pytest.fixture(scope="module")
@@ -37,10 +41,53 @@ def test_features_deterministic_and_typed(spark, docs):
             assert 1 <= r["n_frames"] <= 32
 
 
+@pytest.mark.skipif(HAVE_PIL, reason="PIL present: decode='real' decodes")
 def test_real_decode_raises_at_seam(spark, docs):
     with pytest.raises(Exception) as ei:
         M.extract_media_features(docs, decode="real").collect()
     assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+
+def _ppm(width: int, height: int, shade: int) -> bytes:
+    """Binary PPM (P6) — pure-Python image bytes PIL can decode."""
+    return f"P6 {width} {height} 255\n".encode() + bytes(
+        [shade] * (width * height * 3)
+    )
+
+
+@pytest.mark.skipif(not HAVE_PIL, reason="PIL not installed in this container")
+def test_real_decode_with_pil(spark):
+    """decode='real' decodes actual pixels: geometry matches the encoded
+    image and resize_geometry operates on true dimensions (VERDICT r2 #8)."""
+    sizes = {"media://d0/0": (640, 480, 30), "media://d1/0": (100, 50, 200)}
+    docs = spark.createDataFrame(
+        [
+            (ref.split("/")[2], [{"kind": "image", "text": None,
+                                  "media_ref": ref, "offset": 0}])
+            for ref in sizes
+        ],
+        schema="doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    payloads = spark.createDataFrame(
+        [(ref, _ppm(w, h, s)) for ref, (w, h, s) in sizes.items()],
+        schema="media_ref string, payload binary",
+    )
+
+    def fetcher(spans):
+        return spans.join(F.broadcast(payloads), "media_ref")
+
+    feats = M.extract_media_features(docs, decode="real", fetcher=fetcher)
+    rows = {r["media_ref"]: r for r in feats.collect()}
+    assert set(rows) == set(sizes)
+    for ref, (w, h, shade) in sizes.items():
+        r = rows[ref]
+        assert (r["width"], r["height"], r["n_frames"]) == (w, h, 1)
+        assert len(r["feature"]) == M.FEATURE_DIM
+        # uniform-shade image -> every strip sample is shade/255
+        assert all(abs(v - shade / 255.0) < 1e-6 for v in r["feature"])
+    geo = {r["media_ref"]: r for r in M.resize_geometry(feats, max_side=224).collect()}
+    assert (geo["media://d0/0"]["out_width"], geo["media://d0/0"]["out_height"]) == (224, 168)
+    assert geo["media://d1/0"]["scale"] == 1.0  # never upscale
 
 
 def test_frame_sampling(spark, docs):
