@@ -322,7 +322,9 @@ def _q_ann_ivf_trained(spark, sf):  # rows-only: approximate by construction
     return ANN.ivf_topk(e, q, dim=64, k=10, ncells=16, nprobe=4, centroids=cents)
 
 
-def _q_ann_ivf(spark, sf):  # rows-only: approximate by construction
+def _q_ann_ivf(spark, sf):
+    # approximate by construction, but deterministically so: the DuckDB
+    # oracle replays the same seeded centroids + argmax-dot assignment
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
@@ -395,6 +397,41 @@ def _q_media_features(spark, sf):
     )
 
 
+def _docs_with_media(spark, sf):
+    """sf documents -> interleaved-schema docs, one deterministic media
+    span per doc (kind alternates by doc_id parity). Lets DuckDB replicate
+    the md5-driven fake decode exactly, turning the media plumbing into a
+    fully oracle-checked query (the synth-corpus variants stay golden-
+    hash-checked)."""
+    d = _t(spark, sf, "documents")
+    ref = F.concat(F.lit("media://"), F.col("doc_id").cast("string"), F.lit("/0"))
+    span = F.struct(
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        ref.alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.array(span).alias("spans")
+    )
+
+
+def _q_media_geometry(spark, sf):
+    """Oracle-checked media decode geometry over table-derived spans."""
+    return M.extract_media_features(_docs_with_media(spark, sf)).select(
+        "doc_id", "span_idx", "media_ref", "kind", "width", "height", "n_frames"
+    )
+
+
+def _q_media_resize_geom(spark, sf):
+    """Oracle-checked aspect-preserving resize geometry (ints only — the
+    float `scale` column is excluded to keep cross-engine hashing exact)."""
+    feats = M.extract_media_features(_docs_with_media(spark, sf))
+    return M.resize_geometry(feats, max_side=224).select(
+        "doc_id", "media_ref", "kind", "width", "height", "out_width", "out_height"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project": _q_scan_project,
@@ -436,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": _q_kg_nodes,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
+        "media_geometry": _q_media_geometry,
+        "media_resize_geom": _q_media_resize_geom,
     }
 
 
@@ -699,5 +738,98 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
+    """
+    # ann_ivf twin: the seeded centroids (operators/ann.py::_centroids)
+    # are inlined as double literals; cell assignment is the same
+    # argmax-dot with ties to the lowest cell, probes the same
+    # top-nprobe-by-cosine, so the "approximation" is reproduced exactly.
+    _cents = ANN._centroids(64, 8)
+    _cent_vals = ", ".join(
+        f"({c}, [{', '.join(repr(x) for x in v)}])" for c, v in _cents
+    )
+    _dot_ec = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(e.embedding[i] AS DOUBLE) * c.cent[i]))"
+    )
+    _cos_qc = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * c.cent[i])) / "
+        "greatest(sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> c.cent[i] * c.cent[i]))), 1e-12)"
+    )
+    _cos_qa = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) / "
+        "greatest(sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(range(1, 65), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))), 1e-12)"
+    )
+    sql["ann_ivf"] = f"""
+        WITH cents(cell, cent) AS (VALUES {_cent_vals}),
+        assigned AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_dot_ec} DESC, c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1
+        ),
+        probes AS (
+          SELECT q_id, cell FROM (
+            SELECT q.vec_id AS q_id, c.cell,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY {_cos_qc} DESC, c.cell ASC) AS pr
+            FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 3)
+          WHERE pr <= 3
+        ),
+        scored AS (
+          SELECT p.q_id, a.vec_id, round({_cos_qa}, 6) AS cos
+          FROM probes p
+          JOIN assigned a USING (cell)
+          JOIN embeddings q ON q.vec_id = p.q_id
+          WHERE a.vec_id <> p.q_id
+        )
+        SELECT q_id, vec_id, cos, CAST(rank AS INT) AS rank FROM (
+          SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored)
+        WHERE rank <= 10
+    """
+    # media geometry twins: the fake decode is md5(payload)-driven
+    # (operators/media.py:_fake_decode), payload = UTF-8 of media_ref —
+    # so DuckDB's md5() reproduces it byte-for-byte.
+    _MEDIA_GEO = """
+        WITH m AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 0 AS span_idx,
+                 'media://' || doc_id || '/0' AS media_ref,
+                 CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                 md5('media://' || doc_id || '/0') AS h
+          FROM documents
+        ), geo AS (
+          SELECT doc_id, CAST(span_idx AS INT) AS span_idx, media_ref, kind,
+                 CAST(16 + CAST('0x' || substr(h, 1, 2) AS INT) AS INT) AS width,
+                 CAST(16 + CAST('0x' || substr(h, 3, 2) AS INT) AS INT) AS height,
+                 CAST(CASE WHEN kind = 'image' THEN 1
+                      ELSE 1 + CAST('0x' || substr(h, 5, 2) AS INT) % 32 END AS INT)
+                   AS n_frames
+          FROM m
+        )"""
+    sql["media_geometry"] = f"""
+        {_MEDIA_GEO}
+        SELECT doc_id, span_idx, media_ref, kind, width, height, n_frames FROM geo
+    """
+    sql["media_resize_geom"] = f"""
+        {_MEDIA_GEO}
+        SELECT doc_id, media_ref, kind, width, height,
+               CAST(greatest(1, round(width * least(1.0,
+                    224.0 / greatest(width, height)))) AS INT) AS out_width,
+               CAST(greatest(1, round(height * least(1.0,
+                    224.0 / greatest(width, height)))) AS INT) AS out_height
+        FROM geo
     """
     return sql
