@@ -225,6 +225,12 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--scale-run":
         scale_run(int(sys.argv[2]))
         return
+    # sectional modes for builder-side iteration on this noise-swinging
+    # host: --headline-only skips the scaling legs; --scaling-only skips
+    # the ~20-min per-query section so the paired legs can be retried
+    # until they land in a quiet host phase. Default (driver) = both.
+    do_headline = "--scaling-only" not in sys.argv
+    do_scaling = "--headline-only" not in sys.argv
 
     from pg_iui_ner_api_spark.session import get_spark
 
@@ -238,12 +244,26 @@ def main() -> None:
         p8, p32 = cpu_probe(8), cpu_probe(32)
         return round((p32 / p8) / 4.0, 4)
 
-    hl_ceil = [_ceiling()]
-    queries = _headline(spark)
-    hl_ceil.append(_ceiling())
-    print(f"# headline probe bracket: {hl_ceil}", file=sys.stderr, flush=True)
-    _materialize_corpus(spark, KG_DOCS, CORPUS_PATH)  # untimed input table
+    hl_ceil: list[float] = []
+    queries: dict[str, float] = {}
+    if do_headline:
+        hl_ceil.append(_ceiling())
+        queries = _headline(spark)
+        hl_ceil.append(_ceiling())
+        print(f"# headline probe bracket: {hl_ceil}", file=sys.stderr, flush=True)
+    if do_scaling:
+        _materialize_corpus(spark, KG_DOCS, CORPUS_PATH)  # untimed input table
     spark.stop()
+    if not do_scaling:
+        print(json.dumps({
+            "metric": "kg_pipeline_and_operator_bench",
+            "value": round(time.monotonic() - t_total, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "headline_host_ceiling": hl_ceil,
+        }))
+        return
 
     # scaling legs in fresh JVMs (honest cold executors, shared page
     # cache). Each rep runs its two legs BACK-TO-BACK (paired) so both
