@@ -219,3 +219,81 @@ def run_windowed_event_counts(spark: SparkSession, input_dir: str, output_dir: s
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental KG maintenance (continuous ingestion of the north-star
+# pipeline). The reference ingests new corpus files on a 2-minute
+# scheduler loop (sync_functions.py:114, process-registry locked); the
+# engine twin is a streaming query over the documents directory.
+#
+# Every hot-path stage — extraction, linking, triple assembly — is
+# strictly PER-DOCUMENT, so a micro-batch's output equals the batch
+# pipeline's output restricted to that batch's documents: incremental
+# append needs no cross-batch state. Only canonicalization (connected
+# components over the whole mention graph) is cross-document; it runs
+# as a separate periodic COMPACTION pass over the accumulated
+# linked-mention log — the same split warehouse pipelines use for
+# "append fast paths + periodic global rebuild".
+# ---------------------------------------------------------------------------
+
+
+def stream_kg_increment(spark: SparkSession, input_dir: str, workdir: str,
+                        checkpoint_dir: str, alias_df=None, entity_emb_df=None,
+                        available_now: bool = True,
+                        max_files_per_trigger: int | None = None):
+    """documents stream -> linked mentions + edges, idempotently appended.
+
+    foreachBatch (triple assembly's as-of window is not expressible
+    inside a single streaming query) writing each micro-batch to its own
+    ``batch=<id>`` partition with overwrite: a replayed batch id rewrites
+    the same partition, so the file-source checkpoint + partition
+    overwrite give effective exactly-once without a transactional sink.
+    Output layout:
+
+      workdir/linked_inc/batch=<id>/   linked-mention log (compaction input)
+      workdir/edges_inc/batch=<id>/    edge increments (graph append)
+    """
+    from ..operators import linking as L, triples as T
+    from ..synth import alias_df as _alias_df, entity_emb_df as _emb_df
+
+    alias = alias_df if alias_df is not None else _alias_df(spark)
+    embs = entity_emb_df if entity_emb_df is not None else _emb_df(spark)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        ext = N.extract(batch_df).persist()
+        try:
+            linked = L.link_mentions(N.mentions_of(ext), alias, embs)
+            edges = T.assemble_triples(linked, N.predicates_of(ext))
+            linked.write.mode("overwrite").parquet(
+                f"{workdir}/linked_inc/batch={batch_id}")
+            edges.write.mode("overwrite").parquet(
+                f"{workdir}/edges_inc/batch={batch_id}")
+        finally:
+            ext.unpersist()
+
+    writer = (
+        stream_documents(spark, input_dir, max_files_per_trigger)
+        .writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_kg_nodes(spark: SparkSession, workdir: str) -> DataFrame:
+    """Periodic global canonicalization over the accumulated linked log.
+
+    Connected components is the one cross-document stage, so it cannot
+    be incremental per micro-batch; the compactor reads every
+    ``linked_inc`` partition, reruns components + canonical node voting,
+    and overwrites ``workdir/nodes``. Output equals the batch pipeline's
+    nodes over the same corpus (pinned by test_stream_kg)."""
+    from ..operators import components as C
+
+    linked = spark.read.parquet(f"{workdir}/linked_inc").drop("batch")
+    comps = C.canonical_components(linked)
+    nodes = C.canonical_nodes(linked, comps)
+    nodes.write.mode("overwrite").parquet(f"{workdir}/nodes")
+    return spark.read.parquet(f"{workdir}/nodes")

@@ -233,3 +233,50 @@ def test_stream_sessionize_stateful(spark, tmp_path):
     assert (r["user_id"], r["session_id"], r["n_events"]) == (7, 0, 2)
     assert r["t_start"] == t0
     assert r["t_end"] == t0 + dt.timedelta(seconds=100)
+
+
+def test_stream_kg_increment_matches_batch(spark, tmp_path):
+    """Incremental KG maintenance == batch pipeline on the same corpus.
+
+    Two micro-batches of documents ingested through stream_kg_increment
+    (availableNow, shared checkpoint) must produce exactly the batch
+    pipeline's edges over the union corpus — extraction/linking/triple
+    assembly are per-document, so increments are lossless. A third
+    trigger with no new files must add nothing (checkpoint resume), and
+    the node compactor must reproduce the batch pipeline's nodes."""
+    from pg_iui_ner_api_spark.plans.pipeline import run_kg_pipeline
+
+    docs = synth.synth_documents(spark, 240, partitions=4)
+    idx = F.regexp_extract("doc_id", r"doc(\d+)", 1).cast("long")
+    half1 = docs.where(idx < 120)
+    half2 = docs.where(idx >= 120)
+
+    input_dir = str(tmp_path / "in")
+    wd = str(tmp_path / "wd")
+    ckpt = str(tmp_path / "ckpt")
+    edge_cols = ["subj", "pred", "obj", "doc_id"]
+
+    half1.coalesce(1).write.mode("append").parquet(input_dir)
+    J.stream_kg_increment(spark, input_dir, wd, ckpt).awaitTermination()
+    n_after_1 = spark.read.parquet(f"{wd}/edges_inc").count()
+
+    half2.coalesce(1).write.mode("append").parquet(input_dir)
+    J.stream_kg_increment(spark, input_dir, wd, ckpt).awaitTermination()
+    inc_edges = spark.read.parquet(f"{wd}/edges_inc")
+    n_after_2 = inc_edges.count()
+    assert n_after_2 > n_after_1
+
+    res = run_kg_pipeline(spark, docs)
+    batch_edges = {tuple(r) for r in res["edges"].select(*edge_cols).collect()}
+    got_edges = {tuple(r) for r in inc_edges.select(*edge_cols).collect()}
+    assert got_edges == batch_edges
+
+    # empty trigger: checkpoint resume adds nothing, rewrites nothing
+    J.stream_kg_increment(spark, input_dir, wd, ckpt).awaitTermination()
+    assert spark.read.parquet(f"{wd}/edges_inc").count() == n_after_2
+
+    nodes = J.compact_kg_nodes(spark, wd)
+    node_cols = ["entity_id", "canonical_name"]
+    assert ({tuple(r) for r in nodes.select(*node_cols).collect()}
+            == {tuple(r) for r in res["nodes"].select(*node_cols).collect()})
+    res["_runner"].unpersist()
