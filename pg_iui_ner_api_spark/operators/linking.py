@@ -33,22 +33,30 @@ from ..synth import VOCAB
 
 
 def _bow_count_matrix(ctx_list, vocab, V):
-    """Dense per-row BoW count matrix + L2 norms for an Arrow batch of
-    context strings — fully vectorized (one regex pass over a
-    \\x00-joined blob, searchsorted row mapping, bincount fill); the
-    batch twin of the old per-row tokenize/collect loop. None contexts
-    become all-zero rows (norm 0)."""
+    """Dense BoW count matrix + L2 norms for the DISTINCT context
+    strings of an Arrow batch, plus the row -> distinct-index map.
+
+    Fully vectorized (one regex pass over a \\x00-joined blob,
+    searchsorted row mapping, bincount fill); mentions of the same
+    sentence share one ctx string, so tokenizing per DISTINCT ctx
+    (np.unique) does the regex/bincount work once per sentence instead
+    of once per mention. None contexts become all-zero rows (norm 0).
+    Returns (C_uniq, norms_uniq, inv) with C_uniq[inv[i]] the BoW row
+    of ctx_list[i]."""
     import re
 
     import numpy as np
 
-    texts = [c.lower() if c is not None else "" for c in ctx_list]
-    n = len(texts)
-    lens = np.fromiter((len(t) for t in texts), np.int64, count=n)
+    texts = np.array(
+        [c.lower() if c is not None else "" for c in ctx_list], dtype=object
+    )
+    uniq, inv = np.unique(texts, return_inverse=True)
+    n = len(uniq)
+    lens = np.fromiter((len(t) for t in uniq), np.int64, count=n)
     starts = np.zeros(n, np.int64)
     if n > 1:
         np.cumsum(lens[:-1] + 1, out=starts[1:])
-    blob = "\x00".join(texts)
+    blob = "\x00".join(uniq)
     pos, toks = [], []
     ap_p, ap_t = pos.append, toks.append
     for m in re.finditer(r"\w+", blob):
@@ -62,7 +70,7 @@ def _bow_count_matrix(ctx_list, vocab, V):
     rows, vi = rows[keep], vi[keep]
     C = np.bincount(rows * V + vi, minlength=n * V).reshape(n, V).astype(np.float64)
     norms = np.sqrt(np.einsum("ij,ij->i", C, C))
-    return C, norms
+    return C, norms, inv
 
 
 def _entity_matrix(emb_map):
@@ -76,19 +84,21 @@ def _entity_matrix(emb_map):
     return col, mat
 
 
-def _cosine_rows(C, norms, emb_col, emb_mat, rows_flat, eids_flat):
-    """cos(context BoW of ``rows_flat[i]``, embedding of ``eids_flat[i]``)
-    for every flattened (row, candidate) pair. Small entity dims go
-    through one BLAS matmul (rows x V @ V x n_e); large dims gather only
-    the referenced pairs."""
+def _cosine_rows(C, norms, emb_mat, rows_flat, eidx_flat):
+    """cos(context BoW of distinct-ctx row ``rows_flat[i]``, embedding
+    column ``eidx_flat[i]``) for every flattened (row, candidate) pair.
+    ``eidx_flat`` holds PRE-RESOLVED embedding column indexes (-1 =
+    unknown entity) — the string->index lookup happens once at dim build
+    time JVM-side, so no per-candidate dict access or string transfer
+    here. Small entity dims go through one BLAS matmul (rows x V @
+    V x n_e); large dims gather only the referenced pairs."""
     import numpy as np
 
-    m = len(rows_flat)
-    eidx = np.fromiter((emb_col.get(e, -1) for e in eids_flat), np.int64, count=m)
+    eidx = np.asarray(eidx_flat, dtype=np.int64)
     known = eidx >= 0
     safe_norm = np.where(norms > 0, norms, 1.0)
-    sims = np.zeros(m)
-    if len(emb_col) <= 4096:
+    sims = np.zeros(len(eidx))
+    if emb_mat.shape[0] <= 4096:
         P = (C @ emb_mat.T) / safe_norm[:, None]
         sims[known] = P[rows_flat[known], eidx[known]]
     else:  # pragma: no cover - production-size dim path, same math
@@ -152,9 +162,11 @@ def rerank(cands: DataFrame, entity_emb_df: DataFrame) -> DataFrame:
             holder["col"], holder["mat"] = _entity_matrix(bc_emb.value)
         col, mat = holder["col"], holder["mat"]
         V = mat.shape[1]
-        C, norms = _bow_count_matrix(ctx.tolist(), vocab, V)
-        sims = _cosine_rows(C, norms, col, mat,
-                            np.arange(len(ctx)), eid.tolist())
+        C, norms, inv = _bow_count_matrix(ctx.tolist(), vocab, V)
+        eidx = np.fromiter(
+            (col.get(e, -1) for e in eid.tolist()), np.int64, count=len(eid)
+        )
+        sims = _cosine_rows(C, norms, mat, inv, eidx)
         return pd.Series(sims)
 
     return (
@@ -206,46 +218,65 @@ def link_mentions(mentions: DataFrame, alias_df: DataFrame, entity_emb_df: DataF
     """
     import numpy as np
 
-    cand_dim = F.broadcast(
-        alias_df.groupBy(F.lower("alias").alias("alias_norm")).agg(
-            F.collect_list(
-                F.struct("entity_id", "kind", "canonical_name", "prior")
-            ).alias("cands")
-        )
-    )
     emb_map = {}
     for r in entity_emb_df.collect():
         v = np.asarray(r["emb"], dtype=np.float64)
         emb_map[r["entity_id"]] = v / (np.linalg.norm(v) or 1.0)
     bc_emb = entity_emb_df.sparkSession.sparkContext.broadcast(emb_map)
+    # resolve entity_id -> embedding-matrix column ONCE at dim-build time
+    # (same sorted order as _entity_matrix): candidate arrays then carry
+    # small ints through Arrow instead of id strings, and the UDF does
+    # zero per-candidate dict lookups. -1 = entity without an embedding
+    # (scores 0.0, exactly as the old id-string miss path did).
+    from ..synth import local_dim_df
+
+    spark = entity_emb_df.sparkSession
+    idx_dim = F.broadcast(
+        local_dim_df(
+            spark, [(e, i) for i, e in enumerate(sorted(emb_map))],
+            ["entity_id", "eidx"],
+        ).select("entity_id", F.col("eidx").cast("int").alias("eidx"))
+    )
+    cand_dim = F.broadcast(
+        alias_df.join(idx_dim, "entity_id", "left")
+        .na.fill({"eidx": -1})
+        .groupBy(F.lower("alias").alias("alias_norm")).agg(
+            F.collect_list(
+                F.struct("entity_id", "kind", "canonical_name", "prior", "eidx")
+            ).alias("cands")
+        )
+    )
     vocab = dict(VOCAB)
     holder: dict = {}  # per-worker (entity column map, matrix) cache
 
     @F.pandas_udf("array<double>")
-    def bow_cos_multi(ctx: pd.Series, eids: pd.Series) -> pd.Series:
+    def bow_cos_multi(ctx: pd.Series, eidxs: pd.Series) -> pd.Series:
         import numpy as np
 
-        if "col" not in holder:
-            holder["col"], holder["mat"] = _entity_matrix(bc_emb.value)
-        col, mat = holder["col"], holder["mat"]
+        if "mat" not in holder:
+            _, holder["mat"] = _entity_matrix(bc_emb.value)
+        mat = holder["mat"]
         V = mat.shape[1]
-        es_list = eids.tolist()
+        es_list = eidxs.tolist()
         if not es_list:
             return pd.Series([], dtype=object)
         n_cands = np.fromiter(
             (0 if es is None else len(es) for es in es_list),
             np.int64, count=len(es_list),
         )
-        rows_flat = np.repeat(np.arange(len(es_list)), n_cands)
-        flat_eids = [e for es in es_list if es is not None for e in es]
-        C, norms = _bow_count_matrix(ctx.tolist(), vocab, V)
-        sims = _cosine_rows(C, norms, col, mat, rows_flat, flat_eids)
+        C, norms, inv = _bow_count_matrix(ctx.tolist(), vocab, V)
+        rows_flat = np.repeat(inv, n_cands)
+        flat_eidx = np.fromiter(
+            (e for es in es_list if es is not None for e in es),
+            np.int64, count=int(n_cands.sum()),
+        )
+        sims = _cosine_rows(C, norms, mat, rows_flat, flat_eidx)
         return pd.Series(np.split(sims, np.cumsum(n_cands)[:-1]))
 
     with_cands = mentions.join(
         cand_dim, F.lower(mentions.word) == cand_dim.alias_norm, "inner"
     )
-    sims = bow_cos_multi("ctx", F.col("cands.entity_id"))
+    sims = bow_cos_multi("ctx", F.col("cands.eidx"))
     scored = F.zip_with(
         "cands", sims,
         lambda cand, sim: F.struct(
