@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis) for the invariant-heavy operators.
+
+Two targets where example-based tests leave gaps:
+
+  * gap-based sessionization vs an independent pure-Python reference,
+    over arbitrary event multisets (duplicates, unsorted input, ties,
+    multi-user interleaving);
+  * BIO "simple" aggregation decode (the reference's HF
+    ``aggregation_strategy='simple'`` semantics,
+    /root/reference/src/routers/main_endpoints.py:166-176) over
+    arbitrary tag sequences: span bounds, ordering, non-overlap, and
+    merge behavior must hold for EVERY input, not just the fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from pg_iui_ner_api_spark.operators.bio_decode import ID2LABEL, decode_bio_simple
+from pg_iui_ner_api_spark.operators.sessionize import session_stats
+
+GAP = 100  # seconds
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ref_sessions(events):
+    """Independent reference: per-user sort, split on gap > GAP."""
+    out = {}
+    by_user = {}
+    for uid, off in events:
+        by_user.setdefault(uid, []).append(off)
+    for uid, offs in by_user.items():
+        offs.sort()
+        sid = 0
+        out[(uid, sid)] = [offs[0], offs[0], 1]
+        prev = offs[0]
+        for o in offs[1:]:
+            if o - prev > GAP:
+                sid += 1
+                out[(uid, sid)] = [o, o, 1]
+            else:
+                out[(uid, sid)][1] = o
+                out[(uid, sid)][2] += 1
+            prev = o
+    return {
+        k: (n, (EPOCH + dt.timedelta(seconds=a)).strftime("%Y-%m-%d %H:%M:%S"),
+            (EPOCH + dt.timedelta(seconds=b)).strftime("%Y-%m-%d %H:%M:%S"))
+        for k, (a, b, n) in out.items()
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2000)),
+        min_size=1, max_size=40,
+    )
+)
+def test_sessionize_matches_reference(spark, events):
+    rows = [
+        (i, uid, EPOCH + dt.timedelta(seconds=off))
+        for i, (uid, off) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["t_start"], r["t_end"])
+        for r in session_stats(df, gap_seconds=GAP).collect()
+    }
+    assert got == _ref_sessions(events)
+
+
+# --- BIO decode properties --------------------------------------------------
+
+LABELS = list(ID2LABEL.values())
+
+
+@st.composite
+def tagged_text(draw):
+    """Random word sequence with per-word tag ids and clean offsets."""
+    n = draw(st.integers(1, 12))
+    words, offsets = [], []
+    pos = 0
+    for i in range(n):
+        w = draw(st.text(alphabet="abcdef", min_size=1, max_size=5))
+        if i:
+            pos += 1  # single space
+        offsets.append((pos, pos + len(w)))
+        words.append(w)
+        pos += len(w)
+    text = " ".join(words)
+    tag_ids = draw(st.lists(st.integers(0, len(LABELS) - 1),
+                            min_size=n, max_size=n))
+    return text, offsets, tag_ids
+
+
+@settings(max_examples=200, deadline=None)
+@given(tagged_text())
+def test_decode_bio_simple_invariants(case):
+    text, offsets, tag_ids = case
+    n = len(offsets)
+    probs = np.full((n, len(LABELS)), 0.01)
+    probs[np.arange(n), tag_ids] = 0.9
+    spans = decode_bio_simple(text, offsets, probs)
+
+    prev_end = -1
+    for s in spans:
+        # bounds + substring integrity
+        assert 0 <= s.start < s.end <= len(text)
+        assert s.word == text[s.start:s.end]
+        # ordered, non-overlapping
+        assert s.start >= prev_end
+        prev_end = s.end
+        # entity kind comes from the tag space
+        assert any(lbl.endswith(s.entity_group) for lbl in LABELS if lbl != "O")
+        assert 0.0 < s.score <= 1.0
+
+    # every non-O tagged token is covered by exactly one span
+    covered = [
+        any(sp.start <= a and b <= sp.end for sp in spans)
+        for (a, b), t in zip(offsets, tag_ids)
+    ]
+    for (a, b), t, cov in zip(offsets, tag_ids, covered):
+        if LABELS[t] != "O":
+            assert cov, (text, offsets, tag_ids)
+
+    # adjacent same-type I-continuations never split: a B-X followed by
+    # I-X on the next token must sit inside one span
+    for i in range(n - 1):
+        ti, tj = LABELS[tag_ids[i]], LABELS[tag_ids[i + 1]]
+        if ti != "O" and tj == "I-" + ti[2:]:
+            sp_i = next(sp for sp in spans
+                        if sp.start <= offsets[i][0] and offsets[i][1] <= sp.end)
+            assert sp_i.start <= offsets[i + 1][0] and offsets[i + 1][1] <= sp_i.end
