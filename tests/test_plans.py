@@ -136,3 +136,21 @@ def test_spread_is_noop_when_already_parallel(spark):
     assert spread(df) is df
     narrow = spark.range(1000, numPartitions=1)
     assert spread(narrow).rdd.getNumPartitions() == par
+
+
+def test_media_geometry_prunes_documents_scan(spark, tmp_path):
+    """The table-derived media queries construct the span array from
+    doc_id alone, so the documents scan must read ONLY doc_id (a plan
+    that drags text/lang/source through the scan would read ~all of a
+    100 TB table for a metadata query) and need no Exchange."""
+    import __spark_entry__ as E
+
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, "alpha", "en", "s", 5), (2, "beta", "pl", "s", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(p)
+    for key in ("media_geometry", "media_resize_geom"):
+        plan = _plan(E.queries()[key](spark, str(tmp_path)))
+        assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
+        assert "Exchange" not in plan, plan
