@@ -29,7 +29,13 @@ from pg_iui_ner_api_spark.functions.text import (
     quality_score,
     token_count,
 )
-from pg_iui_ner_api_spark.operators import ann as ANN, dedup as D, media as M, ner as N
+from pg_iui_ner_api_spark.operators import (
+    ann as ANN,
+    dedup as D,
+    graph as GR,
+    media as M,
+    ner as N,
+)
 from pg_iui_ner_api_spark.plans.pipeline import run_kg_pipeline
 from pg_iui_ner_api_spark import synth
 
@@ -432,6 +438,52 @@ def _q_media_resize_geom(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Graph analytics (operators/graph.py) over a co-occurrence graph derived
+# from the testdata itself: parts are linked iff they appear in the same
+# order (the classic co-mention constructor — for the KG corpus the group
+# is the doc and the node the linked entity; lineitem gives the same shape
+# with an exact DuckDB twin). ~2000 nodes / ~116k edges at sf0.01.
+# ---------------------------------------------------------------------------
+def _part_edges(spark, sf):
+    return GR.cooccurrence_edges(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey"
+    )
+
+
+def _q_graph_cooccur(spark, sf):
+    return _part_edges(spark, sf)
+
+
+def _q_graph_degrees(spark, sf):
+    return GR.degrees(_part_edges(spark, sf))
+
+
+def _q_graph_khop(spark, sf):
+    return GR.khop(GR.symmetrize(_part_edges(spark, sf)), seeds=[1], k=2)
+
+
+def _q_graph_pagerank(spark, sf):
+    pr = GR.pagerank(GR.symmetrize(_part_edges(spark, sf)), iters=3)
+    # round(6) on both sides: sum-reduction order may differ per engine
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+def _q_graph_triangles(spark, sf):
+    return GR.triangle_count(_part_edges(spark, sf))
+
+
+def _q_graph_components(spark, sf):
+    from pg_iui_ner_api_spark.operators.components import connected_components
+
+    e = _part_edges(spark, sf).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    # force the distributed alternating-star loop (the 100 TB path) so the
+    # driver's oracle checks it, not the small-graph driver union-find
+    return connected_components(e, small_graph_edges=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project": _q_scan_project,
@@ -475,6 +527,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": _q_media_resize,
         "media_geometry": _q_media_geometry,
         "media_resize_geom": _q_media_resize_geom,
+        "graph_cooccur": _q_graph_cooccur,
+        "graph_degrees": _q_graph_degrees,
+        "graph_khop": _q_graph_khop,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
+        "graph_components": _q_graph_components,
     }
 
 
@@ -831,5 +889,85 @@ def oracle_sql() -> dict[str, str]:
                CAST(greatest(1, round(height * least(1.0,
                     224.0 / greatest(width, height)))) AS INT) AS out_height
         FROM geo
+    """
+    # graph family: the part-cooccurrence edge list and its analytics.
+    # sym doubles canonical edges, so "degree" = out-degree in sym and
+    # every endpoint appears as src (no dangling nodes for PageRank).
+    _GEDGES = """
+        e AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
+        edges AS (
+          SELECT DISTINCT a.n AS src, b.n AS dst
+          FROM e a JOIN e b ON a.g = b.g AND a.n < b.n
+        ),
+        sym AS (SELECT src, dst FROM edges
+                UNION ALL SELECT dst, src FROM edges)"""
+    sql["graph_cooccur"] = f"WITH {_GEDGES} SELECT src, dst FROM edges"
+    sql["graph_degrees"] = (
+        f"WITH {_GEDGES} SELECT src AS node, count(*) AS degree "
+        "FROM sym GROUP BY 1"
+    )
+    sql["graph_khop"] = f"""
+        WITH {_GEDGES},
+        d0 AS (SELECT CAST(1 AS BIGINT) AS node),
+        d1 AS (
+          SELECT DISTINCT dst AS node FROM sym
+          WHERE src IN (SELECT node FROM d0)
+            AND dst NOT IN (SELECT node FROM d0)
+        ),
+        d2 AS (
+          SELECT DISTINCT dst AS node FROM sym
+          WHERE src IN (SELECT node FROM d1)
+            AND dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM d1)
+        )
+        SELECT node, 0 AS dist FROM d0
+        UNION ALL SELECT node, 1 AS dist FROM d1
+        UNION ALL SELECT node, 2 AS dist FROM d2
+    """
+    # 3 unrolled PageRank iterations; float ops in the exact same order
+    # as operators/graph.py::pagerank (cast-to-double before every op)
+    _pr_iters = []
+    for i in (1, 2, 3):
+        _pr_iters.append(f"""
+        c{i} AS (
+          SELECT s.dst AS dst, sum(r.pr / d.od) AS m
+          FROM sym s JOIN r{i - 1} r ON s.src = r.node
+                     JOIN deg d ON s.src = d.src
+          GROUP BY s.dst
+        ),
+        r{i} AS (
+          SELECT nodes.node,
+                 CAST(0.15 AS DOUBLE) / nn.n
+                   + CAST(0.85 AS DOUBLE) * coalesce(c{i}.m, CAST(0 AS DOUBLE)) AS pr
+          FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.dst
+        )""")
+    sql["graph_pagerank"] = f"""
+        WITH {_GEDGES},
+        deg AS (SELECT src, count(*) AS od FROM sym GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+               FROM nodes CROSS JOIN nn),
+        {','.join(_pr_iters)}
+        SELECT node, round(pr, 6) AS pr FROM r3
+    """
+    # orientation-invariant triangle count: the naive a<b<c three-way
+    # join must agree exactly with Spark's degree-oriented wedge plan
+    sql["graph_triangles"] = f"""
+        WITH {_GEDGES}
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """
+    sql["graph_components"] = f"""
+        WITH RECURSIVE {_GEDGES},
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, sym.dst AS r
+          FROM reach JOIN sym ON reach.r = sym.src
+        )
+        SELECT node, min(r) AS component FROM reach GROUP BY node
     """
     return sql

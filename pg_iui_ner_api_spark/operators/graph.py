@@ -1,0 +1,276 @@
+"""Graph analytics over the constructed knowledge graph.
+
+Once the KG pipeline has materialized node/edge tables (the reference's
+end product is exactly such an edge list —
+/root/reference/src/routers/main_endpoints.py emits per-document entity
+rows; our ``operators/triples.py`` assembles them into (subj, pred,
+obj)), the questions users actually ask are graph queries: who is
+connected to whom within k hops, which entities are central, how
+clustered is the neighborhood. These are beyond-reference operators in
+the same sense as the dedup/ANN family: the query surface a 100 TB KG
+needs, built as pure DataFrame algebra.
+
+Every operator here works on a plain ``(src, dst)`` edge DataFrame, so
+it applies equally to pipeline output (``kg_edges``) and to any
+co-occurrence edge list derived with :func:`cooccurrence_edges`.
+
+Scale shapes (the whole point of each implementation):
+
+  * ``cooccurrence_edges`` — self-join on the group key; quadratic in
+    group size, so hub groups are cap-able with an explicit dropped
+    report (same contract as the dedup family's hub-shingle report:
+    never silently).
+  * ``khop`` — frontier-at-a-time BFS: k joins, each frontier ⋈ edges;
+    the frontier is usually tiny relative to the edge table, so the
+    join broadcasts the frontier and the EDGE TABLE NEVER SHUFFLES.
+  * ``pagerank`` — the edge table is hash-partitioned on ``src`` ONCE
+    and persisted; every iteration shuffles only the rank vector
+    (N rows, two narrow columns), never the edges. Ranks are
+    localCheckpointed per iteration so the iterative lineage stays
+    flat (no exponential re-planning).
+  * ``triangle_count`` — degree-ordered orientation before the wedge
+    join bounds every node's out-degree by O(sqrt(m)) (standard
+    triangle-listing bound), so the wedge join cannot blow up on hub
+    nodes the way a naive a<b three-way join does.
+
+Everything is Column expressions + joins — zero Python on the hot path
+— and the (src,dst)-canonical operators have exact DuckDB oracles in
+``__spark_entry__`` (degrees/k-hop/PageRank/triangles all being plain
+SQL over the same derived edge list).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+# ---------------------------------------------------------------------------
+# edge-list construction
+# ---------------------------------------------------------------------------
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    node_col: str,
+    max_group: int | None = None,
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges ``(src < dst)``.
+
+    Two nodes are linked iff they appear in the same group (same
+    document, same order, same session). This is the standard entity
+    co-mention graph constructor: for the KG corpus the group is the
+    doc and the node is the linked entity id.
+
+    Plan: project → (optional hub-group filter) → self-join on the
+    group key → distinct. The self-join shuffles only the two join
+    columns; output is quadratic in GROUP size (not corpus size), so
+    hub groups dominate. ``max_group`` drops groups larger than the
+    cap — use :func:`cooccurrence_dropped_groups` to report exactly
+    which were dropped (never silently, per the dedup-family contract).
+    """
+    pairs = df.select(
+        F.col(group_col).alias("g"), F.col(node_col).alias("n")
+    ).distinct()
+    if max_group is not None:
+        sizes = pairs.groupBy("g").count().filter(F.col("count") <= max_group)
+        pairs = pairs.join(sizes.select("g"), "g")
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    return (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.n") < F.col("b.n")))
+        .select(F.col("a.n").alias("src"), F.col("b.n").alias("dst"))
+        .distinct()
+    )
+
+
+def cooccurrence_dropped_groups(
+    df: DataFrame, group_col: str, node_col: str, max_group: int
+) -> DataFrame:
+    """The groups a ``max_group`` cap would drop: ``(group, n_nodes)``."""
+    return (
+        df.select(F.col(group_col).alias("g"), F.col(node_col).alias("n"))
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("n_nodes"))
+        .filter(F.col("n_nodes") > max_group)
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Both directions of a canonical (src<dst) edge list — map-only."""
+    return edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# degrees
+# ---------------------------------------------------------------------------
+def degrees(edges: DataFrame) -> DataFrame:
+    """Undirected degree per node from a canonical (src<dst) edge list.
+
+    Plan: unionAll both endpoint projections → groupBy(node). One
+    shuffle on the node id with map-side partial counts; the narrowest
+    possible aggregate.
+    """
+    ends = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return ends.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+# ---------------------------------------------------------------------------
+# k-hop BFS
+# ---------------------------------------------------------------------------
+def khop(
+    edges_sym: DataFrame,
+    seeds: Sequence,
+    k: int,
+) -> DataFrame:
+    """BFS distances ``(node, dist)`` for every node within ``k`` hops
+    of ``seeds`` over a SYMMETRIC edge list (see :func:`symmetrize`).
+
+    Frontier-at-a-time: each hop joins the current frontier against the
+    edges, anti-joins the visited set, and unions into it. The frontier
+    (and visited set, ≤ reachable nodes) is broadcast, so the edge table
+    — the only big relation — never shuffles and is scanned once per
+    hop with the frontier filter pushed into the hash join. For frontier
+    sizes beyond broadcast limits drop the hint and let AQE pick
+    (the loop structure is unchanged).
+
+    ``k`` is small and fixed (a user query parameter), so the unioned
+    lineage stays shallow; no checkpoint needed.
+    """
+    spark = edges_sym.sparkSession
+    visited = spark.createDataFrame(
+        [(s, 0) for s in seeds], schema=["node", "dist"]
+    )
+    frontier = visited.select("node")
+    for d in range(1, k + 1):
+        nxt = (
+            edges_sym.join(F.broadcast(frontier), edges_sym.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited.select("node")), "node", "left_anti")
+        )
+        visited = visited.unionAll(nxt.select("node", F.lit(d).alias("dist")))
+        frontier = nxt
+    return visited
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+def pagerank(
+    edges_sym: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank ``(node, pr)`` over a symmetric edge
+    list whose node set is the edge endpoints (hence no dangling nodes:
+    every node has out-degree ≥ 1 by construction).
+
+    The iterative-DataFrame shape that survives 100×:
+
+      * ``(src, dst, od)`` — edges pre-joined with out-degree — is
+        hash-partitioned on ``src`` once and persisted; EVERY iteration
+        reuses that exchange and shuffles only the rank vector
+        (N rows × 2 narrow columns).
+      * ranks are ``localCheckpoint``-ed each iteration, truncating the
+        lineage so plan size (and recovery cost) stays constant in
+        ``iters`` instead of growing a join-tree per round.
+      * N (node count) is a bounded scalar — same class as the
+        centroid-stats collect in ``operators/ann.py``.
+    """
+    deg = (
+        edges_sym.groupBy("src").agg(F.count("*").alias("od"))
+    )
+    linked = (
+        edges_sym.join(deg, "src")
+        .select("src", "dst", "od")
+        .repartition("src")
+        .persist()
+    )
+    nodes = linked.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            linked.join(ranks, linked.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("od")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = ranks
+    linked.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# triangle counting
+# ---------------------------------------------------------------------------
+def orient_by_degree(edges: DataFrame) -> DataFrame:
+    """Re-orient a canonical (src<dst) edge list so every edge points
+    from the endpoint with the smaller ``(degree, id)`` to the larger.
+
+    This is the standard triangle-listing preparation: under the
+    degree total order every node's out-degree is O(sqrt(m)), so the
+    wedge self-join in :func:`triangle_count` is bounded even when the
+    raw graph has hub nodes of huge degree. Two joins against the
+    degree table (N rows — broadcast-able at any realistic node count
+    relative to edges; left unhinted so AQE picks).
+    """
+    deg = degrees(edges)
+    d1 = deg.select(
+        F.col("node").alias("src"), F.col("degree").alias("d_src")
+    )
+    d2 = deg.select(
+        F.col("node").alias("dst"), F.col("degree").alias("d_dst")
+    )
+    e = edges.join(d1, "src").join(d2, "dst")
+    fwd = (F.col("d_src") < F.col("d_dst")) | (
+        (F.col("d_src") == F.col("d_dst")) & (F.col("src") < F.col("dst"))
+    )
+    return e.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Total triangle count of a canonical (src<dst) edge list, as a
+    single-row DataFrame ``(n_triangles)``.
+
+    Shape: degree-orient → wedge join (o1.dst = o2.src) → close the
+    wedge against the oriented edges on (src, dst). Under the degree
+    orientation each triangle appears exactly once as a wedge at its
+    smallest-ordered vertex, and the wedge join's per-key fan-out is
+    O(sqrt(m)) — the difference between a plan that finishes and one
+    that explodes on the first celebrity entity. The result is
+    orientation-invariant, so the SQL oracle can use the naive a<b
+    three-way join and must agree exactly.
+    """
+    o = orient_by_degree(edges).persist()
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    wedges = o1.join(o2, F.col("o1.dst") == F.col("o2.src")).select(
+        F.col("o1.src").alias("w_src"), F.col("o2.dst").alias("w_dst")
+    )
+    closed = wedges.join(
+        o, (F.col("w_src") == F.col("src")) & (F.col("w_dst") == F.col("dst"))
+    )
+    out = closed.agg(F.count("*").alias("n_triangles"))
+    result = out.localCheckpoint()
+    o.unpersist()
+    return result

@@ -1,0 +1,188 @@
+"""Graph-analytics operators: BFS, PageRank, triangles, co-occurrence.
+
+Oracles are independent pure-Python implementations (BFS via dict
+adjacency, PageRank via dense iteration, triangles via brute-force
+combinations) on small hand-built graphs — same strategy as
+test_span_parity / test_components.
+"""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_iui_ner_api_spark.operators import graph as G
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], schema=["src", "dst"]
+    )
+
+
+# a small fixed graph: two triangles sharing an edge, plus a tail
+#   1-2, 1-3, 2-3   (triangle)
+#   2-4, 3-4        (second triangle on edge 2-3)
+#   4-5, 5-6        (tail)
+EDGES = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+
+
+def _adj(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _bfs(pairs, seeds, k):
+    adj = _adj(pairs)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, k + 1):
+        frontier = {
+            n for f in frontier for n in adj.get(f, ()) if n not in dist
+        }
+        for n in frontier:
+            dist[n] = d
+    return dist
+
+
+def _pagerank(pairs, iters, damping):
+    adj = _adj(pairs)
+    n = len(adj)
+    pr = {v: 1.0 / n for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            m = sum(pr[u] / len(adj[u]) for u in adj[v])
+            nxt[v] = (1.0 - damping) / n + damping * m
+        pr = nxt
+    return pr
+
+
+def _triangles(pairs):
+    adj = _adj(pairs)
+    return sum(
+        1
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+
+
+def test_degrees(spark):
+    got = {
+        r["node"]: r["degree"]
+        for r in G.degrees(_edges_df(spark, EDGES)).collect()
+    }
+    assert got == {v: len(ns) for v, ns in _adj(EDGES).items()}
+
+
+@pytest.mark.parametrize("seeds,k", [([1], 2), ([1], 5), ([6], 3), ([1, 6], 1)])
+def test_khop_matches_python_bfs(spark, seeds, k):
+    sym = G.symmetrize(_edges_df(spark, EDGES))
+    got = {r["node"]: r["dist"] for r in G.khop(sym, seeds, k).collect()}
+    assert got == _bfs(EDGES, seeds, k)
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # on a 3-cycle every node is symmetric: rank is exactly 1/3 at any
+    # damping and iteration count
+    cyc = [(1, 2), (2, 3), (1, 3)]
+    sym = G.symmetrize(_edges_df(spark, cyc))
+    for r in G.pagerank(sym, iters=4, damping=0.85).collect():
+        assert r["pr"] == pytest.approx(1.0 / 3, abs=1e-12)
+
+
+def test_pagerank_matches_python_reference(spark):
+    sym = G.symmetrize(_edges_df(spark, EDGES))
+    got = {r["node"]: r["pr"] for r in G.pagerank(sym, iters=3).collect()}
+    want = _pagerank(EDGES, iters=3, damping=0.85)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12)
+    # rank mass is conserved (no dangling nodes by construction)
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-12)
+
+
+def test_triangle_count_known_graphs(spark):
+    assert (
+        G.triangle_count(_edges_df(spark, EDGES)).collect()[0]["n_triangles"]
+        == 2
+    )
+    k4 = list(itertools.combinations(range(4), 2))
+    assert (
+        G.triangle_count(_edges_df(spark, k4)).collect()[0]["n_triangles"] == 4
+    )
+    path = [(1, 2), (2, 3), (3, 4)]
+    assert (
+        G.triangle_count(_edges_df(spark, path)).collect()[0]["n_triangles"]
+        == 0
+    )
+
+
+def test_triangle_count_random_graph_vs_bruteforce(spark):
+    # deterministic pseudo-random graph: hub-skewed so the degree
+    # orientation actually reorients edges
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for i in range(200)
+            for a, b in [((i * i) % 23, (i * 7 + 3) % 23)]
+            if a != b
+        }
+    )
+    got = G.triangle_count(_edges_df(spark, pairs)).collect()[0]["n_triangles"]
+    assert got == _triangles(pairs)
+
+
+def test_orient_by_degree_is_permutation_and_bounded(spark):
+    df = _edges_df(spark, EDGES)
+    o = G.orient_by_degree(df).collect()
+    assert sorted(tuple(sorted((r["src"], r["dst"]))) for r in o) == sorted(
+        EDGES
+    )
+    # out-degree under the orientation never exceeds the raw degree of
+    # the SMALLER-ordered endpoint; on this graph max oriented
+    # out-degree must be <= 2 (node 2 and 3 tie at degree 3)
+    from collections import Counter
+
+    out = Counter(r["src"] for r in o)
+    assert max(out.values()) <= 2
+
+
+def test_cooccurrence_edges_and_cap(spark):
+    rows = [
+        ("g1", 1), ("g1", 2), ("g1", 3),          # triangle
+        ("g2", 3), ("g2", 4),
+        ("g3", 5), ("g3", 5),                      # dup node, no self-edge
+        ("hub", 1), ("hub", 2), ("hub", 3), ("hub", 4), ("hub", 5),
+    ]
+    df = spark.createDataFrame(rows, schema=["doc", "ent"])
+    full = {
+        (r["src"], r["dst"])
+        for r in G.cooccurrence_edges(df, "doc", "ent").collect()
+    }
+    want_hub = {(a, b) for a, b in itertools.combinations(range(1, 6), 2)}
+    assert full == {(1, 2), (1, 3), (2, 3), (3, 4)} | want_hub
+    capped = {
+        (r["src"], r["dst"])
+        for r in G.cooccurrence_edges(df, "doc", "ent", max_group=3).collect()
+    }
+    assert capped == {(1, 2), (1, 3), (2, 3), (3, 4)}
+    dropped = G.cooccurrence_dropped_groups(df, "doc", "ent", 3).collect()
+    assert [(r["g"], r["n_nodes"]) for r in dropped] == [("hub", 5)]
+
+
+def test_khop_broadcasts_frontier_not_edges(spark):
+    # plan pin: the BFS hop joins broadcast the frontier side, so the
+    # edge relation never shuffles — every hash exchange in the plan
+    # partitions the narrow frontier 'node' column (the per-hop
+    # distinct), never the edge src/dst columns
+    import re
+
+    sym = G.symmetrize(_edges_df(spark, EDGES))
+    plan = G.khop(sym, [1], 2)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert exchanges and set(exchanges) == {"node"}
