@@ -484,6 +484,56 @@ def _q_graph_components(spark, sf):
     return connected_components(e, small_graph_edges=0)
 
 
+# ---------------------------------------------------------------------------
+# Training-data curation: repetition profiling (Gopher-style top-n-gram
+# + duplicate-token filters), PII scrubbing, deterministic splits.
+# ---------------------------------------------------------------------------
+def _q_rep_stats(spark, sf):
+    from pg_iui_ner_api_spark.functions.text import top_ngram_stats
+
+    return top_ngram_stats(spread(_t(spark, sf, "documents")), "text", "doc_id")
+
+
+def _pii_text(c):
+    # deterministic PII-bearing text derived from the customer table, so
+    # the scrub query exercises real positive matches with an exact twin
+    return F.concat(
+        F.col("c_name"),
+        F.lit(" reach "),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@example.com or https://ex.co/u/"),
+        c.cast("string"),
+        F.lit(" tel +48 22 55 "),
+        c.cast("string"),
+    )
+
+
+def _q_pii_scrub(spark, sf):
+    from pg_iui_ner_api_spark.functions.text import pii_counts, scrub_pii
+
+    cust = _t(spark, sf, "customer")
+    text = _pii_text(F.col("c_custkey"))
+    n_urls, n_emails, n_phones = pii_counts(text)
+    return cust.select(
+        "c_custkey",
+        scrub_pii(text).alias("scrubbed"),
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+    )
+
+
+def _q_split_assign(spark, sf):
+    from pg_iui_ner_api_spark.functions.text import dataset_split, split_bucket
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        split_bucket(F.col("doc_id")).alias("bucket"),
+        dataset_split(F.col("doc_id")).alias("split"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project": _q_scan_project,
@@ -533,6 +583,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
         "graph_components": _q_graph_components,
+        "rep_stats": _q_rep_stats,
+        "pii_scrub": _q_pii_scrub,
+        "split_assign": _q_split_assign,
     }
 
 
@@ -969,5 +1022,70 @@ def oracle_sql() -> dict[str, str]:
           FROM reach JOIN sym ON reach.r = sym.src
         )
         SELECT node, min(r) AS component FROM reach GROUP BY node
+    """
+    # repetition profile (top-2-gram + duplicate-token fractions); gram
+    # hashing is the same md5 formula so counts agree bucket-for-bucket
+    _gram_h = _H.format(x="toks[i] || ' ' || toks[i+1]")
+    sql["rep_stats"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS.format(x=_NORM.format(x='text'))} AS toks
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 greatest(len(toks) - 1, 0) AS n_grams,
+                 round((len(toks) - len(list_distinct(toks)))
+                       / greatest(len(toks), 1)::DOUBLE, 6) AS dup_token_fraction,
+                 toks
+          FROM t
+        ),
+        ex AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)), i -> {_gram_h})) AS h
+          FROM b WHERE len(toks) >= 2
+        ),
+        cnt AS (SELECT doc_id, h, count(*) AS c FROM ex GROUP BY 1, 2),
+        m AS (SELECT doc_id, max(c) AS mc FROM cnt GROUP BY 1)
+        SELECT b.doc_id, n_tokens, n_grams,
+               CAST(coalesce(mc, 0) AS BIGINT) AS top_count,
+               round(coalesce(mc, 0) / greatest(n_grams, 1)::DOUBLE, 6) AS top_fraction,
+               dup_token_fraction
+        FROM b LEFT JOIN m ON b.doc_id = m.doc_id
+    """
+    # PII scrub: same three regexes (lookaround-free -> Java regex and
+    # RE2 agree); DuckDB needs the 'g' flag for replace-ALL parity
+    _pt = (
+        "c_name || ' reach ' || lower(replace(c_name, '#', '.')) || "
+        "'@example.com or https://ex.co/u/' || CAST(c_custkey AS VARCHAR) || "
+        "' tel +48 22 55 ' || CAST(c_custkey AS VARCHAR)"
+    )
+    _re_url = r"https?://\S+"
+    _re_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _re_phone = r"\+?[0-9][0-9 \-]{6,}[0-9]"
+    sql["pii_scrub"] = f"""
+        WITH raw AS (SELECT c_custkey, {_pt} AS t FROM customer),
+        s1 AS (SELECT c_custkey, t,
+                      regexp_replace(t, '{_re_url}', '<URL>', 'g') AS t1
+               FROM raw),
+        s2 AS (SELECT c_custkey, t, t1,
+                      regexp_replace(t1, '{_re_email}', '<EMAIL>', 'g') AS t2
+               FROM s1)
+        SELECT c_custkey,
+               regexp_replace(t2, '{_re_phone}', '<PHONE>', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(t, '{_re_url}')) AS INT) AS n_urls,
+               CAST(len(regexp_extract_all(t1, '{_re_email}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(t2, '{_re_phone}')) AS INT) AS n_phones
+        FROM s2
+    """
+    _bucket = (
+        f"{_H.format(x='CAST(doc_id AS VARCHAR)')} % 10000"
+    )
+    sql["split_assign"] = f"""
+        WITH b AS (SELECT doc_id, {_bucket} AS bucket FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 9000 THEN 'train'
+                    WHEN bucket < 9500 THEN 'dev'
+                    ELSE 'test' END AS split
+        FROM b
     """
     return sql

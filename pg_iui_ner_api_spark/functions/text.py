@@ -130,6 +130,139 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalize_ws(c))
 
 
+# ---------------------------------------------------------------------------
+# Training-data curation: repetition profiling, PII scrubbing, dataset
+# splits. Same contract as everything above — pure Column expressions
+# with exact DuckDB twins; regexes are lookaround-free so Java regex
+# (Spark) and RE2 (DuckDB) agree match-for-match.
+# ---------------------------------------------------------------------------
+PII_URL = r"https?://\S+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9 \-]{6,}[0-9]"
+
+
+def scrub_pii(c: Column) -> Column:
+    """Mask URLs, then emails, then phone-like digit runs.
+
+    Order matters: URLs first (their paths contain '@' and digit runs),
+    emails before phones (digits inside an address must not half-match).
+    The phone pattern is deliberately aggressive — any 8+-char digit run
+    masks, the standard recall-over-precision trade for scrub passes.
+    """
+    no_url = F.regexp_replace(c, PII_URL, "<URL>")
+    no_email = F.regexp_replace(no_url, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(n_urls, n_emails, n_phones), counted on progressively scrubbed
+    text so a match never double-counts across categories."""
+    no_url = F.regexp_replace(c, PII_URL, "<URL>")
+    no_email = F.regexp_replace(no_url, PII_EMAIL, "<EMAIL>")
+    return (
+        F.regexp_count(c, F.lit(PII_URL)),
+        F.regexp_count(no_url, F.lit(PII_EMAIL)),
+        F.regexp_count(no_email, F.lit(PII_PHONE)),
+    )
+
+
+def dup_segment_fraction(c: Column, sep: str = r"\n") -> Column:
+    """Fraction of non-empty trimmed segments that repeat an earlier one
+    (the Gopher duplicate-line filter; ``sep`` is a split regex)."""
+    segs = F.filter(
+        F.transform(F.split(c, sep), lambda t: F.trim(t)), lambda t: t != ""
+    )
+    n = F.size(segs)
+    return F.round(
+        (n - F.size(F.array_distinct(segs))) / F.greatest(n, F.lit(1)), 6
+    )
+
+
+def dup_token_fraction(c: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token — in-row, map-only."""
+    toks = tokens(normalize_ws(c))
+    n = F.size(toks)
+    return F.round(
+        (n - F.size(F.array_distinct(toks))) / F.greatest(n, F.lit(1)), 6
+    )
+
+
+def top_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """Per-document repetition profile (the Gopher top-n-gram filter):
+    ``(id, n_tokens, n_grams, top_count, top_fraction,
+    dup_token_fraction)`` where top_fraction is the share of n-gram
+    positions occupied by the single most frequent n-gram.
+
+    Scale shape: the mode-of-ngrams needs a per-(doc, gram) count, so
+    unlike the in-row scalars above this one aggregates. Grams are
+    md5-hashed IN-ROW before the explode, so the shuffle carries
+    (id, 8-byte hash) rows — never gram text — and the per-doc scalars
+    ride through the group key (constant per id, zero extra shuffles).
+    """
+    toks = tokens(normalize_ws(F.col(text_col)))
+    k = F.size(toks) - (n - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    # guard: sequence(1, k) DESCENDS when k < 1 — emit [] for short docs
+    gh = F.when(
+        k >= 1,
+        F.transform(F.sequence(F.lit(1), k), lambda i: portable_hash64(gram(i))),
+    ).otherwise(F.array().cast("array<long>"))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        F.greatest(k, F.lit(0)).alias("n_grams"),
+        dup_token_fraction(F.col(text_col)).alias("dup_token_fraction"),
+        gh.alias("gh"),
+    )
+    ex = base.select(
+        "id", "n_tokens", "n_grams", "dup_token_fraction",
+        F.explode_outer("gh").alias("h"),
+    )
+    counts = ex.groupBy(
+        "id", "n_tokens", "n_grams", "dup_token_fraction", "h"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    top = counts.groupBy("id", "n_tokens", "n_grams", "dup_token_fraction").agg(
+        F.max(
+            F.when(F.col("h").isNotNull(), F.col("c")).otherwise(F.lit(0).cast("long"))
+        ).alias("top_count")
+    )
+    return top.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "n_grams",
+        "top_count",
+        F.round(
+            F.col("top_count") / F.greatest("n_grams", F.lit(1)), 6
+        ).alias("top_fraction"),
+        "dup_token_fraction",
+    )
+
+
+SPLIT_BUCKETS = 10_000
+
+
+def split_bucket(c: Column, buckets: int = SPLIT_BUCKETS) -> Column:
+    """Deterministic hash bucket of a document key — the stable
+    train/dev/test assigner. Identity-hash based (not random), so the
+    split survives reruns, repartitioning, and incremental appends."""
+    return F.pmod(portable_hash64(c.cast("string")), F.lit(buckets))
+
+
+def dataset_split(
+    c: Column, train: float = 0.90, dev: float = 0.05,
+    buckets: int = SPLIT_BUCKETS,
+) -> Column:
+    b = split_bucket(c, buckets)
+    t_hi, d_hi = int(train * buckets), int((train + dev) * buckets)
+    return (
+        F.when(b < t_hi, "train").when(b < d_hi, "dev").otherwise("test")
+    )
+
+
 def shingles(c: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles -> array<string>.
 

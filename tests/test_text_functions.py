@@ -85,3 +85,109 @@ def test_portable_hash64_matches_duckdb(df):
             "SELECT CAST(('0x' || substr(md5(?),1,15)) AS BIGINT)", [t]
         ).fetchone()[0]
         assert got[i] == want, i
+
+
+# ---------------------------------------------------------------------------
+# curation ops: PII scrub, repetition profile, deterministic splits
+# ---------------------------------------------------------------------------
+PII_ROWS = [
+    (0, "write bob.smith+x@corp.example.org today"),
+    (1, "docs at https://ex.co/a?b=1#frag then text"),
+    (2, "call +48 22 555 0199 now"),
+    (3, "digits 123456789 inside prose"),          # aggressive phone mask
+    (4, "clean text with no identifiers at all"),
+    (5, "x@y.io https://a.b/c +1 555 123 4567 x@y.io"),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+
+
+def test_scrub_pii_masks_each_category(pii_df):
+    got = {r["doc_id"]: r["s"] for r in pii_df.select(
+        "doc_id", T.scrub_pii(F.col("text")).alias("s")).collect()}
+    assert got[0] == "write <EMAIL> today"
+    assert got[1] == "docs at <URL> then text"
+    assert got[2] == "call <PHONE> now"
+    assert got[3] == "digits <PHONE> inside prose"
+    assert got[4] == PII_ROWS[4][1]  # clean text untouched
+    assert got[5] == "<EMAIL> <URL> <PHONE> <EMAIL>"
+
+
+def test_pii_counts(pii_df):
+    u, e, p = T.pii_counts(F.col("text"))
+    got = {r["doc_id"]: (r["u"], r["e"], r["p"]) for r in pii_df.select(
+        "doc_id", u.alias("u"), e.alias("e"), p.alias("p")).collect()}
+    assert got[0] == (0, 1, 0)
+    assert got[1] == (1, 0, 0)
+    assert got[2] == (0, 0, 1)
+    assert got[4] == (0, 0, 0)
+    assert got[5] == (1, 2, 1)
+
+
+def test_dup_segment_fraction(spark):
+    rows = [
+        (0, "a\nb\na\n\n a "),      # segs [a,b,a,a] -> 2 dup of 4
+        (1, "x\ny\nz"),             # all distinct
+        (2, ""),                    # no segments
+        (3, "same\nsame\nsame"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["f"] for r in df.select(
+        "doc_id", T.dup_segment_fraction(F.col("text")).alias("f")).collect()}
+    assert got[0] == pytest.approx(0.5)
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+    assert got[3] == pytest.approx(round(2 / 3, 6))
+
+
+def test_top_ngram_stats_vs_python(spark):
+    from collections import Counter
+
+    rows = [
+        (0, "a b a b a b c"),       # bigrams: ab x3, ba x2, bc x1
+        (1, "one two three four"),  # all distinct
+        (2, "solo"),                # no bigrams
+        (3, ""),                    # no tokens
+        (4, "w w w w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in
+           T.top_ngram_stats(df, "text", "doc_id", n=2).collect()}
+    for i, t in rows:
+        toks = [x for x in re.split(r"\s+", t.strip().lower()) if x]
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        top = max(Counter(grams).values()) if grams else 0
+        g = got[i]
+        assert g["n_tokens"] == len(toks), i
+        assert g["n_grams"] == len(grams), i
+        assert g["top_count"] == top, i
+        assert g["top_fraction"] == pytest.approx(
+            round(top / max(len(grams), 1), 6)), i
+        dups = len(toks) - len(set(toks))
+        assert g["dup_token_fraction"] == pytest.approx(
+            round(dups / max(len(toks), 1), 6)), i
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    out = df.select(
+        "doc_id",
+        T.split_bucket(F.col("doc_id")).alias("b"),
+        T.dataset_split(F.col("doc_id")).alias("s"),
+    )
+    rows = {r["doc_id"]: (r["b"], r["s"]) for r in out.collect()}
+    again = {r["doc_id"]: (r["b"], r["s"]) for r in out.collect()}
+    assert rows == again  # stable across executions
+    from collections import Counter
+
+    frac = Counter(s for _, s in rows.values())
+    assert set(frac) == {"train", "dev", "test"}
+    assert frac["train"] / 4000 == pytest.approx(0.90, abs=0.02)
+    assert frac["dev"] / 4000 == pytest.approx(0.05, abs=0.012)
+    assert frac["test"] / 4000 == pytest.approx(0.05, abs=0.012)
+    for _, (b, s) in rows.items():
+        want = "train" if b < 9000 else ("dev" if b < 9500 else "test")
+        assert s == want
