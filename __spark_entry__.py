@@ -459,6 +459,12 @@ def _q_graph_degrees(spark, sf):
     return GR.degrees(_part_edges(spark, sf))
 
 
+def _q_graph_pmi(spark, sf):
+    return GR.cooccurrence_pmi(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey", min_pairs=2
+    )
+
+
 def _q_graph_khop(spark, sf):
     return GR.khop(GR.symmetrize(_part_edges(spark, sf)), seeds=[1], k=2)
 
@@ -579,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_geom": _q_media_resize_geom,
         "graph_cooccur": _q_graph_cooccur,
         "graph_degrees": _q_graph_degrees,
+        "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
@@ -959,6 +966,22 @@ def oracle_sql() -> dict[str, str]:
         f"WITH {_GEDGES} SELECT src AS node, count(*) AS degree "
         "FROM sym GROUP BY 1"
     )
+    sql["graph_pmi"] = f"""
+        WITH {_GEDGES},
+        ng AS (SELECT count(DISTINCT g) AS n FROM e),
+        marg AS (SELECT n AS node, count(*) AS m FROM e GROUP BY 1),
+        co AS (
+          SELECT a.n AS src, b.n AS dst, count(*) AS n_pairs
+          FROM e a JOIN e b ON a.g = b.g AND a.n < b.n
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT src, dst, n_pairs,
+               round(ln((n_pairs::DOUBLE * ng.n) / (ma.m::DOUBLE * mb.m::DOUBLE)),
+                     6) AS pmi
+        FROM co CROSS JOIN ng
+        JOIN marg ma ON ma.node = src
+        JOIN marg mb ON mb.node = dst
+    """
     sql["graph_khop"] = f"""
         WITH {_GEDGES},
         d0 AS (SELECT CAST(1 AS BIGINT) AS node),

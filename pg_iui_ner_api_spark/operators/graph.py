@@ -104,6 +104,56 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     )
 
 
+def cooccurrence_pmi(
+    df: DataFrame,
+    group_col: str,
+    node_col: str,
+    min_pairs: int = 1,
+) -> DataFrame:
+    """PMI-weighted co-occurrence edges ``(src, dst, n_pairs, pmi)``.
+
+    pmi = ln(P(a,b) / (P(a)·P(b))) with probabilities over GROUPS:
+    P(a) = groups containing a / N, P(a,b) = groups containing both / N.
+    This is the standard association score that separates "co-mentioned
+    because both are everywhere" hubs from genuinely related pairs —
+    the edge-weighting step a raw co-occurrence KG needs before ranking.
+
+    Plan: the pair counts come from the same self-join as
+    :func:`cooccurrence_edges` but keep ``count(*)``; marginals are a
+    single narrow aggregate (node, n_groups) joined back twice — both
+    sides keyed on a node id, broadcast-able at realistic node counts
+    relative to pairs. N (total groups) is a bounded scalar collect.
+    ``min_pairs`` prunes the long tail before the marginal joins.
+    """
+    pairs = df.select(
+        F.col(group_col).alias("g"), F.col(node_col).alias("n")
+    ).distinct()
+    n_groups = pairs.select("g").distinct().count()
+    marg = pairs.groupBy("n").agg(F.count(F.lit(1)).alias("n_groups"))
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    co = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.n") < F.col("b.n")))
+        .groupBy(F.col("a.n").alias("src"), F.col("b.n").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_pairs)
+    )
+    ma = marg.select(F.col("n").alias("src"), F.col("n_groups").alias("na"))
+    mb = marg.select(F.col("n").alias("dst"), F.col("n_groups").alias("nb"))
+    return co.join(ma, "src").join(mb, "dst").select(
+        "src",
+        "dst",
+        "n_pairs",
+        F.round(
+            F.log(
+                (F.col("n_pairs").cast("double") * F.lit(float(n_groups)))
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+            ),
+            6,
+        ).alias("pmi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # degrees
 # ---------------------------------------------------------------------------

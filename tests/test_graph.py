@@ -186,3 +186,49 @@ def test_khop_broadcasts_frontier_not_edges(spark):
     assert "BroadcastHashJoin" in plan
     exchanges = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
     assert exchanges and set(exchanges) == {"node"}
+
+
+def test_cooccurrence_pmi_vs_python(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        ("g1", 1), ("g1", 2), ("g1", 3),
+        ("g2", 1), ("g2", 2),
+        ("g3", 2), ("g3", 3),
+        ("g4", 4), ("g4", 1), ("g4", 1),   # dup membership collapses
+        ("g5", 5),                          # singleton group: no pairs
+    ]
+    df = spark.createDataFrame(rows, schema=["doc", "ent"])
+    got = {
+        (r["src"], r["dst"]): (r["n_pairs"], r["pmi"])
+        for r in G.cooccurrence_pmi(df, "doc", "ent").collect()
+    }
+    groups = {}
+    for g, n in rows:
+        groups.setdefault(g, set()).add(n)
+    N = len(groups)
+    marg = Counter(n for ns in groups.values() for n in ns)
+    pair = Counter(
+        (a, b)
+        for ns in groups.values()
+        for a in ns
+        for b in ns
+        if a < b
+    )
+    assert set(got) == set(pair)
+    for (a, b), c in pair.items():
+        n_pairs, pmi = got[(a, b)]
+        assert n_pairs == c
+        want = math.log((c * N) / (marg[a] * marg[b]))
+        assert pmi == pytest.approx(round(want, 6), abs=1e-9), (a, b)
+    # the hub entity 1 (in 3 of 5 groups) gets a LOWER pmi with 2 than
+    # the tighter 2-3 pair despite equal co-counts
+    assert got[(2, 3)][1] > got[(1, 2)][1]
+
+
+def test_cooccurrence_pmi_min_pairs(spark):
+    rows = [("g1", 1), ("g1", 2), ("g2", 1), ("g2", 2), ("g3", 2), ("g3", 3)]
+    df = spark.createDataFrame(rows, schema=["doc", "ent"])
+    got = G.cooccurrence_pmi(df, "doc", "ent", min_pairs=2).collect()
+    assert [(r["src"], r["dst"], r["n_pairs"]) for r in got] == [(1, 2, 2)]
