@@ -479,6 +479,12 @@ def _q_graph_triangles(spark, sf):
     return GR.triangle_count(_part_edges(spark, sf))
 
 
+def _q_graph_lpa(spark, sf):
+    return GR.label_propagation(
+        GR.symmetrize(_part_edges(spark, sf)), iters=2
+    )
+
+
 def _q_graph_components(spark, sf):
     from pg_iui_ner_api_spark.operators.components import connected_components
 
@@ -589,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_khop": _q_graph_khop,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
+        "graph_lpa": _q_graph_lpa,
         "graph_components": _q_graph_components,
         "rep_stats": _q_rep_stats,
         "pii_scrub": _q_pii_scrub,
@@ -1025,6 +1032,31 @@ def oracle_sql() -> dict[str, str]:
                FROM nodes CROSS JOIN nn),
         {','.join(_pr_iters)}
         SELECT node, round(pr, 6) AS pr FROM r3
+    """
+    # 2 unrolled LPA rounds; tie-break (max count, then min label) is the
+    # row_number ordering, matching Spark's max(struct(c, -lbl))
+    _lpa_iters = []
+    for i in (1, 2):
+        _lpa_iters.append(f"""
+        c{i} AS (
+          SELECT s.src, l.lbl, count(*) AS c
+          FROM sym s JOIN l{i - 1} l ON s.dst = l.node
+          GROUP BY 1, 2
+        ),
+        l{i} AS (
+          SELECT src AS node, lbl FROM (
+            SELECT src, lbl,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, lbl ASC) AS rn
+            FROM c{i}
+          ) WHERE rn = 1
+        )""")
+    sql["graph_lpa"] = f"""
+        WITH {_GEDGES},
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        l0 AS (SELECT node, node AS lbl FROM nodes),
+        {','.join(_lpa_iters)}
+        SELECT node, lbl FROM l2
     """
     # orientation-invariant triangle count: the naive a<b<c three-way
     # join must agree exactly with Spark's degree-oriented wedge plan

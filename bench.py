@@ -193,6 +193,9 @@ def _headline(spark) -> dict[str, float]:
         "jaccard_verified", "minhash_sig", "minhash_pairs", "simhash",
         "quality_score", "lang_id", "token_stats",
         "ann_topk", "ann_ivf", "kg_mentions", "kg_edges", "media_features",
+        # r3 additions: KG graph analytics + curation (keys are additive —
+        # earlier rounds simply lack them)
+        "graph_pagerank", "graph_pmi", "rep_stats", "split_assign",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

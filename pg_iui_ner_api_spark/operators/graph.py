@@ -268,6 +268,49 @@ def pagerank(
 
 
 # ---------------------------------------------------------------------------
+# label propagation (community detection)
+# ---------------------------------------------------------------------------
+def label_propagation(edges_sym: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation ``(node, lbl)`` over a symmetric
+    edge list: labels start as node ids; each round every node adopts
+    the most frequent label among its neighbors, ties broken to the
+    SMALLEST label so the algorithm is deterministic (classic LPA is
+    tie-random; that would be un-oracle-able).
+
+    Same iterative-DataFrame scale shape as :func:`pagerank`: the edge
+    table is hash-partitioned on the join key once and persisted, every
+    round shuffles only (node, label) pairs + narrow count rows, and the
+    label vector is localCheckpoint-ed so lineage stays flat. The
+    argmax-with-tiebreak is a single ``max(struct(count, -label))`` —
+    no window, no second shuffle.
+    """
+    e = edges_sym.select("src", "dst").repartition("dst").persist()
+    labels = (
+        e.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    for _ in range(iters):
+        cnt = (
+            e.join(labels, e.dst == labels.node)
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy("src")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lbl")).alias("neg_lbl"))
+                ).alias("m")
+            )
+            .select(F.col("src").alias("node"), (-F.col("m.neg_lbl")).alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    out = labels
+    e.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # triangle counting
 # ---------------------------------------------------------------------------
 def orient_by_degree(edges: DataFrame) -> DataFrame:

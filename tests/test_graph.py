@@ -232,3 +232,45 @@ def test_cooccurrence_pmi_min_pairs(spark):
     df = spark.createDataFrame(rows, schema=["doc", "ent"])
     got = G.cooccurrence_pmi(df, "doc", "ent", min_pairs=2).collect()
     assert [(r["src"], r["dst"], r["n_pairs"]) for r in got] == [(1, 2, 2)]
+
+
+def _lpa_python(pairs, iters):
+    adj = _adj(pairs)
+    lbl = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            counts = {}
+            for u in adj[v]:
+                counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = best[0]
+        lbl = nxt
+    return lbl
+
+
+@pytest.mark.parametrize("iters", [1, 2, 3])
+def test_label_propagation_matches_python(spark, iters):
+    # two dense blobs joined by one bridge edge: LPA should find them
+    blob1 = list(itertools.combinations([1, 2, 3, 4], 2))
+    blob2 = list(itertools.combinations([10, 11, 12, 13], 2))
+    pairs = blob1 + blob2 + [(4, 10)]
+    sym = G.symmetrize(_edges_df(spark, pairs))
+    got = {
+        r["node"]: r["lbl"]
+        for r in G.label_propagation(sym, iters=iters).collect()
+    }
+    assert got == _lpa_python(pairs, iters)
+
+
+def test_label_propagation_finds_communities(spark):
+    blob1 = list(itertools.combinations([1, 2, 3, 4, 5], 2))
+    blob2 = list(itertools.combinations([10, 11, 12, 13, 14], 2))
+    pairs = blob1 + blob2 + [(5, 10)]
+    sym = G.symmetrize(_edges_df(spark, pairs))
+    got = {
+        r["node"]: r["lbl"]
+        for r in G.label_propagation(sym, iters=3).collect()
+    }
+    assert set(got[v] for v in (1, 2, 3, 4)) == {1}
+    assert set(got[v] for v in (11, 12, 13, 14)) == {10}
