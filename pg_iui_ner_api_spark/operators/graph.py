@@ -177,6 +177,7 @@ def khop(
     edges_sym: DataFrame,
     seeds: Sequence,
     k: int,
+    materialize: bool = True,
 ) -> DataFrame:
     """BFS distances ``(node, dist)`` for every node within ``k`` hops
     of ``seeds`` over a SYMMETRIC edge list (see :func:`symmetrize`).
@@ -190,9 +191,15 @@ def khop(
     (the loop structure is unchanged).
 
     ``k`` is small and fixed (a user query parameter), so the unioned
-    lineage stays shallow; no checkpoint needed.
+    lineage stays shallow. ``materialize`` (default) localCheckpoints
+    the edge relation once so a DERIVED edge list (e.g. a co-occurrence
+    self-join) isn't recomputed on every hop; pass ``False`` when the
+    edges are already file-backed and a full copy would cost more than
+    k cheap re-scans.
     """
     spark = edges_sym.sparkSession
+    if materialize:
+        edges_sym = edges_sym.select("src", "dst").localCheckpoint()
     visited = spark.createDataFrame(
         [(s, 0) for s in seeds], schema=["node", "dist"]
     )
@@ -224,8 +231,9 @@ def pagerank(
     The iterative-DataFrame shape that survives 100×:
 
       * ``(src, dst, od)`` — edges pre-joined with out-degree — is
-        hash-partitioned on ``src`` once and persisted; EVERY iteration
-        reuses that exchange and shuffles only the rank vector
+        hash-partitioned on ``src`` once and eagerly localCheckpointed;
+        EVERY iteration reuses that materialization (and its
+        partitioning) and shuffles only the rank vector
         (N rows × 2 narrow columns).
       * ranks are ``localCheckpoint``-ed each iteration, truncating the
         lineage so plan size (and recovery cost) stays constant in
@@ -233,14 +241,20 @@ def pagerank(
       * N (node count) is a bounded scalar — same class as the
         centroid-stats collect in ``operators/ann.py``.
     """
-    deg = (
-        edges_sym.groupBy("src").agg(F.count("*").alias("od"))
-    )
+    # The input is usually a DERIVED relation (a co-occurrence self-join),
+    # and this operator consumes it twice (degree agg + join) before
+    # iterating — checkpoint it once so the expensive upstream runs once.
+    # Eager localCheckpoint (not persist/unpersist): it materializes NOW,
+    # keeps its partitioning, and stays alive for the returned lazy plan —
+    # a persist would have to outlive this function to do that, and an
+    # unpersist-on-return would silently recompute per iteration.
+    es = edges_sym.select("src", "dst").localCheckpoint()
+    deg = es.groupBy("src").agg(F.count("*").alias("od"))
     linked = (
-        edges_sym.join(deg, "src")
+        es.join(deg, "src")
         .select("src", "dst", "od")
         .repartition("src")
-        .persist()
+        .localCheckpoint()
     )
     nodes = linked.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
@@ -262,9 +276,7 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    out = ranks
-    linked.unpersist()
-    return out
+    return ranks
 
 
 # ---------------------------------------------------------------------------
@@ -284,7 +296,9 @@ def label_propagation(edges_sym: DataFrame, iters: int = 3) -> DataFrame:
     argmax-with-tiebreak is a single ``max(struct(count, -label))`` —
     no window, no second shuffle.
     """
-    e = edges_sym.select("src", "dst").repartition("dst").persist()
+    # eager localCheckpoint for the same reason as pagerank: materialize
+    # the partitioned edge relation once for all rounds of the lazy plan
+    e = edges_sym.select("src", "dst").repartition("dst").localCheckpoint()
     labels = (
         e.select(F.col("src").alias("node")).distinct()
         .select("node", F.col("node").alias("lbl"))
@@ -305,9 +319,7 @@ def label_propagation(edges_sym: DataFrame, iters: int = 3) -> DataFrame:
             .select(F.col("src").alias("node"), (-F.col("m.neg_lbl")).alias("lbl"))
             .localCheckpoint(eager=False)
         )
-    out = labels
-    e.unpersist()
-    return out
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -354,7 +366,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     orientation-invariant, so the SQL oracle can use the naive a<b
     three-way join and must agree exactly.
     """
-    o = orient_by_degree(edges).persist()
+    # checkpoint the (derived) edge list once: orientation consumes it
+    # four times (two degree projections + two marginal joins)
+    e0 = edges.select("src", "dst").localCheckpoint()
+    o = orient_by_degree(e0).persist()
     o1 = o.alias("o1")
     o2 = o.alias("o2")
     wedges = o1.join(o2, F.col("o1.dst") == F.col("o2.src")).select(
