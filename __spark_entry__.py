@@ -30,6 +30,7 @@ from pg_iui_ner_api_spark.functions.text import (
     token_count,
 )
 from pg_iui_ner_api_spark.operators import (
+    analytics as A,
     ann as ANN,
     dedup as D,
     graph as GR,
@@ -546,6 +547,73 @@ def _q_split_assign(spark, sf):
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational analytics (operators/analytics.py): as-of join, interval
+# range join, timeline window features, exact grouped quantiles, rollup,
+# pivot — each with an exact DuckDB twin.
+# ---------------------------------------------------------------------------
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _q_asof_join(spark, sf):
+    """As-of join: each purchase matched to the user's latest prior (or
+    simultaneous) click; ties on click ts -> greatest event_id."""
+    ev = _t(spark, sf, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = A.asof_join(
+        left, right, ["user_id"], right_cols=["event_id"], tiebreak="event_id"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("click_id"),
+        "matched_ts",
+        "gap_seconds",
+    )
+
+
+def _q_session_assign(spark, sf):
+    """Interval range join: every event assigned to its containing
+    session interval (sessions from the W1 sessionizer)."""
+    from pg_iui_ner_api_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    ts_sec = F.col("ts").cast("timestamp").cast("long")
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min(ts_sec).alias("s_start"), F.max(ts_sec).alias("s_end")
+    )
+    out = A.range_join(
+        iv, ev.select("event_id", "user_id", "ts"), ["user_id"], bucket_seconds=3600
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+def _q_window_funcs(spark, sf):
+    return A.timeline_features(_t(spark, sf, "events"))
+
+
+def _q_quantiles(spark, sf):
+    return A.grouped_quantiles(_t(spark, sf, "events"), "value", ["event_type"])
+
+
+def _q_rollup_rev(spark, sf):
+    return A.rollup_summary(
+        _t(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice"
+    )
+
+
+def _q_pivot_seg_prio(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    return A.pivot_counts(j, "c_mktsegment", "o_orderpriority", _PRIORITIES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "scan_project": _q_scan_project,
@@ -600,6 +668,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": _q_rep_stats,
         "pii_scrub": _q_pii_scrub,
         "split_assign": _q_split_assign,
+        "asof_join": _q_asof_join,
+        "session_assign": _q_session_assign,
+        "window_funcs": _q_window_funcs,
+        "quantiles": _q_quantiles,
+        "rollup_rev": _q_rollup_rev,
+        "pivot_seg_prio": _q_pivot_seg_prio,
     }
 
 
@@ -1142,5 +1216,94 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket < 9500 THEN 'dev'
                     ELSE 'test' END AS split
         FROM b
+    """
+    # asof_join twin: independent lateral-rank formulation (join + filter
+    # + row_number) of the same backward-inclusive, max-tiebreak as-of
+    # contract the union-window operator implements.
+    # (the operator's contract is SECOND-granularity positions — Spark's
+    # timestamp->long cast truncates — so the twin floors epochs before
+    # comparing/ranking rather than using full-precision ts)
+    sql["asof_join"] = """
+        WITH p AS (SELECT event_id, user_id,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+                   WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+              WHERE event_type = 'click'),
+        m AS (
+          SELECT p.event_id,
+                 c.event_id AS click_id,
+                 c.sec AS matched_ts,
+                 p.sec - c.sec AS gap_seconds,
+                 row_number() OVER (PARTITION BY p.event_id
+                                    ORDER BY c.sec DESC, c.event_id DESC) AS rn
+          FROM p JOIN c ON c.user_id = p.user_id AND c.sec <= p.sec
+        )
+        SELECT p.event_id, p.user_id, m.click_id, m.matched_ts, m.gap_seconds
+        FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+          ON m.event_id = p.event_id
+    """
+    # session_assign twin: the sessionize CTE (shared with sql["sessionize"])
+    # plus a plain inequality containment join — checks the bucket-expanded
+    # range_join against the naive formulation.
+    sql["session_assign"] = """
+        WITH marked AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+          SELECT user_id, ts,
+                 CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+          FROM marked
+        ), iv AS (
+          SELECT user_id, session_id,
+                 min(epoch(ts)) AS s_start, max(epoch(ts)) AS s_end
+          FROM sess GROUP BY user_id, session_id
+        )
+        SELECT e.event_id, e.user_id, iv.session_id
+        FROM events e JOIN iv ON iv.user_id = e.user_id
+         AND epoch(e.ts) >= iv.s_start AND epoch(e.ts) <= iv.s_end
+    """
+    sql["window_funcs"] = """
+        SELECT user_id, event_id, round(value, 6) AS value,
+               CAST(row_number() OVER w AS INT) AS seq,
+               round(lag(value) OVER w, 6) AS prev_value,
+               round(sum(value) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC
+                     ROWS UNBOUNDED PRECEDING), 6) AS run_sum,
+               round(avg(value) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """
+    # exact percentile with linear interpolation == quantile_cont
+    sql["quantiles"] = """
+        SELECT event_type, count(*) AS n,
+               round(quantile_cont(value, 0.25), 6) AS q25,
+               round(quantile_cont(value, 0.5), 6) AS q50,
+               round(quantile_cont(value, 0.75), 6) AS q75
+        FROM events GROUP BY event_type
+    """
+    sql["rollup_rev"] = """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS lvl
+        FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """
+    _pivot_cols = ",\n               ".join(
+        f"count(*) FILTER (WHERE o_orderpriority = '{p}') AS \"{p}\""
+        for p in _PRIORITIES
+    )
+    sql["pivot_seg_prio"] = f"""
+        SELECT c_mktsegment,
+               {_pivot_cols}
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """
     return sql

@@ -1,0 +1,276 @@
+"""Relational analytics operators Spark lacks as single primitives:
+as-of join, interval range join, per-key timeline features, exact
+grouped quantiles, rollup and pivot summaries.
+
+Provenance: the reference exposes its data through per-request REST
+lookups (/root/reference/src/routers/main_endpoints.py) and leaves
+time-relational analytics to the caller; a batch engine over the same
+corpus needs them as first-class, shuffle-aware operators. Each one is
+expressible in ANSI SQL, so the driver's DuckDB oracle checks it
+end-to-end.
+
+Scale notes (100 TB):
+- ``asof_join`` is the union-of-streams trick: ONE shuffle on the join
+  keys, two window sorts, no join explosion — the classic distributed
+  replacement for a per-key merge_asof. An equi-join + filter + argmax
+  formulation would shuffle |L|x|R per key| intermediate rows; this
+  shuffles |L|+|R|.
+- ``range_join`` expands intervals to coarse time buckets and
+  equi-joins on (key, bucket): the shuffle key is hash(key, bucket), so
+  long timelines spread across partitions instead of hot-keying, and
+  the residual containment filter runs map-side after the join. Bucket
+  width trades replication (interval rows duplicated per covered
+  bucket) against join selectivity; pick it near the p95 interval
+  length.
+- ``timeline_features`` / ``grouped_quantiles`` / ``rollup_summary`` /
+  ``pivot_counts`` are single-shuffle window/agg plans that Catalyst
+  keeps entirely in whole-stage codegen; ``pivot_counts`` requires an
+  explicit value list so the plan is a one-pass pivot aggregation
+  (no distinct-values pre-scan, which at 100 TB would be a second
+  full read).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _epoch(ts: Column) -> Column:
+    # TIMESTAMP_NTZ-safe epoch seconds (Spark 4 rejects NTZ -> BIGINT
+    # directly; NTZ -> TIMESTAMP -> BIGINT is legal).
+    return ts.cast("timestamp").cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tiebreak: str | None = None,
+    tolerance_seconds: int | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """LEFT as-of join: each left row gets the nearest right row at or
+    before (``backward``) / at or after (``forward``) its timestamp,
+    within the same ``keys``; unmatched left rows keep NULLs.
+
+    Tie rules (pinned by tests and the DuckDB oracle): a right row at
+    exactly the left timestamp matches (inclusive); among right rows
+    with equal timestamp the one with the greatest ``tiebreak`` wins
+    for ``backward`` (it is the latest in stream order), the smallest
+    for ``forward``.
+
+    Matched right columns come back as ``<col>_r`` plus
+    ``matched_ts`` (epoch seconds) and ``gap_seconds``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = list(keys)
+    right_cols = [c for c in right_cols if c not in keys]
+
+    payload = F.struct(
+        _epoch(F.col(right_ts)).alias("_rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    r = right.select(
+        *keys,
+        _epoch(F.col(right_ts)).alias("_pos"),
+        F.lit(0).alias("_is_left"),
+        payload.alias("_match"),
+        tb.alias("_tb"),
+    )
+    l = left.withColumn("_pos", _epoch(F.col(left_ts))).withColumn(
+        "_is_left", F.lit(1)
+    ).withColumn("_match", F.lit(None).cast(r.schema["_match"].dataType)).withColumn(
+        "_tb", F.lit(None).cast(r.schema["_tb"].dataType)
+    )
+    ev = l.unionByName(r, allowMissingColumns=True)
+
+    if direction == "backward":
+        # right rows sort before left at the same ts (inclusive match);
+        # among equal-ts right rows the max tiebreak sorts LAST so
+        # last(ignorenulls) picks it.
+        order = [
+            F.col("_pos").asc(),
+            F.col("_is_left").asc(),
+            F.col("_tb").asc_nulls_first(),
+        ]
+    else:
+        # descending stream: right rows at the same ts still sort before
+        # left; among equal-ts right rows the MIN tiebreak sorts last.
+        order = [
+            F.col("_pos").desc(),
+            F.col("_is_left").asc(),
+            F.col("_tb").desc_nulls_first(),
+        ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ev.withColumn("_m", F.last("_match", ignorenulls=True).over(w)).where(
+        F.col("_is_left") == 1
+    )
+    gap = (
+        (F.col("_pos") - F.col("_m._rts"))
+        if direction == "backward"
+        else (F.col("_m._rts") - F.col("_pos"))
+    )
+    if tolerance_seconds is not None:
+        out = out.withColumn(
+            "_m", F.when(gap <= tolerance_seconds, F.col("_m"))
+        )
+    out = out.select(
+        *[c for c in left.columns],
+        F.col("_m._rts").alias("matched_ts"),
+        *[F.col(f"_m.{c}").alias(f"{c}_r") for c in right_cols],
+    )
+    m_ts = F.col("matched_ts")
+    gap_out = (
+        (_epoch(F.col(left_ts)) - m_ts)
+        if direction == "backward"
+        else (m_ts - _epoch(F.col(left_ts)))
+    )
+    return out.withColumn("gap_seconds", gap_out)
+
+
+def range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    keys: Sequence[str],
+    start_col: str = "s_start",
+    end_col: str = "s_end",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-containment join: point row p matches interval row i of
+    the same ``keys`` when ``i.start <= p.ts <= i.end`` (inclusive both
+    ends; ``start_col``/``end_col`` are epoch seconds, ``ts_col`` a
+    timestamp).
+
+    Physical plan: intervals explode to the coarse time buckets they
+    cover (``sequence`` — in-row, no shuffle), points map to their one
+    bucket, then a single equi-join on (keys, bucket) + residual
+    containment filter. Each (interval, point) pair can only meet in
+    the point's single bucket, so no post-join distinct is needed.
+    """
+    keys = list(keys)
+    b = int(bucket_seconds)
+    iv = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / b).cast("long"),
+                (F.col(end_col) / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bkt", (_epoch(F.col(ts_col)) / b).cast("long"))
+    cond = [pt["_bkt"] == iv["_bkt"]] + [pt[k] == iv[k] for k in keys]
+    joined = pt.join(iv, cond, "inner").where(
+        (_epoch(pt[ts_col]) >= iv[start_col]) & (_epoch(pt[ts_col]) <= iv[end_col])
+    )
+    return joined.select(
+        *[pt[c] for c in points.columns],
+        *[iv[c] for c in intervals.columns if c not in keys],
+    )
+
+
+def timeline_features(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    ma_window: int = 3,
+) -> DataFrame:
+    """Per-key event-time features: previous value (lag), running sum,
+    trailing ``ma_window``-row moving average, and ordinal — one window
+    shuffle, fully codegen'd. The summation order is pinned by the
+    window sort, so the running sum is bit-reproducible across engines.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    wma = w.rowsBetween(-(ma_window - 1), Window.currentRow)
+    v = F.col(value_col)
+    return events.select(
+        key_col,
+        order_tiebreak,
+        F.round(v, 6).alias("value"),
+        F.row_number().over(w).alias("seq"),
+        F.round(F.lag(v).over(w), 6).alias("prev_value"),
+        F.round(F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)), 6).alias(
+            "run_sum"
+        ),
+        F.round(F.avg(v).over(wma), 6).alias("ma"),
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    approx: bool = False,
+) -> DataFrame:
+    """Exact (or approximate) grouped quantiles with linear
+    interpolation — `percentile` matches DuckDB's ``quantile_cont``.
+
+    ``approx=True`` switches to ``approx_percentile`` (t-digest-style
+    single-pass sketch): the 100 TB path, where an exact percentile
+    would buffer every group value. The exact variant is the oracle
+    surface; the approx variant's error is bounded by the accuracy knob
+    and pytest-checked against the exact one.
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    arr = "array(" + ", ".join(repr(float(q)) for q in qs) + ")"
+    agg = F.expr(f"{fn}({value_col}, {arr})")
+    cols = [
+        F.round(agg[i], 6).alias(f"q{int(q * 100):02d}") for i, q in enumerate(qs)
+    ]
+    return df.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"), *cols
+    )
+
+
+def rollup_summary(
+    df: DataFrame, dims: Sequence[str], value_col: str
+) -> DataFrame:
+    """ROLLUP over ``dims``: subtotal rows at every prefix level plus the
+    grand total (NULL dim = subtotal), one shuffle with partial
+    aggregation — the hypertable-rollup shape for hierarchical reports.
+    """
+    return (
+        df.rollup(*dims)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("total"),
+        )
+        .withColumn("lvl", sum(F.col(d).isNull().cast("int") for d in dims))
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_key: str,
+    pivot_col: str,
+    values: Sequence[str],
+) -> DataFrame:
+    """Counts of ``pivot_col`` values as columns per ``row_key``.
+
+    ``values`` is REQUIRED: with an explicit list the plan is one pivot
+    aggregation; without it Spark first runs a distinct scan over
+    ``pivot_col`` — a second full pass at 100 TB.
+    """
+    return (
+        df.groupBy(row_key)
+        .pivot(pivot_col, list(values))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(values))
+    )

@@ -1,0 +1,249 @@
+"""Relational-analytics operators (operators/analytics.py) vs
+independent brute-force oracles: as-of join, interval range join,
+timeline window features, exact/approx grouped quantiles, rollup,
+pivot. Same strategy as test_graph.py — small hand-built inputs whose
+expected outputs are computed with plain Python loops."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from pg_iui_ner_api_spark.operators import analytics as A
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(s):
+    return T0 + dt.timedelta(seconds=s)
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, secs_from_t0, kind, value)
+    return spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=u, ts=_ts(s), event_type=k, value=float(v))
+            for (i, u, s, k, v) in rows
+        ]
+    )
+
+
+ROWS = [
+    # user 1: clicks at 0, 100, 100 (dup ts, ids 2<3), purchase at 100, 400
+    (1, 1, 0, "click", 1.0),
+    (2, 1, 100, "click", 2.0),
+    (3, 1, 100, "click", 3.0),
+    (4, 1, 100, "purchase", 10.0),
+    (5, 1, 400, "purchase", 20.0),
+    # user 2: purchase before any click (no backward match), click after
+    (6, 2, 50, "purchase", 5.0),
+    (7, 2, 60, "click", 1.5),
+    # user 3: clicks only
+    (8, 3, 10, "click", 7.0),
+]
+
+
+def _brute_asof(rows, direction, tolerance=None):
+    out = {}
+    for (i, u, s, k, v) in rows:
+        if k != "purchase":
+            continue
+        cands = [
+            (cs, ci)
+            for (ci, cu, cs, ck, _) in rows
+            if ck == "click" and cu == u and (cs <= s if direction == "backward" else cs >= s)
+        ]
+        if direction == "backward":
+            best = max(cands, key=lambda t: (t[0], t[1]), default=None)
+        else:
+            best = min(cands, key=lambda t: (t[0], t[1]), default=None)
+        if best is not None and tolerance is not None and abs(best[0] - s) > tolerance:
+            best = None
+        out[i] = best  # (secs, click_id) or None
+    return out
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_bruteforce(spark, direction):
+    ev = _events(spark, ROWS)
+    left = ev.where(F.col("event_type") == "purchase")
+    right = ev.where(F.col("event_type") == "click")
+    got = {
+        r["event_id"]: (r["matched_ts"], r["event_id_r"])
+        for r in A.asof_join(
+            left, right, ["user_id"], right_cols=["event_id"], tiebreak="event_id",
+            direction=direction,
+        ).collect()
+    }
+    exp = _brute_asof(ROWS, direction)
+    assert set(got) == set(exp)
+    epoch0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    for eid, best in exp.items():
+        m_ts, m_id = got[eid]
+        if best is None:
+            assert m_ts is None and m_id is None
+        else:
+            assert m_id == best[1]
+            # matched_ts is epoch seconds of the matched click (session tz
+            # is UTC in get_spark, so the offset is exactly epoch0+secs)
+            assert m_ts == epoch0 + best[0]
+
+
+def test_asof_join_tolerance_nulls_far_matches(spark):
+    ev = _events(spark, ROWS)
+    left = ev.where(F.col("event_type") == "purchase")
+    right = ev.where(F.col("event_type") == "click")
+    got = {
+        r["event_id"]: r["event_id_r"]
+        for r in A.asof_join(
+            left, right, ["user_id"], right_cols=["event_id"],
+            tiebreak="event_id", tolerance_seconds=100,
+        ).collect()
+    }
+    exp = _brute_asof(ROWS, "backward", tolerance=100)
+    assert got == {k: (v[1] if v else None) for k, v in exp.items()}
+
+
+def test_asof_tie_rule_matches_duckdb(spark):
+    """The pinned tie rule (equal right ts -> max tiebreak for backward)
+    against an independent DuckDB lateral formulation."""
+    duckdb = pytest.importorskip("duckdb")
+    ev = _events(spark, ROWS)
+    left = ev.where(F.col("event_type") == "purchase")
+    right = ev.where(F.col("event_type") == "click")
+    got = sorted(
+        (r["event_id"], r["event_id_r"])
+        for r in A.asof_join(
+            left, right, ["user_id"], right_cols=["event_id"], tiebreak="event_id"
+        ).collect()
+    )
+    pdf = ev.toPandas()
+    con = duckdb.connect()
+    con.register("ev", pdf)
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        SELECT p.event_id,
+               (SELECT c.event_id FROM ev c
+                 WHERE c.event_type='click' AND c.user_id=p.user_id AND c.ts<=p.ts
+                 ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+        FROM ev p WHERE p.event_type='purchase'
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == exp
+
+
+def test_range_join_containment(spark):
+    iv = spark.createDataFrame(
+        [
+            Row(user_id=1, iv_id=10, s_start=100, s_end=200),
+            Row(user_id=1, iv_id=11, s_start=5000, s_end=90000),  # many buckets
+            Row(user_id=2, iv_id=20, s_start=0, s_end=50),
+        ]
+    )
+    pts = _events(
+        spark,
+        [
+            (1, 1, 100, "x", 0),   # boundary start -> iv 10
+            (2, 1, 200, "x", 0),   # boundary end -> iv 10
+            (3, 1, 201, "x", 0),   # outside
+            (4, 1, 80000, "x", 0), # inside long interval
+            (5, 2, 25, "x", 0),    # iv 20
+            (6, 3, 25, "x", 0),    # wrong key
+        ],
+    )
+    epoch0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    iv = iv.select(
+        "user_id", "iv_id",
+        (F.col("s_start") + epoch0).alias("s_start"),
+        (F.col("s_end") + epoch0).alias("s_end"),
+    )
+    got = sorted(
+        (r["event_id"], r["iv_id"])
+        for r in A.range_join(
+            iv, pts, ["user_id"], bucket_seconds=600
+        ).collect()
+    )
+    assert got == [(1, 10), (2, 10), (4, 11), (5, 20)]
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    # an interval covering many buckets must still match a point once
+    epoch0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    iv = spark.createDataFrame(
+        [Row(user_id=1, iv_id=1, s_start=epoch0, s_end=epoch0 + 100000)]
+    )
+    pts = _events(spark, [(1, 1, 3600, "x", 0)])
+    assert A.range_join(iv, pts, ["user_id"], bucket_seconds=60).count() == 1
+
+
+def test_timeline_features_bruteforce(spark):
+    ev = _events(spark, ROWS)
+    got = {
+        (r["user_id"], r["event_id"]): (
+            r["seq"], r["prev_value"], r["run_sum"], r["ma"]
+        )
+        for r in A.timeline_features(ev, ma_window=2).collect()
+    }
+    by_user = {}
+    for (i, u, s, k, v) in sorted(ROWS, key=lambda t: (t[1], t[2], t[0])):
+        by_user.setdefault(u, []).append((i, float(v)))
+    exp = {}
+    for u, evs in by_user.items():
+        run = 0.0
+        for n, (i, v) in enumerate(evs):
+            run += v
+            prev = evs[n - 1][1] if n else None
+            window = [x for _, x in evs[max(0, n - 1): n + 1]]
+            exp[(u, i)] = (n + 1, prev, round(run, 6), round(sum(window) / len(window), 6))
+    assert got == exp
+
+
+def test_grouped_quantiles_match_numpy(spark):
+    np = pytest.importorskip("numpy")
+    vals = [float(x) for x in [5, 1, 9, 3, 3, 7, 2, 8, 6, 4]]
+    df = spark.createDataFrame([Row(g="a", v=v) for v in vals])
+    row = A.grouped_quantiles(df, "v", ["g"]).collect()[0]
+    assert row["n"] == 10
+    for col, q in [("q25", 25), ("q50", 50), ("q75", 75)]:
+        assert row[col] == pytest.approx(float(np.percentile(vals, q)), abs=1e-6)
+
+
+def test_grouped_quantiles_approx_close_to_exact(spark):
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    exact = {r["g"]: r["q50"] for r in A.grouped_quantiles(df, "v", ["g"]).collect()}
+    approx = {
+        r["g"]: r["q50"]
+        for r in A.grouped_quantiles(df, "v", ["g"], approx=True).collect()
+    }
+    for g, e in exact.items():
+        assert abs(approx[g] - e) <= 5.0  # sketch error bound at default accuracy
+
+
+def test_rollup_summary_levels(spark):
+    df = spark.createDataFrame(
+        [Row(a="x", b="p", v=1.0), Row(a="x", b="q", v=2.0), Row(a="y", b="p", v=4.0)]
+    )
+    rows = {
+        (r["a"], r["b"]): (r["n"], r["total"], r["lvl"])
+        for r in A.rollup_summary(df, ["a", "b"], "v").collect()
+    }
+    assert rows[("x", "p")] == (1, 1.0, 0)
+    assert rows[("x", None)] == (2, 3.0, 1)
+    assert rows[("y", None)] == (1, 4.0, 1)
+    assert rows[(None, None)] == (3, 7.0, 2)
+    assert len(rows) == 6
+
+
+def test_pivot_counts(spark):
+    df = spark.createDataFrame(
+        [Row(k="u1", t="a"), Row(k="u1", t="a"), Row(k="u1", t="b"), Row(k="u2", t="b")]
+    )
+    got = {r["k"]: (r["a"], r["b"]) for r in A.pivot_counts(df, "k", "t", ["a", "b"]).collect()}
+    assert got == {"u1": (2, 1), "u2": (0, 1)}

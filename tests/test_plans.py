@@ -154,3 +154,49 @@ def test_media_geometry_prunes_documents_scan(spark, tmp_path):
         plan = _plan(E.queries()[key](spark, str(tmp_path)))
         assert "ReadSchema: struct<doc_id:bigint>" in plan, plan
         assert "Exchange" not in plan, plan
+
+
+def test_asof_join_single_exchange(spark):
+    """The union-window as-of join must shuffle ONCE on the join keys —
+    the whole point of the union trick vs a join+argmax (which pays a
+    join shuffle AND an aggregation shuffle)."""
+    import datetime as dt
+
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    rows = [
+        (i, i % 3, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), "click", 1.0)
+        for i in range(30)
+    ]
+    ev = spark.createDataFrame(
+        rows, schema=["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    out = A.asof_join(
+        ev, ev, ["user_id"], right_cols=["event_id"], tiebreak="event_id"
+    )
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1].splitlines()[0]
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """Bucket expansion must turn interval containment into an equi-join:
+    no BroadcastNestedLoopJoin / CartesianProduct in the plan."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    iv = spark.createDataFrame(
+        [Row(user_id=i % 3, iv_id=i, s_start=i * 100, s_end=i * 100 + 50) for i in range(10)]
+    )
+    pts = spark.createDataFrame(
+        [
+            Row(event_id=i, user_id=i % 3, ts=dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i))
+            for i in range(10)
+        ]
+    )
+    plan = _plan(A.range_join(iv, pts, ["user_id"], bucket_seconds=600))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "Join" in plan
