@@ -292,6 +292,12 @@ def _q_minhash_pairs(spark, sf):  # rows-only (LSH banding SQL is impractical)
     )
 
 
+def _q_fuzzy_dedup(spark, sf):
+    # composite curation op: LSH pairs -> connected components ->
+    # min-doc_id representative; full DuckDB recursive-CTE oracle
+    return D.fuzzy_dedup(_t(spark, sf, "documents"), num_hashes=8, bands=4)
+
+
 def _q_simhash(spark, sf):
     return D.simhash(_t(spark, sf, "documents"), bits=16)
 
@@ -642,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
         "jaccard_verified": _q_jaccard_verified,
+        "fuzzy_dedup": _q_fuzzy_dedup,
         "minhash_sig": _q_minhash_sig,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
@@ -888,6 +895,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT da, db, round(c / (sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
         FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.2
+    """
+    # fuzzy_dedup twin: the same LSH candidate pairs, then transitive
+    # closure (recursive CTE) for clusters, min doc_id as representative;
+    # docs outside the pair graph keep themselves.
+    sql["fuzzy_dedup"] = f"""
+        WITH RECURSIVE {_lsh_cands},
+        edges AS (
+          SELECT da AS u, db AS v FROM cands
+          UNION SELECT db AS u, da AS v FROM cands
+        ),
+        reach AS (
+          SELECT DISTINCT u AS node, u AS r FROM edges
+          UNION
+          SELECT reach.node, edges.v AS r
+          FROM reach JOIN edges ON reach.r = edges.u
+        ),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(comp.cluster, d.doc_id) AS cluster_id,
+               coalesce(comp.cluster, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
     """
     h_t = _H.format(x="t")
     sql["simhash"] = f"""

@@ -155,3 +155,60 @@ def test_simhash_near_pairs_matches_brute_force(spark):
     assert got == want
     # Hamming-0-only groups miss the near (distance 1..k) pairs
     assert any(h > 0 for h in want.values())
+
+
+def test_fuzzy_dedup_transitive_clusters(spark):
+    """fuzzy_dedup == union-find over the operator's own LSH pairs,
+    verified with an independent pure-Python union-find; transitivity
+    (A~B, B~C => one cluster even if A,C share no band) must hold."""
+    # chain of near-identical docs: each differs from the next by one token
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = []
+    for i in range(4):
+        w = list(base)
+        w[0] = f"tok{i}"          # drift accumulates along the chain
+        w[min(i, len(w) - 1)] = f"tok{i}"
+        docs.append((i, " ".join(w)))
+    docs += [(10, "entirely different content about query engines"),
+             (11, "another unrelated standalone document entirely")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    pairs = {(r["da"], r["db"])
+             for r in D.minhash_lsh_pairs(df, num_hashes=8, bands=4).collect()}
+    parent = {i: i for i, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i, _ in docs}
+
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in D.fuzzy_dedup(df, num_hashes=8, bands=4).collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert all(keep == (cid == d) for d, (cid, keep) in got.items())
+    # the chain must actually have collapsed transitively (>=3 docs in
+    # cluster 0) and the unrelated docs must keep themselves
+    assert sum(1 for c, _ in got.values() if c == 0) >= 3
+    assert got[10] == (10, True) and got[11] == (11, True)
+
+
+def test_fuzzy_dedup_verified_threshold_prunes(spark):
+    """threshold= routes candidates through exact-Jaccard verify: a band
+    collision below the threshold must NOT merge clusters."""
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different words appear in this document here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in D.fuzzy_dedup(df, num_hashes=8, bands=4,
+                                  threshold=0.8).collect()}
+    assert got == {0: 0, 1: 0, 2: 2}
