@@ -234,6 +234,17 @@ def _q_fingerprint(spark, sf):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+_BM25_TERMS = ["merge", "spark", "vector"]
+
+
+def _q_bm25(spark, sf):
+    from pg_iui_ner_api_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        spread(_t(spark, sf, "documents")), _BM25_TERMS, k=25
+    )
+
+
 def _q_token_stats(spark, sf):
     d = spread(_t(spark, sf, "documents"))
     return d.select(
@@ -644,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "doc_fingerprint": _q_fingerprint,
         "token_stats": _q_token_stats,
+        "bm25": _q_bm25,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -805,6 +817,35 @@ def oracle_sql() -> dict[str, str]:
         "p -> greatest(1, CAST(ceil(len(p) / 4.0) AS INT)))) AS INT) AS n_pieces "
         "FROM documents"
     )
+    # bm25 twin: constants rendered with repr() of the SAME Python doubles
+    # the operator uses and term order identical (operator sorts terms),
+    # so every float op evaluates bit-identically in both engines
+    _k1, _bb = 1.2, 0.75
+    _bm_toks = _TOKS.format(x=_NORM.format(x="text"))
+    _tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    _df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    _contrib = " + ".join(
+        f"(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * {_k1 + 1.0!r}) / (tf{i} + {_k1!r} * ({1.0 - _bb!r} + {_bb!r} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    _match = "greatest(" + ", ".join(f"tf{i}" for i in range(len(_BM25_TERMS))) + ") > 0"
+    sql["bm25"] = f"""
+        WITH t AS (SELECT doc_id, {_bm_toks} AS toks FROM documents),
+        base AS (SELECT doc_id, len(toks) AS dl, {_tf_cols} FROM t),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl, {_df_cols} FROM base)
+        SELECT doc_id, round({_contrib}, 6) AS score
+        FROM base CROSS JOIN stats
+        WHERE {_match}
+        ORDER BY ({_contrib}) DESC, doc_id ASC
+        LIMIT 25
+    """
     sql["quality_score"] = (
         "WITH q AS (SELECT doc_id, text, "
         "  (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))"

@@ -1,0 +1,71 @@
+"""BM25 search vs an independent pure-Python oracle."""
+
+import math
+import re
+
+import pytest
+
+from pg_iui_ner_api_spark.operators.search import bm25_scores, bm25_topk
+
+DOCS = [
+    (0, "spark shuffle join spark spark"),
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "Spark  SQL window functions and JOIN strategies"),
+    (3, "an unrelated document about nothing in particular"),
+    (4, "join join join join join join join join join join"),
+    (5, "spark"),
+]
+TERMS = ["spark", "join"]
+K1, B = 1.2, 0.75
+
+
+def _py_bm25():
+    toks = {
+        d: re.sub(r"\s+", " ", t).strip().lower().split(" ") for d, t in DOCS
+    }
+    n = len(DOCS)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {t: sum(1 for v in toks.values() if t in v) for t in TERMS}
+    out = {}
+    for d, v in toks.items():
+        s = 0.0
+        hit = False
+        for t in sorted(TERMS):
+            tf = v.count(t)
+            hit = hit or tf > 0
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (K1 + 1)) / (tf + K1 * (1 - B + B * len(v) / avgdl))
+        if hit:
+            out[d] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_scores_match_python_oracle(docs_df):
+    want = _py_bm25()
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_scores(docs_df, TERMS, k1=K1, b=B).collect()}
+    assert set(got) == set(want)          # only matching docs emitted
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12)
+    # more occurrences of a rarer term must not be beaten by a doc with
+    # none of it: doc 0 (3x spark + no join) vs doc 3 (no match)
+    assert 3 not in got
+
+
+def test_bm25_topk_order_and_cutoff(docs_df):
+    want = _py_bm25()
+    order = sorted(want, key=lambda d: (-want[d], d))[:3]
+    got = bm25_topk(docs_df, TERMS, k=3, k1=K1, b=B).collect()
+    assert [r["doc_id"] for r in got] == order
+    assert all(r["score"] == pytest.approx(round(want[r["doc_id"]], 6))
+               for r in got)
+
+
+def test_bm25_rejects_empty_query(docs_df):
+    with pytest.raises(ValueError):
+        bm25_scores(docs_df, [])
