@@ -553,6 +553,28 @@ def _q_pii_scrub(spark, sf):
     )
 
 
+_STRAT_FRACS = {"en": 0.3, "zh": 0.8, "de": 0.5}
+
+
+def _q_stratified_sample(spark, sf):
+    from pg_iui_ner_api_spark.functions.text import stratified_keep
+
+    d = spread(_t(spark, sf, "documents"))
+    return d.where(
+        stratified_keep(F.col("doc_id"), F.col("lang"), _STRAT_FRACS,
+                        default_frac=0.1)
+    ).select("doc_id", "lang")
+
+
+def _q_topk_group(spark, sf):
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return A.topk_per_group(
+        o, ["o_orderpriority"], "o_totalprice", k=3, tiebreak="o_orderkey"
+    )
+
+
 def _q_split_assign(spark, sf):
     from pg_iui_ner_api_spark.functions.text import dataset_split, split_bucket
 
@@ -687,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": _q_rep_stats,
         "pii_scrub": _q_pii_scrub,
         "split_assign": _q_split_assign,
+        "stratified_sample": _q_stratified_sample,
+        "topk_group": _q_topk_group,
         "asof_join": _q_asof_join,
         "session_assign": _q_session_assign,
         "window_funcs": _q_window_funcs,
@@ -1285,6 +1309,25 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket < 9500 THEN 'dev'
                     ELSE 'test' END AS split
         FROM b
+    """
+    # stratified_sample twin: same salted md5 bucket, thresholds from the
+    # SAME fracs dict (int(frac*buckets), matching the operator's floor)
+    _sbucket = _H.format(x="'strat:' || CAST(doc_id AS VARCHAR)") + " % 10000"
+    _scase = "CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN {int(f * 10000)}"
+        for s, f in sorted(_STRAT_FRACS.items())
+    ) + " ELSE 1000 END"
+    sql["stratified_sample"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_sbucket} < {_scase}
+    """
+    sql["topk_group"] = """
+        SELECT o_orderkey, o_orderpriority, o_totalprice, rank FROM (
+          SELECT o_orderkey, o_orderpriority, o_totalprice,
+                 CAST(row_number() OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rank
+          FROM orders)
+        WHERE rank <= 3
     """
     # asof_join twin: independent lateral-rank formulation (join + filter
     # + row_number) of the same backward-inclusive, max-tiebreak as-of

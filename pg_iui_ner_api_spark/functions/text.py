@@ -263,6 +263,33 @@ def dataset_split(
     )
 
 
+def stratified_keep(
+    id_c: Column,
+    stratum_c: Column,
+    fracs: dict[str, float],
+    default_frac: float = 0.0,
+    salt: str = "strat",
+    buckets: int = SPLIT_BUCKETS,
+) -> Column:
+    """Deterministic stratified-sampling predicate: keep a row when its
+    identity-hash bucket falls below its stratum's fraction — the
+    training-mix resampler (e.g. downweight a dominant language/source).
+
+    Identity-hashed, not random: the sample is stable across reruns,
+    repartitioning, and incremental appends (a doc's fate never changes
+    when the corpus grows — unlike ``df.sample``, whose per-partition
+    RNG reshuffles membership on any repartition). ``salt`` decorrelates
+    the bucket from ``dataset_split``'s so sampling doesn't bias splits.
+    In-row column algebra — at 100 TB this is a pushdown-friendly
+    filter, no shuffle, no RNG state.
+    """
+    b = split_bucket(F.concat(F.lit(salt + ":"), id_c.cast("string")), buckets)
+    thresh: Column = F.lit(int(default_frac * buckets))
+    for s, frac in sorted(fracs.items()):
+        thresh = F.when(stratum_c == s, F.lit(int(frac * buckets))).otherwise(thresh)
+    return b < thresh
+
+
 def shingles(c: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles -> array<string>.
 

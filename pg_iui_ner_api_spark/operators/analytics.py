@@ -256,6 +256,32 @@ def rollup_summary(
     )
 
 
+def topk_per_group(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    order_col: str,
+    k: int,
+    tiebreak: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-``k`` rows per group by ``order_col`` (``tiebreak`` pins a
+    total order so results are deterministic across engines).
+
+    One window shuffle on the group keys; the rank filter runs streaming
+    inside the window sort, so only k rows per group survive the
+    operator — Spark 3.5+ additionally pushes a per-partition
+    WindowGroupLimit BELOW the shuffle (top-k rows per group per map
+    task cross the wire, not whole groups).
+    """
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [oc] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*[F.col(c) for c in part_cols]).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def pivot_counts(
     df: DataFrame,
     row_key: str,

@@ -247,3 +247,19 @@ def test_pivot_counts(spark):
     )
     got = {r["k"]: (r["a"], r["b"]) for r in A.pivot_counts(df, "k", "t", ["a", "b"]).collect()}
     assert got == {"u1": (2, 1), "u2": (0, 1)}
+
+
+def test_topk_per_group_matches_python(spark):
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    rows = [(i, f"g{i % 4}", float((i * 7) % 23)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {(r["grp"], r["rank"]): r["id"]
+           for r in A.topk_per_group(df, ["grp"], "v", k=3, tiebreak="id").collect()}
+    by_grp = {}
+    for i, g, v in rows:
+        by_grp.setdefault(g, []).append((-v, i))
+    want = {(g, rk + 1): i
+            for g, vs in by_grp.items()
+            for rk, (_, i) in enumerate(sorted(vs)[:3])}
+    assert got == want

@@ -191,3 +191,30 @@ def test_dataset_split_deterministic_and_proportional(spark):
     for _, (b, s) in rows.items():
         want = "train" if b < 9000 else ("dev" if b < 9500 else "test")
         assert s == want
+
+
+def test_stratified_keep_deterministic_and_proportional(spark):
+    from pg_iui_ner_api_spark.functions.text import stratified_keep
+    from pyspark.sql import functions as F
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    pred = stratified_keep(
+        F.col("doc_id"), F.col("stratum"), {"a": 0.5, "b": 0.1}, default_frac=0.9
+    )
+    kept1 = {r["doc_id"] for r in df.where(pred).collect()}
+    # deterministic: same predicate over a repartitioned frame -> same set
+    kept2 = {r["doc_id"] for r in df.repartition(7).where(pred).collect()}
+    assert kept1 == kept2
+    # append-stable: a doc's fate is unchanged when the corpus grows
+    bigger = spark.createDataFrame(
+        rows + [(i, "a") for i in range(3000, 6000)], "doc_id long, stratum string"
+    )
+    kept3 = {r["doc_id"] for r in bigger.where(pred).collect()}
+    assert kept1 == {d for d in kept3 if d < 3000}
+    # proportions land near the per-stratum fractions
+    per = {s: sum(1 for d in kept1 if d % 3 == i) / 1000
+           for i, s in enumerate(["a", "b", "c"])}
+    assert abs(per["a"] - 0.5) < 0.06
+    assert abs(per["b"] - 0.1) < 0.04
+    assert abs(per["c"] - 0.9) < 0.04
