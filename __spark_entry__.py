@@ -327,6 +327,14 @@ def _q_embedding_near_dup(spark, sf):
     )
 
 
+def _q_semantic_dedup(spark, sf):
+    # SemDeDup composite: cosine near-dup pairs -> components ->
+    # representative; planes=0 keeps the exact variant the oracle can do
+    return D.semantic_dedup(
+        _t(spark, sf, "embeddings"), threshold=0.5, planes=0
+    )
+
+
 def _q_ann_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 3).select(
@@ -688,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_near": _q_simhash_near,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_trained": _q_ann_ivf_trained,
@@ -1017,6 +1026,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS va, b.vec_id AS vb, round({_cos}, 6) AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {_cos} >= 0.5
+    """
+    # semantic_dedup twin: the same exact cosine pairs, then the same
+    # recursive-closure clustering as fuzzy_dedup's twin
+    sql["semantic_dedup"] = f"""
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE {_cos} >= 0.5
+        ),
+        edges AS (
+          SELECT va AS u, vb AS v FROM pairs
+          UNION SELECT vb AS u, va AS v FROM pairs
+        ),
+        reach AS (
+          SELECT DISTINCT u AS node, u AS r FROM edges
+          UNION
+          SELECT reach.node, edges.v AS r
+          FROM reach JOIN edges ON reach.r = edges.u
+        ),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+        SELECT e.vec_id,
+               coalesce(comp.cluster, e.vec_id) AS cluster_id,
+               coalesce(comp.cluster, e.vec_id) = e.vec_id AS keep
+        FROM embeddings e LEFT JOIN comp ON comp.node = e.vec_id
     """
     _qcos = _cos.replace("a.embedding", "q.embedding").replace("b.embedding", "v.embedding")
     sql["ann_topk"] = f"""

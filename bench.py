@@ -196,6 +196,8 @@ def _headline(spark) -> dict[str, float]:
         # r3 additions: KG graph analytics + curation (keys are additive —
         # earlier rounds simply lack them)
         "graph_pagerank", "graph_pmi", "rep_stats", "split_assign",
+        # late-r3 additions: relational analytics + search + composite dedup
+        "asof_join", "window_funcs", "bm25", "fuzzy_dedup", "topk_group",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

@@ -321,25 +321,52 @@ def fuzzy_dedup(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
             docs, num_hashes=num_hashes, bands=bands, n=n,
             id_col=id_col, text_col=text_col,
         )
+    return _cluster_keep(docs, pairs, "da", "db", id_col)
+
+
+def _cluster_keep(rows: DataFrame, pairs: DataFrame, a_col: str, b_col: str,
+                  id_col: str) -> DataFrame:
+    """Near-dup pair list -> per-row (id, cluster_id, keep): connected
+    components over the pair graph, min-id representative, rows outside
+    the graph keep themselves. Shared tail of fuzzy_dedup/semantic_dedup:
+    the component map joins back on the 8-byte id, payloads never move."""
     from .components import connected_components
 
     comp = connected_components(
         pairs.select(
-            F.col("da").cast("long").alias("u"),
-            F.col("db").cast("long").alias("v"),
+            F.col(a_col).cast("long").alias("u"),
+            F.col(b_col).cast("long").alias("v"),
         )
     )
-    out = docs.select(F.col(id_col).alias("doc_id")).join(
-        comp.withColumnsRenamed({"node": "doc_id", "component": "_c"}),
-        "doc_id",
+    out = rows.select(F.col(id_col).alias(id_col)).join(
+        comp.withColumnsRenamed({"node": id_col, "component": "_c"}),
+        id_col,
         "left",
     )
-    cluster = F.coalesce(F.col("_c"), F.col("doc_id"))
+    cluster = F.coalesce(F.col("_c"), F.col(id_col))
     return out.select(
-        "doc_id",
+        id_col,
         cluster.alias("cluster_id"),
-        (cluster == F.col("doc_id")).alias("keep"),
+        (cluster == F.col(id_col)).alias("keep"),
     )
+
+
+def semantic_dedup(embs: DataFrame, threshold: float = 0.95,
+                   planes: int = 8, dim: int = 64,
+                   id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """SemDeDup-shape semantic deduplication: embedding-cosine near-dup
+    pairs (sign-LSH blocked for scale; ``planes=0`` = exact oracle
+    variant) → connected components → min-id representative per
+    semantic cluster. Returns ``(vec_id, cluster_id, keep)``.
+
+    The lexical twin is ``fuzzy_dedup`` (shingle MinHash); this one
+    collapses paraphrases and re-encodings that share no n-grams. Same
+    100 TB shape: the pair graph is O(near-dup rows), the join back to
+    the corpus carries only ids, and embeddings never shuffle past the
+    blocked pair join.
+    """
+    pairs = embedding_near_dups(embs, threshold, id_col, emb_col, planes, dim)
+    return _cluster_keep(embs, pairs, "va", "vb", id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -212,3 +212,46 @@ def test_fuzzy_dedup_verified_threshold_prunes(spark):
            for r in D.fuzzy_dedup(df, num_hashes=8, bands=4,
                                   threshold=0.8).collect()}
     assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_semantic_dedup_clusters_paraphrase_vectors(spark):
+    """Exact variant vs a pure-Python cosine+union-find oracle; vectors
+    3,4 are near-dups of each other but share nothing with 0-2."""
+    import itertools
+    import math
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],
+        1: [0.99, 0.1, 0.0, 0.0],      # near 0
+        2: [0.97, 0.2, 0.05, 0.0],     # near 0 and 1
+        3: [0.0, 0.0, 1.0, 0.0],
+        4: [0.0, 0.05, 0.99, 0.0],     # near 3
+        5: [0.0, 1.0, 0.0, 0.3],       # isolated
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    parent = {k: k for k in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        if cos(vecs[a], vecs[b]) >= 0.95:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {k: find(k) for k in vecs}
+
+    got = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in
+           D.semantic_dedup(df, threshold=0.95, planes=0).collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    assert want[1] == 0 and want[4] == 3 and want[5] == 5  # oracle sanity
+    assert all(keep == (cid == k) for k, (cid, keep) in got.items())
