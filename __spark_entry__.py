@@ -655,6 +655,18 @@ def _q_rollup_rev(spark, sf):
     )
 
 
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_orderdate"]
+
+
+def _q_profile(spark, sf):
+    # exact variant for the oracle (string/int/date cols only: their
+    # string casts format identically in Spark and DuckDB)
+    return A.profile_table(
+        _t(spark, sf, "orders"), _PROFILE_COLS, approx=False
+    )
+
+
 def _q_pivot_seg_prio(spark, sf):
     o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
     j = o.join(c, o.o_custkey == c.c_custkey)
@@ -726,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": _q_quantiles,
         "rollup_rev": _q_rollup_rev,
         "pivot_seg_prio": _q_pivot_seg_prio,
+        "profile": _q_profile,
     }
 
 
@@ -1441,6 +1454,14 @@ def oracle_sql() -> dict[str, str]:
                 + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS lvl
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """
+    _prof_rows = "\n        UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+        f"count({c}) AS n_nonnull, count(DISTINCT {c}) AS n_distinct, "
+        f"CAST(min({c}) AS VARCHAR) AS min_val, "
+        f"CAST(max({c}) AS VARCHAR) AS max_val FROM orders"
+        for c in _PROFILE_COLS
+    )
+    sql["profile"] = _prof_rows
     _pivot_cols = ",\n               ".join(
         f"count(*) FILTER (WHERE o_orderpriority = '{p}') AS \"{p}\""
         for p in _PRIORITIES

@@ -256,6 +256,56 @@ def rollup_summary(
     )
 
 
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx: bool = True,
+) -> DataFrame:
+    """Per-column data-quality profile in ONE pass: row count, non-null
+    count, distinct count, min and max (as strings) — the ingest-QA op
+    a pipeline runs before trusting a new corpus drop.
+
+    All stats aggregate into a single row, then unpivot to long format
+    (``column, n_rows, n_nonnull, n_distinct, min_val, max_val``) with
+    an in-row stack over that one row — one scan, one (single-row)
+    aggregation, no per-column jobs.
+
+    ``approx=True`` (default — the 100 TB path) uses
+    ``approx_count_distinct`` (HyperLogLog++, one pass, mergeable
+    partials); ``approx=False`` is the exact oracle surface — Spark
+    plans multi-column exact distincts via Expand (rows × columns
+    blow-up before the shuffle), which is exactly why the sketch is the
+    default at scale.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    nd = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            nd(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("_n").alias("n_rows"),
+                    F.col(f"_nn_{c}").alias("n_nonnull"),
+                    F.col(f"_nd_{c}").alias("n_distinct"),
+                    F.col(f"_min_{c}").alias("min_val"),
+                    F.col(f"_max_{c}").alias("max_val"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return one.select(stacked.alias("p")).select("p.*")
+
+
 def topk_per_group(
     df: DataFrame,
     part_cols: Sequence[str],

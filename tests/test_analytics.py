@@ -263,3 +263,23 @@ def test_topk_per_group_matches_python(spark):
             for g, vs in by_grp.items()
             for rk, (_, i) in enumerate(sorted(vs)[:3])}
     assert got == want
+
+
+def test_profile_table_exact_and_approx(spark):
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    rows = [(i, f"v{i % 5}" if i % 7 else None, float(i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, s string, v double")
+    got = {r["column"]: r for r in
+           A.profile_table(df, approx=False).collect()}
+    assert got["id"]["n_rows"] == 200 and got["id"]["n_nonnull"] == 200
+    assert got["id"]["n_distinct"] == 200
+    assert got["id"]["min_val"] == "0" and got["id"]["max_val"] == "199"
+    nulls = sum(1 for _, s, _ in rows if s is None)
+    assert got["s"]["n_nonnull"] == 200 - nulls
+    assert got["s"]["n_distinct"] == 5
+    assert got["v"]["min_val"] == "0.0" and got["v"]["max_val"] == "2.0"
+    # approx: HLL distinct within its error bound; other stats exact
+    ap = {r["column"]: r for r in A.profile_table(df).collect()}
+    assert ap["s"]["n_nonnull"] == 200 - nulls
+    assert abs(ap["id"]["n_distinct"] - 200) <= 10
