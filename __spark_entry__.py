@@ -36,6 +36,7 @@ from pg_iui_ner_api_spark.operators import (
     graph as GR,
     media as M,
     ner as N,
+    similarity as SIM,
 )
 from pg_iui_ner_api_spark.plans.pipeline import run_kg_pipeline
 from pg_iui_ner_api_spark import synth
@@ -324,6 +325,19 @@ def _q_simhash_near(spark, sf):
 def _q_embedding_near_dup(spark, sf):
     return D.embedding_near_dups(
         _t(spark, sf, "embeddings"), threshold=0.5, planes=0
+    )
+
+
+def _q_fuzzy_join(spark, sf):
+    # typo-tolerant self-join over customer names via the SymSpell-style
+    # deletion-neighborhood equi-join; oracle is an INDEPENDENT
+    # brute-force theta-join, so it also pins the trick's recall
+    c = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    out = SIM.edit_distance_pairs(
+        c, c, "c_name", "c_name", "c_custkey", "c_custkey"
+    )
+    return out.where(F.col("lid") < F.col("rid")).select(
+        F.col("lid").alias("ka"), F.col("rid").alias("kb"), "dist"
     )
 
 
@@ -709,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": _q_simhash_near,
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
+        "fuzzy_join": _q_fuzzy_join,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_trained": _q_ann_ivf_trained,
@@ -1039,6 +1054,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS va, b.vec_id AS vb, round({_cos}, 6) AS cos
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE {_cos} >= 0.5
+    """
+    # fuzzy_join twin: deliberately the naive theta-join + levenshtein —
+    # an independent formulation that doubles as a recall proof for the
+    # deletion-neighborhood trick
+    sql["fuzzy_join"] = """
+        SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+               CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
     """
     # semantic_dedup twin: the same exact cosine pairs, then the same
     # recursive-closure clustering as fuzzy_dedup's twin

@@ -66,6 +66,65 @@ def salted_block_edges(df: DataFrame, block_col: str, id_col: str,
     return star.union(bridge)
 
 
+def _deletion_variants(s, max_len: int = 64):
+    """In-row deletion neighborhood of a string Column: the string plus
+    every single-character deletion (distinct). Strings longer than
+    ``max_len`` contribute only themselves (bounds variant fan-out for
+    pathological inputs; aliases/surface forms are short)."""
+    trunc_guard = F.length(s) <= max_len
+    dels = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+        lambda i: F.concat(
+            F.substring(s, F.lit(1), i - 1),
+            F.substring(s, i + 1, F.length(s)),
+        ),
+    )
+    return F.array_distinct(
+        F.when(trunc_guard, F.concat(F.array(s), dels)).otherwise(F.array(s))
+    )
+
+
+def edit_distance_pairs(left: DataFrame, right: DataFrame,
+                        left_col: str, right_col: str,
+                        left_id: str, right_id: str,
+                        max_dist: int = 1) -> DataFrame:
+    """Typo-tolerant string join: (left_id, right_id, dist) for every
+    pair with ``levenshtein <= max_dist`` — the fuzzy generalization of
+    the exact broadcast alias-candidate join (operators/linking.py;
+    reference analogue is the exact-match registry lookup,
+    /root/reference/src/utils/crud.py:96-111).
+
+    Physical plan (SymSpell-style deletion-neighborhood join): each side
+    expands IN-ROW to its single-character-deletion variants, the sides
+    equi-join on the variant, and survivors are verified with the exact
+    ``levenshtein``. For ``max_dist=1`` the deletion neighborhood is a
+    complete cover (any edit-distance-1 pair shares a variant), so
+    recall is exactly 1.0 — pinned against a brute-force oracle in
+    tests. At 100 TB this is |s|+1 variants per row and ONE equi-join
+    shuffle on short strings — never an all-pairs product, never a
+    theta-join. Only ``max_dist=1`` is supported (deeper neighborhoods
+    grow combinatorially; compose with blocking for coarser matching).
+    """
+    if max_dist != 1:
+        raise ValueError("edit_distance_pairs supports max_dist=1 only")
+    l = left.select(
+        F.col(left_id).alias("lid"), F.col(left_col).alias("ls"),
+        F.explode(_deletion_variants(F.col(left_col))).alias("var"),
+    )
+    r = right.select(
+        F.col(right_id).alias("rid"), F.col(right_col).alias("rs"),
+        F.explode(_deletion_variants(F.col(right_col))).alias("var"),
+    )
+    return (
+        l.join(r, "var")
+        .select("lid", "rid", "ls", "rs")
+        .distinct()
+        .withColumn("dist", F.levenshtein("ls", "rs"))
+        .where(F.col("dist") <= max_dist)
+        .select("lid", "rid", "dist")
+    )
+
+
 def blocked_pair_edges(df: DataFrame, block_col: str, id_col: str,
                        max_block: int = 10_000) -> tuple[DataFrame, DataFrame]:
     """Complete within-block pairs (a < b) for blocks of tolerable size.

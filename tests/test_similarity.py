@@ -48,3 +48,42 @@ def test_blocked_pairs_complete_and_reported(spark):
     assert got == {("a", "b"), ("a", "c"), ("b", "c")}
     d = dropped.collect()
     assert len(d) == 1 and d[0]["b"] == "big" and d[0]["n"] == 4
+
+
+def test_edit_distance_pairs_recall_vs_brute_force(spark):
+    """Deletion-neighborhood join must find EXACTLY the brute-force
+    levenshtein<=1 pairs (complete cover => recall 1.0)."""
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    names = ["acme", "acmee", "acne", "ace", "zenith", "zenit", "zzz",
+             "", "a", "b", "ab"]
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    from pg_iui_ner_api_spark.operators.similarity import edit_distance_pairs
+
+    got = {(r["lid"], r["rid"]): r["dist"]
+           for r in edit_distance_pairs(df, df, "s", "s", "id", "id").collect()
+           if r["lid"] < r["rid"]}
+    want = {(a, b): lev(names[a], names[b])
+            for a, b in itertools.combinations(range(len(names)), 2)
+            if lev(names[a], names[b]) <= 1}
+    assert got == want
+    assert want  # non-trivial: some distance-1 pairs exist
+
+
+def test_edit_distance_pairs_rejects_deeper_radius(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    from pg_iui_ner_api_spark.operators.similarity import edit_distance_pairs
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        edit_distance_pairs(df, df, "s", "s", "id", "id", max_dist=2)
