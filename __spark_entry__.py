@@ -663,6 +663,28 @@ def _q_quantiles(spark, sf):
     return A.grouped_quantiles(_t(spark, sf, "events"), "value", ["event_type"])
 
 
+_FUNNEL_STEPS = ["signup", "click", "purchase"]
+
+
+def _q_funnel(spark, sf):
+    return A.funnel(_t(spark, sf, "events"), _FUNNEL_STEPS).select(
+        F.col("user").alias("user_id"), "stages", "t_final"
+    )
+
+
+def _q_histogram(spark, sf):
+    return A.histogram(
+        _t(spark, sf, "events"), "value", ["event_type"],
+        bins=10, lo=0.0, hi=500.0,
+    )
+
+
+def _q_cube_rev(spark, sf):
+    return A.cube_summary(
+        _t(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice"
+    )
+
+
 def _q_rollup_rev(spark, sf):
     return A.rollup_summary(
         _t(spark, sf, "orders"), ["o_orderpriority", "o_orderstatus"], "o_totalprice"
@@ -752,6 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs": _q_window_funcs,
         "quantiles": _q_quantiles,
         "rollup_rev": _q_rollup_rev,
+        "cube_rev": _q_cube_rev,
+        "funnel": _q_funnel,
+        "histogram": _q_histogram,
         "pivot_seg_prio": _q_pivot_seg_prio,
         "profile": _q_profile,
     }
@@ -1470,6 +1495,47 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.5), 6) AS q50,
                round(quantile_cont(value, 0.75), 6) AS q75
         FROM events GROUP BY event_type
+    """
+    # funnel twin: independent k-CTE join formulation (one CTE per step,
+    # each min-ts conditioned on the previous step's completion) of the
+    # same inclusive-order, epoch-second contract the in-row fold
+    # implements
+    sql["funnel"] = """
+        WITH e AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_type
+          FROM events
+        ),
+        s0 AS (SELECT user_id, min(t) AS t0 FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s1 AS (SELECT e.user_id, min(t) AS t1 FROM e JOIN s0 USING (user_id)
+               WHERE event_type = 'click' AND t >= t0 GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'purchase' AND t >= t1 GROUP BY e.user_id),
+        users AS (SELECT DISTINCT user_id FROM events)
+        SELECT u.user_id,
+               CAST(CASE WHEN t2 IS NOT NULL THEN 3
+                         WHEN t1 IS NOT NULL THEN 2
+                         WHEN t0 IS NOT NULL THEN 1
+                    ELSE 0 END AS INT) AS stages,
+               t2 AS t_final
+        FROM users u
+        LEFT JOIN s0 ON s0.user_id = u.user_id
+        LEFT JOIN s1 ON s1.user_id = u.user_id
+        LEFT JOIN s2 ON s2.user_id = u.user_id
+    """
+    sql["histogram"] = """
+        SELECT event_type,
+               CAST(least(greatest(floor((value - 0.0) / 50.0), 0), 9) AS INT) AS bin,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    """
+    sql["cube_rev"] = """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total,
+               (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
+                + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS lvl
+        FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """
     sql["rollup_rev"] = """
         SELECT o_orderpriority, o_orderstatus, count(*) AS n,

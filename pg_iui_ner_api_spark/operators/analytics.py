@@ -239,6 +239,101 @@ def grouped_quantiles(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel completion per user: step i+1 counts only when it
+    occurs AT OR AFTER the earliest completion of step i (inclusive —
+    same-second events satisfy the order; positions are epoch seconds).
+
+    Returns ``(user, stages, t_final)``: number of consecutive leading
+    steps completed (0..len(steps)) and the completion time of the LAST
+    step for fully-converted users (null otherwise). Every user present
+    in ``events`` gets a row.
+
+    One shuffle: events group to a per-user sorted (t, type) array and
+    the step chain evaluates as nested in-row array algebra — no
+    per-step joins (the k-CTE SQL formulation the DuckDB oracle uses
+    would be k shuffled joins at 100 TB; here step k's filter is a
+    HOF over the already-grouped array).
+    """
+    steps = list(steps)
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.struct(
+            _epoch(F.col(ts_col)).alias("t"), F.col(type_col).alias("et")
+        ).alias("e"),
+    )
+    g = ev.groupBy("user").agg(F.sort_array(F.collect_list("e")).alias("seq"))
+
+    def step_min(step: str, prev: Column | None) -> Column:
+        cond = (lambda e: (e["et"] == step) & (e["t"] >= prev)) if prev is not None \
+            else (lambda e: e["et"] == step)
+        return F.array_min(F.transform(F.filter("seq", cond), lambda e: e["t"]))
+
+    ts_cols: list[Column] = []
+    prev = None
+    for s in steps:
+        prev = step_min(s, prev)
+        ts_cols.append(prev)
+    g = g.select(
+        "user", *[c.alias(f"_t{i}") for i, c in enumerate(ts_cols)]
+    )
+    stages = sum(
+        F.col(f"_t{i}").isNotNull().cast("int") for i in range(len(steps))
+    )
+    return g.select(
+        "user",
+        stages.alias("stages"),
+        F.col(f"_t{len(steps) - 1}").alias("t_final"),
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Fixed-width histogram per group over ``[lo, hi)``; out-of-range
+    values clamp into the edge bins. One partial-aggregated shuffle of
+    (group, bin) — the distribution profile at any scale."""
+    w = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.col(value_col) - lo) / w), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*by, b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cube_summary(
+    df: DataFrame, dims: Sequence[str], value_col: str
+) -> DataFrame:
+    """CUBE over ``dims``: subtotals at every dim subset (NULL = rolled
+    up), one shuffle with partial aggregation — same contract as
+    ``rollup_summary`` but all 2^d groupings."""
+    return (
+        df.cube(*dims)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("total"),
+        )
+        .withColumn("lvl", sum(F.col(d).isNull().cast("int") for d in dims))
+    )
+
+
 def rollup_summary(
     df: DataFrame, dims: Sequence[str], value_col: str
 ) -> DataFrame:

@@ -283,3 +283,64 @@ def test_profile_table_exact_and_approx(spark):
     ap = {r["column"]: r for r in A.profile_table(df).collect()}
     assert ap["s"]["n_nonnull"] == 200 - nulls
     assert abs(ap["id"]["n_distinct"] - 200) <= 10
+
+
+def test_funnel_ordered_completion(spark):
+    """Order matters: a purchase BEFORE the click must not count; the
+    inclusive rule means same-second steps do."""
+    import datetime as dt
+
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1 completes in order
+        (1, 1, T(0), "signup"), (2, 1, T(5), "click"), (3, 1, T(9), "purchase"),
+        # u2: purchase precedes click -> stages 2, no conversion
+        (4, 2, T(0), "signup"), (5, 2, T(1), "purchase"), (6, 2, T(8), "click"),
+        # u3: same-second signup+click (inclusive) then purchase
+        (7, 3, T(4), "signup"), (8, 3, T(4), "click"), (9, 3, T(6), "purchase"),
+        # u4: click only (no signup) -> stages 0
+        (10, 4, T(2), "click"),
+        # u5: unrelated events only -> stages 0
+        (11, 5, T(3), "error"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, event_type string")
+    got = {r["user"]: (r["stages"], r["t_final"]) for r in
+           A.funnel(df, ["signup", "click", "purchase"], "user_id").collect()}
+    base = int(T(0).timestamp())
+    assert got[1] == (3, base + 9)
+    assert got[2] == (2, None)
+    assert got[3] == (3, base + 6)
+    assert got[4] == (0, None)
+    assert got[5] == (0, None)
+
+
+def test_histogram_clamps_and_counts(spark):
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    rows = [("a", -5.0), ("a", 0.0), ("a", 9.9), ("a", 10.0), ("a", 99.0),
+            ("a", 250.0), ("b", 55.0), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r["g"], r["bin"]): r["n"] for r in
+           A.histogram(df, "v", ["g"], bins=10, lo=0.0, hi=100.0).collect()}
+    # -5 clamps into bin 0; 250 clamps into bin 9; None dropped
+    assert got[("a", 0)] == 3      # -5.0, 0.0, 9.9
+    assert got[("a", 1)] == 1      # 10.0
+    assert got[("a", 9)] == 2      # 99.0, 250.0
+    assert got[("b", 5)] == 1
+    assert sum(got.values()) == 7
+
+
+def test_cube_summary_all_groupings(spark):
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    rows = [("x", "p", 1.0), ("x", "q", 2.0), ("y", "p", 4.0)]
+    df = spark.createDataFrame(rows, "d1 string, d2 string, v double")
+    got = {(r["d1"], r["d2"]): (r["n"], r["total"], r["lvl"]) for r in
+           A.cube_summary(df, ["d1", "d2"], "v").collect()}
+    assert got[(None, None)] == (3, 7.0, 2)        # grand total
+    assert got[("x", None)] == (2, 3.0, 1)
+    assert got[(None, "p")] == (2, 5.0, 1)         # cube-only grouping
+    assert got[("y", "p")] == (1, 4.0, 0)
+    assert len(got) == 3 + 2 + 2 + 1               # cells+rows+cols+total
