@@ -200,3 +200,54 @@ def test_range_join_is_equi_not_nested_loop(spark):
     plan = _plan(A.range_join(iv, pts, ["user_id"], bucket_seconds=600))
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "Join" in plan
+
+
+def test_funnel_single_exchange_no_python(spark):
+    """Funnel must be ONE shuffle (the user groupBy) with the whole step
+    chain as in-row array algebra — no per-step joins, no Python."""
+    import datetime as dt
+
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    rows = [
+        (i, i % 5, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+         ["signup", "click", "purchase", "view"][i % 4])
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    plan = _plan(A.funnel(ev, ["signup", "click", "purchase"]))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_bm25_stays_jvm_side(spark):
+    """BM25 term frequencies are in-row HOFs and the stats side is a
+    broadcast: no Python eval, no token explode (Generate), and the
+    stats join is a BroadcastNestedLoopJoin over ONE row."""
+    from pg_iui_ner_api_spark.operators.search import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(20)], "doc_id long, text string"
+    )
+    plan = _plan(bm25_scores(docs, ["alpha", "beta"]))
+    assert "EvalPython" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_profile_single_aggregation_pass(spark):
+    """profile_table is one scan + one single-row aggregation: no wide
+    Exchange (only the 1-row final agg), no Expand in approx mode."""
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(30)], "id long, s string"
+    )
+    plan = _plan(A.profile_table(df, approx=True))
+    assert "Expand" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("FileScan") <= 1  # in-memory here, but no re-scan
