@@ -123,6 +123,53 @@ def candidates(mentions: DataFrame, alias_df: DataFrame) -> DataFrame:
     return mentions.join(a, F.lower(mentions.word) == a.alias_norm, "inner")
 
 
+def fuzzy_candidates(mentions: DataFrame, alias_df: DataFrame,
+                     fuzzy_prior_discount: float = 0.5) -> DataFrame:
+    """Typo-tolerant candidate generation: exact broadcast candidates
+    (J3) UNION deletion-neighborhood distance-1 matches for surfaces the
+    dictionary misses — recall for OCR/typo corpora where 'Acm' must
+    still reach the 'Acme' entity. Fuzzy hits carry ``match_dist`` = 1
+    and a discounted prior (the rerank stays the tiebreaker).
+
+    Scale shape: the alias dim expands to its deletion variants AT DIM
+    BUILD TIME (|alias|·(len+1) rows — still dim-sized, still
+    broadcast); only mentions with NO exact hit (the OOV minority) take
+    the fuzzy path, exploding in-row to |word|+1 variants before the
+    broadcast join, with an exact ``levenshtein`` verify and a
+    dropDuplicates on (mention_id, entity_id). The corpus-side shuffle
+    this dedupe costs is over the OOV slice only; exact-hit mentions
+    stay map-only.
+    """
+    from .similarity import _deletion_variants
+
+    exact = candidates(mentions, alias_df).withColumn("match_dist", F.lit(0))
+
+    surfaces = F.broadcast(
+        alias_df.select(F.lower("alias").alias("alias_norm")).distinct()
+    )
+    oov = mentions.join(
+        surfaces, F.lower(mentions.word) == surfaces.alias_norm, "left_anti"
+    )
+    var_dim = F.broadcast(
+        alias_df.select(
+            F.lower("alias").alias("alias_norm"),
+            "alias", "entity_id", "kind", "canonical_name",
+            (F.col("prior") * fuzzy_prior_discount).alias("prior"),
+        ).withColumn("var", F.explode(_deletion_variants(F.col("alias_norm"))))
+    )
+    m_var = oov.withColumn(
+        "var", F.explode(_deletion_variants(F.lower("word")))
+    )
+    fuzzy = (
+        m_var.join(var_dim, "var")
+        .where(F.levenshtein(F.lower("word"), F.col("alias_norm")) <= 1)
+        .drop("var")
+        .dropDuplicates(["mention_id", "entity_id"])
+        .withColumn("match_dist", F.lit(1))
+    )
+    return exact.unionByName(fuzzy.select(*exact.columns))
+
+
 def rerank(cands: DataFrame, entity_emb_df: DataFrame) -> DataFrame:
     """Dense rerank (M5): cosine(encode(ctx), entity_emb) as an
     Arrow-batched scalar pandas UDF — the north_star's prescribed shape

@@ -99,3 +99,41 @@ def test_decomposed_api_matches_map_only_path(spark):
         for r in linking.links(scored).collect()
     }
     assert fused == decomposed and fused
+
+
+def test_fuzzy_candidates_recover_typo_surfaces(spark):
+    """'Acm' (typo) must reach the Acme entity through the fuzzy path
+    with match_dist=1 and a discounted prior; exact surfaces must be
+    untouched (match_dist=0, full prior); unrelated words still miss."""
+    from pg_iui_ner_api_spark import synth as S
+
+    aliases = S.alias_df(spark)
+    some_alias = S.alias_table()[0][0]           # a real gazetteer surface
+    typo = some_alias[:-1] if len(some_alias) > 2 else some_alias + "x"
+    mentions = spark.createDataFrame(
+        [
+            (0, some_alias, "ctx a"),
+            (1, typo, "ctx b"),
+            (2, "zzzzqqqq", "ctx c"),
+        ],
+        "mention_id long, word string, ctx string",
+    )
+    got = linking.fuzzy_candidates(mentions, aliases).collect()
+    by_m = {}
+    for r in got:
+        by_m.setdefault(r["mention_id"], []).append(r)
+    assert all(r["match_dist"] == 0 for r in by_m[0])
+    assert 1 in by_m and all(r["match_dist"] == 1 for r in by_m[1])
+    # the typo reaches at least one holder of the original alias
+    holders = {eid for a, eid, *_ in S.alias_table() if a == some_alias}
+    assert holders & {r["entity_id"] for r in by_m[1]}
+    # fuzzy priors are discounted relative to the exact row's prior
+    exact_prior = {r["entity_id"]: r["prior"] for r in by_m[0]}
+    for r in by_m[1]:
+        if r["entity_id"] in exact_prior:
+            assert r["prior"] == exact_prior[r["entity_id"]] * 0.5
+    assert 2 not in by_m
+    # no duplicate (mention, entity) pairs from shared deletion variants
+    for rs in by_m.values():
+        eids = [r["entity_id"] for r in rs]
+        assert len(eids) == len(set(eids))
