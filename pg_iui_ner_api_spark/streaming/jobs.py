@@ -297,3 +297,42 @@ def compact_kg_nodes(spark: SparkSession, workdir: str) -> DataFrame:
     nodes = C.canonical_nodes(linked, comps)
     nodes.write.mode("overwrite").parquet(f"{workdir}/nodes")
     return spark.read.parquet(f"{workdir}/nodes")
+
+
+def stream_dedup_exact(spark: SparkSession, input_dir: str, output_dir: str,
+                       checkpoint_dir: str, available_now: bool = True,
+                       max_files_per_trigger: int | None = None):
+    """Streaming exact dedup: continuous-ingest twin of
+    ``operators/dedup.dedup_exact`` — only the FIRST document bearing a
+    given normalized-content fingerprint is emitted, across micro-batch
+    boundaries.
+
+    ``dropDuplicates`` on the 16-byte md5 fingerprint keeps the seen-set
+    in the streaming state store (checkpointed, survives restarts), so a
+    duplicate arriving hours after the original is still dropped —
+    state is keyed by digest, not text, so the store grows at
+    16 B + overhead per distinct document, never by payload size. No
+    watermark: dedup is global over the run by design (a watermark
+    would bound state but re-admit late duplicates); bounded-state
+    dedup is ``dropDuplicatesWithinWatermark`` at the same seam.
+    """
+    from ..functions.text import fingerprint
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option(*(("maxFilesPerTrigger", str(max_files_per_trigger))
+                  if max_files_per_trigger else ("_ignored", "0")))
+        .parquet(input_dir)
+    )
+    deduped = docs.withColumn("fp", fingerprint(F.col("text"))).dropDuplicates(["fp"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -280,3 +280,33 @@ def test_stream_kg_increment_matches_batch(spark, tmp_path):
     assert ({tuple(r) for r in nodes.select(*node_cols).collect()}
             == {tuple(r) for r in res["nodes"].select(*node_cols).collect()})
     res["_runner"].unpersist()
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch must still be dropped
+    (state store carries the seen digests across triggers), and the
+    survivor set must equal batch dedup_exact's keepers."""
+    from pg_iui_ner_api_spark.streaming.jobs import stream_dedup_exact
+
+    inp = tmp_path / "docs_in"
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt")
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    b1 = [(0, "the quick brown fox", "en", "s", 19),
+          (1, "The  quick   BROWN fox", "en", "s", 22),   # ws/case dup of 0
+          (2, "something else entirely", "en", "s", 23)]
+    spark.createDataFrame(b1, cols).write.mode("append").parquet(str(inp))
+    q = stream_dedup_exact(spark, str(inp), out, ckpt)
+    q.awaitTermination(120)
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert len(got1) == 2 and 2 in got1 and len(got1 & {0, 1}) == 1
+
+    b2 = [(3, "the quick brown fox", "en", "s", 19),      # dup across batches
+          (4, "a brand new document", "en", "s", 20)]
+    spark.createDataFrame(b2, cols).write.mode("append").parquet(str(inp))
+    q = stream_dedup_exact(spark, str(inp), out, ckpt)
+    q.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 3 not in got2          # cross-batch duplicate dropped
+    assert 4 in got2
+    assert got2 == got1 | {4}
