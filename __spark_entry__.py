@@ -328,6 +328,19 @@ def _q_embedding_near_dup(spark, sf):
     )
 
 
+def _q_curate(spark, sf):
+    # the WHOLE curation pipeline (inline mode), hash-checked end-to-end
+    from pg_iui_ner_api_spark.plans.curation import run_curation_pipeline
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    res = run_curation_pipeline(spark, docs, workdir=None,
+                                num_hashes=8, bands=4)
+    return res["curated"].select(
+        "doc_id", "cluster_id", "quality", "n_tokens",
+        "n_emails", "n_urls", "n_phones", "split", "text",
+    )
+
+
 def _q_fuzzy_join(spark, sf):
     # typo-tolerant self-join over customer names via the SymSpell-style
     # deletion-neighborhood equi-join; oracle is an INDEPENDENT
@@ -746,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
         "fuzzy_join": _q_fuzzy_join,
+        "curate": _q_curate,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_trained": _q_ann_ivf_trained,
@@ -1561,5 +1575,70 @@ def oracle_sql() -> dict[str, str]:
                {_pivot_cols}
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
+    """
+    # curate twin: the WHOLE curation pipeline composed from the already
+    # verified per-op formulas — quality gate (rounded score >= 0.3),
+    # filtered-corpus LSH dedup + recursive-closure clusters, min-id
+    # keeper, scrub chain, hash split. End-to-end hash equality here
+    # means the pipeline composition (not just each op) is correct.
+    sql["curate"] = f"""
+        WITH RECURSIVE q0 AS (
+          SELECT doc_id, text, lang,
+                 (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')))
+                   / greatest(length(text), 1)::DOUBLE AS pr,
+                 len({_TOKS.format(x='text')}) AS nt
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, text, lang, nt,
+                 round(0.5 * (CASE WHEN nt BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                     + 0.5 * (CASE WHEN pr <= 0.2 THEN 1.0 - pr * 2 ELSE 0.0 END), 6) AS quality
+          FROM q0
+        ),
+        fd AS (SELECT * FROM f WHERE quality >= 0.3),
+        sigs AS (
+          SELECT doc_id, [{mins}] AS sig
+          FROM (SELECT doc_id, {_SHINGLES.format(x='text')} AS shs FROM fd)
+        ),
+        banded AS (
+          SELECT doc_id, r.b AS band,
+                 array_to_string(sig[r.b * 2 + 1 : r.b * 2 + 2], ',') AS bsig
+          FROM sigs CROSS JOIN range(0, 4) r(b)
+        ),
+        cands AS (
+          SELECT x.doc_id AS da, y.doc_id AS db
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        ),
+        edges AS (
+          SELECT da AS u, db AS v FROM cands
+          UNION SELECT db AS u, da AS v FROM cands
+        ),
+        reach AS (
+          SELECT DISTINCT u AS node, u AS r FROM edges
+          UNION
+          SELECT reach.node, edges.v AS r
+          FROM reach JOIN edges ON reach.r = edges.u
+        ),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        kept AS (
+          SELECT fd.*, coalesce(comp.cluster, fd.doc_id) AS cluster_id
+          FROM fd LEFT JOIN comp ON comp.node = fd.doc_id
+          WHERE coalesce(comp.cluster, fd.doc_id) = fd.doc_id
+        ),
+        s1 AS (SELECT *, regexp_replace(text, '{_re_url}', '<URL>', 'g') AS t1 FROM kept),
+        s2 AS (SELECT *, regexp_replace(t1, '{_re_email}', '<EMAIL>', 'g') AS t2 FROM s1)
+        SELECT doc_id, cluster_id,
+               quality,
+               CAST(nt AS INT) AS n_tokens,
+               CAST(len(regexp_extract_all(t1, '{_re_email}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_re_url}')) AS INT) AS n_urls,
+               CAST(len(regexp_extract_all(t2, '{_re_phone}')) AS INT) AS n_phones,
+               CASE WHEN {_bucket} < 9000 THEN 'train'
+                    WHEN {_bucket} < 9500 THEN 'dev'
+                    ELSE 'test' END AS split,
+               regexp_replace(t2, '{_re_phone}', '<PHONE>', 'g') AS text
+        FROM s2
     """
     return sql
