@@ -676,6 +676,12 @@ def _q_quantiles(spark, sf):
     return A.grouped_quantiles(_t(spark, sf, "events"), "value", ["event_type"])
 
 
+def _q_resample(spark, sf):
+    return A.resample_ffill(
+        _t(spark, sf, "events"), interval_seconds=86400
+    ).select(F.col("key").alias("user_id"), "bin", "value", "filled")
+
+
 _FUNNEL_STEPS = ["signup", "click", "purchase"]
 
 
@@ -790,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_rev": _q_rollup_rev,
         "cube_rev": _q_cube_rev,
         "funnel": _q_funnel,
+        "resample": _q_resample,
         "histogram": _q_histogram,
         "pivot_seg_prio": _q_pivot_seg_prio,
         "profile": _q_profile,
@@ -1536,6 +1543,31 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN s0 ON s0.user_id = u.user_id
         LEFT JOIN s1 ON s1.user_id = u.user_id
         LEFT JOIN s2 ON s2.user_id = u.user_id
+    """
+    # resample twin: same last-in-bin (ts, event_id tiebreak via
+    # row_number), dense grid from range(), IGNORE NULLS forward fill
+    sql["resample"] = """
+        WITH e AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 event_id, value FROM events
+        ),
+        ranked AS (
+          SELECT user_id, CAST(floor(sec / 86400) AS BIGINT) AS bin, value,
+                 row_number() OVER (PARTITION BY user_id, floor(sec / 86400)
+                                    ORDER BY sec DESC, event_id DESC) AS rn
+          FROM e
+        ),
+        binned AS (SELECT user_id, bin, value AS v FROM ranked WHERE rn = 1),
+        span AS (SELECT user_id, min(bin) AS b0, max(bin) AS b1
+                 FROM binned GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bin FROM span)
+        SELECT g.user_id, g.bin,
+               last_value(b.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.bin
+                 ROWS UNBOUNDED PRECEDING) AS value,
+               b.v IS NULL AS filled
+        FROM grid g LEFT JOIN binned b
+          ON b.user_id = g.user_id AND b.bin = g.bin
     """
     sql["histogram"] = """
         SELECT event_type,

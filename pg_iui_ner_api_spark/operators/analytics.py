@@ -239,6 +239,60 @@ def grouped_quantiles(
     )
 
 
+def resample_ffill(
+    events: DataFrame,
+    interval_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key downsample to fixed ``interval_seconds`` bins with
+    forward fill: each bin carries the LAST observed value in the bin
+    (ties on the timestamp break by greatest ``tiebreak``), and bins
+    with no observation between a key's first and last active bin
+    inherit the previous bin's value — the gap-free regular timeline
+    every time-series feature join wants.
+
+    Plan: one groupBy to (key, bin, last value), a per-key span
+    aggregate whose ``sequence`` explode generates the dense grid
+    IN-ROW (no driver-side calendar table), a co-keyed left join, and
+    one window for the fill — shuffles carry (key, bin, value) only.
+    """
+    b = int(interval_seconds)
+    sec = _epoch(F.col(ts_col))
+    binned = (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.floor(sec / b).alias("bin"),
+        )
+        .agg(
+            F.max_by(
+                F.col(value_col), F.struct(sec, F.col(tiebreak))
+            ).alias("_v")
+        )
+    )
+    grid = (
+        binned.groupBy("key")
+        .agg(F.min("bin").alias("b0"), F.max("bin").alias("b1"))
+        .select("key", F.explode(F.sequence("b0", "b1")).alias("bin"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(binned, ["key", "bin"], "left")
+        .select(
+            "key",
+            "bin",
+            F.last("_v", ignorenulls=True).over(w).alias(value_col),
+            F.col("_v").isNull().alias("filled"),
+        )
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: Sequence[str],

@@ -60,12 +60,37 @@ class ParquetRegistry:
             f.write(f"v_{n}")
         os.replace(tmp, os.path.join(self.dir, "_current"))  # atomic repoint
 
-    # -- read --------------------------------------------------------------
-    def read(self) -> DataFrame:
+    # -- read (with time travel) -------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or any retained historical ``version`` —
+        the COW analogue of Iceberg's ``VERSION AS OF`` time travel
+        (snapshots are immutable directories, so historical reads cost
+        nothing and run concurrently with writers)."""
+        if version is not None:
+            vdir = os.path.join(self.dir, f"v_{version}")
+            if not os.path.isdir(vdir):
+                raise ValueError(f"no snapshot v_{version} in {self.dir}")
+            return self.spark.read.schema(self.schema).parquet(vdir)
         cur = self._current_path()
         if cur is None:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(cur)
+
+    def versions(self) -> list[int]:
+        """Retained snapshot ids, oldest first (Iceberg: snapshot log)."""
+        vs = [
+            int(d.split("_")[1])
+            for d in os.listdir(self.dir)
+            if d.startswith("v_") and d.split("_")[1].isdigit()
+        ]
+        return sorted(vs)
+
+    def rollback(self, version: int) -> None:
+        """Restore a historical snapshot by committing its content as a
+        NEW version (Iceberg's rollback semantics: history stays linear
+        and append-only; nothing is deleted, the bad versions remain
+        auditable)."""
+        self._commit(self.read(version))
 
     # -- U1: append insert -------------------------------------------------
     def insert(self, rows: DataFrame) -> None:

@@ -344,3 +344,29 @@ def test_cube_summary_all_groupings(spark):
     assert got[(None, "p")] == (2, 5.0, 1)         # cube-only grouping
     assert got[("y", "p")] == (1, 4.0, 0)
     assert len(got) == 3 + 2 + 2 + 1               # cells+rows+cols+total
+
+
+def test_resample_ffill_gap_filling(spark):
+    import datetime as dt
+
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        (1, 7, T(0), 10.0),                     # bin 0
+        (2, 7, T(1), 11.0),                     # bin 1
+        (3, 7, T(10), 30.0),                    # bin 10 (gap 2..9 filled)
+        (4, 8, T(5), 5.0),                      # single-bin key
+        (5, 7, T(1), 12.0),                     # same ts as id 2 -> tiebreak wins
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {(r["key"], int(r["bin"] - rows[0][2].timestamp() // 60)): (r["value"], r["filled"])
+           for r in A.resample_ffill(df, 60).collect()}
+    assert got[(7, 0)] == (10.0, False)
+    # same-ts tie in bin 1: the greater event_id (5 -> 12.0) wins
+    assert got[(7, 1)] == (12.0, False)
+    for b in range(2, 10):
+        assert got[(7, b)] == (12.0, True)      # forward-filled gap
+    assert got[(7, 10)] == (30.0, False)
+    assert got[(8, 5)] == (5.0, False)
+    assert len(got) == 12

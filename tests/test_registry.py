@@ -57,3 +57,27 @@ def test_reconcile_dead_processes(spark, tmp_path):
     dead = R.reconcile_dead_processes(reg, live)
     assert {r["pid"] for r in dead.collect()} == {"200", "300"}
     assert {r["pid"] for r in reg.read().collect()} == {"100"}
+
+
+def test_time_travel_and_rollback(spark, tmp_path):
+    """VERSION-AS-OF reads + Iceberg-style rollback (restore = a NEW
+    version; history stays linear and auditable)."""
+    from pg_iui_ner_api_spark.sources.registry import ParquetRegistry
+
+    import pytest as _pt
+
+    reg = ParquetRegistry(spark, str(tmp_path), "tt", "id long, v string")
+    reg.insert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    reg.update("id", 2, {"v": "b2"})
+    reg.delete(__import__("pyspark.sql.functions", fromlist=["col"]).col("id") == 1)
+
+    assert reg.versions() == [0, 1, 2]
+    assert {(r["id"], r["v"]) for r in reg.read(0).collect()} == {(1, "a"), (2, "b")}
+    assert {(r["id"], r["v"]) for r in reg.read(1).collect()} == {(1, "a"), (2, "b2")}
+    assert {(r["id"], r["v"]) for r in reg.read().collect()} == {(2, "b2")}
+
+    reg.rollback(0)
+    assert reg.versions() == [0, 1, 2, 3]       # restore appended, not rewrote
+    assert {(r["id"], r["v"]) for r in reg.read().collect()} == {(1, "a"), (2, "b")}
+    with _pt.raises(ValueError):
+        reg.read(99)
