@@ -198,6 +198,7 @@ def _headline(spark) -> dict[str, float]:
         "graph_pagerank", "graph_pmi", "rep_stats", "split_assign",
         # late-r3 additions: relational analytics + search + composite dedup
         "asof_join", "window_funcs", "bm25", "fuzzy_dedup", "topk_group",
+        "funnel", "resample", "fuzzy_join", "curate",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

@@ -99,8 +99,11 @@ def edit_distance_pairs(left: DataFrame, right: DataFrame,
     equi-join on the variant, and survivors are verified with the exact
     ``levenshtein``. For ``max_dist=1`` the deletion neighborhood is a
     complete cover (any edit-distance-1 pair shares a variant), so
-    recall is exactly 1.0 — pinned against a brute-force oracle in
-    tests. At 100 TB this is |s|+1 variants per row and ONE equi-join
+    recall is exactly 1.0 for strings within ``_deletion_variants``'s
+    64-char fan-out cap — pinned against a brute-force oracle in tests.
+    Longer strings degrade EXPLICITLY to exact-match-only (they emit
+    just themselves as a variant); callers matching long fields should
+    raise the cap or pre-truncate, not assume fuzzy recall there. At 100 TB this is |s|+1 variants per row and ONE equi-join
     shuffle on short strings — never an all-pairs product, never a
     theta-join. Only ``max_dist=1`` is supported (deeper neighborhoods
     grow combinatorially; compose with blocking for coarser matching).
