@@ -360,6 +360,8 @@ def histogram(
     """Fixed-width histogram per group over ``[lo, hi)``; out-of-range
     values clamp into the edge bins. One partial-aggregated shuffle of
     (group, bin) — the distribution profile at any scale."""
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need bins >= 1 and hi > lo, got bins={bins} [{lo}, {hi})")
     w = (hi - lo) / bins
     b = F.least(
         F.greatest(F.floor((F.col(value_col) - lo) / w), F.lit(0)),

@@ -370,3 +370,14 @@ def test_resample_ffill_gap_filling(spark):
     assert got[(7, 10)] == (30.0, False)
     assert got[(8, 5)] == (5.0, False)
     assert len(got) == 12
+
+
+def test_histogram_rejects_degenerate_range(spark):
+    from pg_iui_ner_api_spark.operators import analytics as A
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        A.histogram(df, "v", ["g"], bins=0, lo=0.0, hi=1.0)
+    with _pt.raises(ValueError):
+        A.histogram(df, "v", ["g"], bins=5, lo=1.0, hi=1.0)

@@ -136,3 +136,56 @@ def test_decode_bio_simple_invariants(case):
             sp_i = next(sp for sp in spans
                         if sp.start <= offsets[i][0] and offsets[i][1] <= sp.end)
             assert sp_i.start <= offsets[i + 1][0] and offsets[i + 1][1] <= sp_i.end
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs an independent brute-force reference over arbitrary
+# event multisets (ties, duplicates, empty sides, multi-key interleave).
+# ---------------------------------------------------------------------------
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # key
+            st.integers(min_value=0, max_value=50),    # second offset
+            st.booleans(),                             # is_left
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_asof_join_matches_brute_force(spark, events):
+    from pg_iui_ner_api_spark.operators.analytics import asof_join
+
+    rows = [
+        (i, k, EPOCH + dt.timedelta(seconds=off), "L" if is_l else "R")
+        for i, (k, off, is_l) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, side string"
+    )
+    left = df.where("side = 'L'").select("event_id", "user_id", "ts")
+    right = df.where("side = 'R'").select("event_id", "user_id", "ts")
+    got = {
+        r["event_id"]: (r["matched_ts"], r["event_id_r"])
+        for r in asof_join(
+            left, right, ["user_id"], right_cols=["event_id"],
+            tiebreak="event_id",
+        ).collect()
+    }
+
+    base = int(EPOCH.timestamp())
+    want = {}
+    for i, (k, off, is_l) in enumerate(events):
+        if not is_l:
+            continue
+        # brute force: latest right at-or-before; ties -> max event_id
+        best = None
+        for j, (k2, off2, is_l2) in enumerate(events):
+            if is_l2 or k2 != k or off2 > off:
+                continue
+            cand = (off2, j)
+            if best is None or cand > best:
+                best = cand
+        want[i] = (base + best[0], best[1]) if best else (None, None)
+    assert got == want
