@@ -1579,15 +1579,15 @@ def oracle_sql() -> dict[str, str]:
     sql["cube_rev"] = """
         SELECT o_orderpriority, o_orderstatus, count(*) AS n,
                round(sum(o_totalprice), 2) AS total,
-               (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
-                + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS lvl
+               CAST(GROUPING(o_orderpriority) AS INT)
+                 + CAST(GROUPING(o_orderstatus) AS INT) AS lvl
         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
     """
     sql["rollup_rev"] = """
         SELECT o_orderpriority, o_orderstatus, count(*) AS n,
                round(sum(o_totalprice), 2) AS total,
-               (CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END
-                + CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS lvl
+               CAST(GROUPING(o_orderpriority) AS INT)
+                 + CAST(GROUPING(o_orderstatus) AS INT) AS lvl
         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """
     _prof_rows = "\n        UNION ALL ".join(

@@ -228,12 +228,20 @@ def grouped_quantiles(
     surface; the approx variant's error is bounded by the accuracy knob
     and pytest-checked against the exact one.
     """
+    def _label(q: float) -> str:
+        # precision-preserving: 0.25 -> q25, 0.999 -> q99_9 (truncating
+        # to int would collide p99 with p99.9)
+        pct = q * 100
+        return f"q{int(pct):02d}" if pct == int(pct) else \
+            f"q{str(pct).replace('.', '_')}"
+
+    labels = [_label(float(q)) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"quantile labels collide: {labels}")
     fn = "approx_percentile" if approx else "percentile"
     arr = "array(" + ", ".join(repr(float(q)) for q in qs) + ")"
-    agg = F.expr(f"{fn}({value_col}, {arr})")
-    cols = [
-        F.round(agg[i], 6).alias(f"q{int(q * 100):02d}") for i, q in enumerate(qs)
-    ]
+    agg = F.expr(f"{fn}(`{value_col}`, {arr})")  # backticked identifier
+    cols = [F.round(agg[i], 6).alias(lb) for i, lb in enumerate(labels)]
     return df.groupBy(*by).agg(
         F.count(F.lit(1)).alias("n"), *cols
     )
@@ -367,8 +375,13 @@ def histogram(
         F.greatest(F.floor((F.col(value_col) - lo) / w), F.lit(0)),
         F.lit(bins - 1),
     ).cast("int")
+    keep = F.col(value_col).isNotNull()
+    if df.schema[value_col].dataType.typeName() in ("double", "float"):
+        # NaN sorts greater than everything in Spark, so without this it
+        # would silently clamp into the TOP bin instead of being excluded
+        keep = keep & ~F.isnan(F.col(value_col))
     return (
-        df.where(F.col(value_col).isNotNull())
+        df.where(keep)
         .groupBy(*by, b.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -379,14 +392,16 @@ def cube_summary(
 ) -> DataFrame:
     """CUBE over ``dims``: subtotals at every dim subset (NULL = rolled
     up), one shuffle with partial aggregation — same contract as
-    ``rollup_summary`` but all 2^d groupings."""
-    return (
-        df.cube(*dims)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(value_col), 2).alias("total"),
-        )
-        .withColumn("lvl", sum(F.col(d).isNull().cast("int") for d in dims))
+    ``rollup_summary`` but all 2^d groupings.
+
+    ``lvl`` counts rolled-up dims via ``grouping()`` (not ``isNull``),
+    so a genuine NULL data value at the finest grain stays lvl=0 and is
+    never conflated with the subtotal row that shares its dim values.
+    """
+    return df.cube(*dims).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 2).alias("total"),
+        sum(F.grouping(d).cast("int") for d in dims).alias("lvl"),
     )
 
 
@@ -396,14 +411,14 @@ def rollup_summary(
     """ROLLUP over ``dims``: subtotal rows at every prefix level plus the
     grand total (NULL dim = subtotal), one shuffle with partial
     aggregation — the hypertable-rollup shape for hierarchical reports.
+
+    ``lvl`` uses ``grouping()`` like ``cube_summary`` so data NULLs are
+    not miscounted as subtotal levels.
     """
-    return (
-        df.rollup(*dims)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(value_col), 2).alias("total"),
-        )
-        .withColumn("lvl", sum(F.col(d).isNull().cast("int") for d in dims))
+    return df.rollup(*dims).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(value_col), 2).alias("total"),
+        sum(F.grouping(d).cast("int") for d in dims).alias("lvl"),
     )
 
 
@@ -474,6 +489,12 @@ def topk_per_group(
     WindowGroupLimit BELOW the shuffle (top-k rows per group per map
     task cross the wire, not whole groups).
     """
+    if "rank" in df.columns:
+        # withColumn would silently overwrite a pre-existing data column
+        raise ValueError(
+            "input already has a 'rank' column; rename it before "
+            "topk_per_group (the operator emits its own 'rank')"
+        )
     oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
     order = [oc] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(*[F.col(c) for c in part_cols]).orderBy(*order)

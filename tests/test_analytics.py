@@ -381,3 +381,51 @@ def test_histogram_rejects_degenerate_range(spark):
         A.histogram(df, "v", ["g"], bins=0, lo=0.0, hi=1.0)
     with _pt.raises(ValueError):
         A.histogram(df, "v", ["g"], bins=5, lo=1.0, hi=1.0)
+
+
+def test_cube_lvl_distinguishes_data_null_from_subtotal(spark):
+    # A genuine NULL data value at the finest grain must keep lvl=0;
+    # the subtotal row sharing its dim values gets lvl>0 (grouping(),
+    # not isNull, decides).
+    rows = [(None, "p", 1.0), ("x", "p", 2.0)]
+    df = spark.createDataFrame(rows, "d1 string, d2 string, v double")
+    got = {(r["d1"], r["d2"], r["lvl"]): (r["n"], r["total"]) for r in
+           A.cube_summary(df, ["d1", "d2"], "v").collect()}
+    assert got[(None, "p", 0)] == (1, 1.0)   # detail row, NULL data value
+    assert got[(None, "p", 1)] == (2, 3.0)   # d1 rolled up
+    assert got[(None, None, 2)] == (2, 3.0)  # grand total
+    r = {(x["d1"], x["d2"], x["lvl"]): (x["n"], x["total"]) for x in
+         A.rollup_summary(df, ["d1", "d2"], "v").collect()}
+    assert r[(None, "p", 0)] == (1, 1.0)
+    assert r[(None, None, 1)] == (1, 1.0)    # rollup of the NULL-d1 group
+    assert r[(None, None, 2)] == (2, 3.0)
+
+
+def test_grouped_quantiles_fractional_labels_and_odd_names(spark):
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(1, 101)], "grp string, `order value` double"
+    )
+    out = A.grouped_quantiles(
+        df, "order value", ["grp"], qs=(0.5, 0.99, 0.999), approx=False
+    )
+    assert set(out.columns) == {"grp", "n", "q50", "q99", "q99_9"}
+    row = out.collect()[0]
+    assert row["q50"] == pytest.approx(50.5)
+    assert row["q99"] < row["q99_9"] <= 100.0
+    with pytest.raises(ValueError):
+        A.grouped_quantiles(df, "order value", ["grp"], qs=(0.25, 0.250))
+
+
+def test_histogram_excludes_nan(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", float("nan")), ("a", None)], "g string, v double"
+    )
+    got = {r["bin"]: r["n"] for r in
+           A.histogram(df, "v", ["g"], bins=10, lo=0.0, hi=100.0).collect()}
+    assert got == {0: 1}  # NaN not clamped into bin 9, None dropped
+
+
+def test_topk_per_group_rejects_existing_rank_column(spark):
+    df = spark.createDataFrame([(1, "g", 1.0)], "rank long, grp string, v double")
+    with pytest.raises(ValueError, match="rank"):
+        A.topk_per_group(df, ["grp"], "v", k=1)
