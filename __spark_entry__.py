@@ -235,6 +235,35 @@ def _q_fingerprint(spark, sf):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def _q_decontaminate(spark, sf):
+    # benchmark = deterministic 1/16 slice of the corpus (md5 prefix), so
+    # both engines construct the identical eval set from the same table
+    d = _t(spark, sf, "documents")
+    bench = d.where(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select("text")
+    return D.decontaminate(d, bench, n=3, min_overlap=1)
+
+
+def _q_dedup_lines(spark, sf):
+    # documents are single-line; compose multi-line docs of 10 consecutive
+    # ids each so cross-doc duplicate lines actually occur
+    d = _t(spark, sf, "documents")
+    grp = (
+        d.groupBy(F.expr("doc_id DIV 10").alias("gid"))
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x["text"],
+                ),
+            ).alias("text")
+        )
+    )
+    return D.dedup_lines(grp, id_col="gid")
+
+
 _BM25_TERMS = ["merge", "spark", "vector"]
 
 
@@ -751,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg": _q_join_agg,
         "dedup_exact": _q_dedup_exact,
         "doc_fingerprint": _q_fingerprint,
+        "decontaminate": _q_decontaminate,
+        "dedup_lines": _q_dedup_lines,
         "token_stats": _q_token_stats,
         "bm25": _q_bm25,
         "quality_score": _q_quality_score,
@@ -918,6 +949,56 @@ def oracle_sql() -> dict[str, str]:
     sql["doc_fingerprint"] = (
         f"SELECT doc_id, md5({_NORM.format(x='text')}) AS fp FROM documents"
     )
+    sql["decontaminate"] = f"""
+        WITH dsh AS (
+          SELECT doc_id, unnest({_SHINGLES.format(x='text')}) AS sh FROM documents
+        ),
+        sized AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY doc_id),
+        bench AS (
+          SELECT DISTINCT unnest({_SHINGLES.format(x='text')}) AS sh
+          FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        ),
+        hits AS (
+          SELECT doc_id, count(*) AS n_overlap
+          FROM dsh JOIN bench USING (sh) GROUP BY doc_id
+        )
+        SELECT h.doc_id, n_overlap, n_shingles,
+               round(n_overlap / n_shingles::DOUBLE, 6) AS contamination
+        FROM hits h JOIN sized s ON s.doc_id = h.doc_id
+        WHERE n_overlap >= 1
+    """
+    sql["dedup_lines"] = """
+        WITH grp AS (
+          SELECT doc_id // 10 AS gid,
+                 string_agg(text, chr(10) ORDER BY doc_id) AS text
+          FROM documents GROUP BY 1
+        ),
+        lines AS (
+          SELECT gid, UNNEST(range(len(ls))) AS pos, UNNEST(ls) AS ln
+          FROM (SELECT gid, string_split(text, chr(10)) AS ls FROM grp)
+        ),
+        nb AS (SELECT * FROM lines WHERE length(trim(ln)) > 0),
+        win AS (
+          SELECT gid, pos, ln FROM (
+            SELECT *, row_number() OVER (PARTITION BY ln ORDER BY gid, pos) AS rn
+            FROM nb) WHERE rn = 1
+        ),
+        kept AS (
+          SELECT * FROM win
+          UNION ALL SELECT gid, pos, ln FROM lines WHERE length(trim(ln)) = 0
+        ),
+        reb AS (
+          SELECT gid, string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+                 count(*) FILTER (WHERE length(trim(ln)) > 0) AS n_kept
+          FROM kept GROUP BY gid
+        ),
+        tot AS (SELECT gid, count(*) AS n_lines FROM nb GROUP BY gid)
+        SELECT g.gid AS doc_id,
+               coalesce(text_clean, '') AS text_clean,
+               CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(coalesce(n_lines, 0) - coalesce(n_kept, 0) AS BIGINT) AS n_dropped
+        FROM grp g LEFT JOIN reb ON reb.gid = g.gid LEFT JOIN tot ON tot.gid = g.gid
+    """
     sql["token_stats"] = (
         f"SELECT doc_id, len({_TOKS.format(x='text')}) AS n_tokens, "
         f"CAST(list_sum(list_transform({_TOKS.format(x='text')}, "

@@ -565,3 +565,132 @@ def embedding_near_dups(embs: DataFrame, threshold: float = 0.95,
         .where(F.col("_raw") >= threshold)
         .select("va", "vb", F.round(F.col("_raw"), 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus documents sharing ≥ ``min_overlap`` distinct word
+    n-grams with any benchmark text — the test-set decontamination pass
+    a pretraining pipeline runs so eval prompts never leak into
+    training data (the GPT-3/PaLM-style 13-gram check, here with the
+    same shingle constructor the dedup family uses).
+
+    Returns ``(doc_id, n_overlap, n_shingles, contamination)`` for
+    flagged docs only; ``contamination`` is the overlapping fraction of
+    the doc's distinct shingles.
+
+    Scale shape: the benchmark side is tiny (eval sets, not corpora),
+    so its distinct-shingle set is BROADCAST and the corpus-side plan
+    is one scan → in-row shingling → broadcast semi-ish join → one
+    groupBy that carries only (doc_id, n_shingles, count) — document
+    text never shuffles and there is no corpus self-join. The per-doc
+    shingle count rides along from the pre-explode projection, so the
+    corpus is shingled exactly once.
+    """
+    wsh = _with_shingles(docs, n, id_col, text_col)
+    sized = wsh.select(
+        "doc_id",
+        F.size("sh").cast("long").alias("n_shingles"),
+        F.explode_outer("sh").alias("sh"),
+    ).where(F.col("sh").isNotNull())
+    bench = (
+        _with_shingles(
+            benchmark.select(
+                F.lit("_bench").alias("doc_id"),
+                F.col(bench_text_col).alias("text"),
+            ),
+            n,
+            "doc_id",
+            "text",
+        )
+        .select(F.explode_outer("sh").alias("sh"))
+        .where(F.col("sh").isNotNull())
+        .distinct()
+    )
+    hits = (
+        sized.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.where(F.col("n_overlap") >= min_overlap).select(
+        "doc_id",
+        "n_overlap",
+        "n_shingles",
+        F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("contamination"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line dedup
+# ---------------------------------------------------------------------------
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide duplicate-LINE removal keeping the first occurrence
+    (ordered by ``(doc_id, position)``) — the C4/RefinedWeb-style exact
+    line-dedup pass that strips boilerplate (nav bars, cookie banners)
+    repeated across pages. ``sep`` is the line-split regex.
+
+    Returns one row per input doc: ``(doc_id, text_clean, n_kept,
+    n_dropped)`` where ``text_clean`` rejoins surviving lines with
+    ``\\n`` in original order (blank lines are structural and never
+    deduped; docs whose every line is dropped survive with empty text).
+
+    Scale shape: two shuffles. (1) the winner pick per distinct line is
+    ``min(struct(doc_id, pos))`` under a groupBy on the line — a
+    partial-aggregable min, so a boilerplate line occurring 10^9 times
+    collapses map-side and crosses the wire once per map task, not once
+    per occurrence (this is why it's an agg and NOT a row_number window,
+    which would shuffle every occurrence to one reducer — the skew
+    killer); (2) doc reassembly keyed by doc_id. Line text crosses each
+    exchange at most once.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    blank = F.length(F.trim(F.col("line"))) == 0
+    nb = lines.where(~blank)
+    winners = (
+        nb.groupBy("line")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.pos").alias("pos"), "line")
+    )
+    kept = winners.unionByName(lines.where(blank))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text_clean"),
+        F.sum((F.length(F.trim(F.col("line"))) > 0).cast("long")).alias("n_kept"),
+    )
+    totals = nb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

@@ -255,3 +255,73 @@ def test_semantic_dedup_clusters_paraphrase_vectors(spark):
     assert {k: v[0] for k, v in got.items()} == want
     assert want[1] == 0 and want[4] == 3 and want[5] == 5  # oracle sanity
     assert all(keep == (cid == k) for k, (cid, keep) in got.items())
+
+
+# ---------------------------------------------------------------------------
+# decontamination + line dedup (round 3)
+# ---------------------------------------------------------------------------
+def _brute_shingles(text, n=3):
+    toks = text.strip().lower().split()
+    if len(toks) <= n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_decontaminate_matches_bruteforce(spark):
+    from pg_iui_ner_api_spark.operators.dedup import decontaminate
+
+    docs = [
+        ("d1", "alpha beta gamma delta epsilon"),     # shares 'alpha beta gamma'
+        ("d2", "zeta eta theta iota kappa"),          # clean
+        ("d3", "one two three alpha beta gamma"),     # shares 1 shingle
+        ("d4", "short text"),                          # <=n tokens: 1 shingle
+    ]
+    bench = [("secret eval prompt alpha beta gamma",), ("short text",)]
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    bdf = spark.createDataFrame(bench, "text string")
+    got = {r["doc_id"]: (r["n_overlap"], r["n_shingles"], r["contamination"])
+           for r in decontaminate(ddf, bdf, n=3).collect()}
+
+    bench_sh = set().union(*(_brute_shingles(t) for (t,) in bench))
+    expect = {}
+    for did, text in docs:
+        sh = _brute_shingles(text)
+        ov = len(sh & bench_sh)
+        if ov >= 1:
+            expect[did] = (ov, len(sh), round(ov / len(sh), 6))
+    assert got == expect
+    assert "d2" not in got and "d4" in got  # whole-doc shingle hit
+
+
+def test_dedup_lines_matches_bruteforce(spark):
+    from pg_iui_ner_api_spark.operators.dedup import dedup_lines
+
+    docs = [
+        ("a", "keep me\ncookie banner\nunique a"),
+        ("b", "cookie banner\nunique b\n\nkeep me"),   # both dup lines dropped
+        ("c", "cookie banner"),                          # everything dropped
+        ("d", ""),                                       # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_dropped"])
+           for r in dedup_lines(df).collect()}
+
+    # brute force: first occurrence ordered by (doc_id, pos); blanks kept
+    seen, keep = set(), {}
+    for did, text in sorted(docs):
+        for pos, ln in enumerate(text.split("\n")):
+            if ln.strip() == "":
+                keep.setdefault(did, []).append((pos, ln))
+            elif ln not in seen:
+                seen.add(ln)
+                keep.setdefault(did, []).append((pos, ln))
+    expect = {}
+    for did, text in docs:
+        rows = sorted(keep.get(did, []))
+        nk = sum(1 for _, ln in rows if ln.strip() != "")
+        total_nb = sum(1 for ln in text.split("\n") if ln.strip() != "")
+        expect[did] = ("\n".join(ln for _, ln in rows), nk, total_nb - nk)
+    assert got == expect
+    assert got["c"] == ("", 0, 1)
+    # empty text splits to one blank line, which is structural
+    assert got["d"] == ("", 0, 0)
