@@ -245,6 +245,14 @@ def _q_decontaminate(spark, sf):
     return D.decontaminate(d, bench, n=3, min_overlap=1)
 
 
+def _q_pack_sequences(spark, sf):
+    from pg_iui_ner_api_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf, "documents"), ctx_len=256, n_shards=4
+    )
+
+
 def _q_dedup_lines(spark, sf):
     # documents are single-line; compose multi-line docs of 10 consecutive
     # ids each so cross-doc duplicate lines actually occur
@@ -782,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_fingerprint,
         "decontaminate": _q_decontaminate,
         "dedup_lines": _q_dedup_lines,
+        "pack_sequences": _q_pack_sequences,
         "token_stats": _q_token_stats,
         "bm25": _q_bm25,
         "quality_score": _q_quality_score,
@@ -966,6 +975,25 @@ def oracle_sql() -> dict[str, str]:
                round(n_overlap / n_shingles::DOUBLE, 6) AS contamination
         FROM hits h JOIN sized s ON s.doc_id = h.doc_id
         WHERE n_overlap >= 1
+    """
+    sql["pack_sequences"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 {_H.format(x="CAST(doc_id AS VARCHAR)")} AS h,
+                 CAST(len({_TOKS.format(x='text')}) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, CAST(h % 4 AS INT) AS shard, n_tokens,
+                 sum(n_tokens) OVER (
+                   PARTITION BY h % 4 ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - n_tokens AS cb
+          FROM t
+        )
+        SELECT doc_id, shard, CAST(cb // 256 AS BIGINT) AS pack_id,
+               CAST(cb % 256 AS BIGINT) AS offset_tokens, n_tokens
+        FROM c
     """
     sql["dedup_lines"] = """
         WITH grp AS (

@@ -199,7 +199,7 @@ def _headline(spark) -> dict[str, float]:
         # late-r3 additions: relational analytics + search + composite dedup
         "asof_join", "window_funcs", "bm25", "fuzzy_dedup", "topk_group",
         "funnel", "resample", "fuzzy_join", "curate",
-        "decontaminate", "dedup_lines",
+        "decontaminate", "dedup_lines", "pack_sequences",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

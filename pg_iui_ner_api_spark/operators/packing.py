@@ -1,0 +1,107 @@
+"""Training-data export: deterministic sharding + sequence packing.
+
+The last mile of a pretraining pipeline: after curation
+(plans/curation.py) the corpus must be (a) split into a fixed number of
+shards whose membership is a pure function of the doc id — so a re-run,
+a resume, or a different cluster produces byte-identical shards — and
+(b) packed into fixed-length training contexts (GPT-style
+concat-and-chunk: documents are laid end-to-end in a deterministic
+pseudo-random order and the token stream is cut every ``ctx_len``
+tokens, so a document's context/offset assignment is again a pure
+function of the corpus).
+
+Everything here is JVM Column algebra — one hash, one window — with
+exact DuckDB twins in ``__spark_entry__.oracle_sql``; zero Python on
+any path.
+
+Scale shape: ``pack_sequences`` is ONE shuffle, keyed by the shard id.
+``n_shards`` is the parallelism knob (at 100 TB you run 10k+ shards so
+each window sort holds ~10 GB of (hash, n_tokens) pairs — the text
+itself never enters the window; the sort key is an 8-byte hash). The
+cumulative sum is a running window (``ROWS UNBOUNDED PRECEDING``),
+which Spark evaluates streaming inside the sort — no buffering of the
+whole partition.
+
+Provenance: the reference has no export path (documents go straight
+from upload to a per-request model call,
+/root/reference/src/routers/main_endpoints.py:84-176); packing
+semantics are engine-side new work per the task brief, following the
+standard concat-and-chunk construction used by public LM data tooling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.text import portable_hash64, spread, token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign every document a ``(shard, pack_id, offset_tokens)`` — the
+    training context it starts in under concat-and-chunk packing.
+
+    Order within a shard is by the 60-bit md5 hash (a deterministic
+    shuffle — neighbors in the corpus are not neighbors in the stream),
+    tie-broken by doc id. ``offset_tokens`` is the document's start
+    position inside its pack; a document longer than the remaining room
+    simply straddles into the next pack, exactly like the real token-
+    stream cut.
+    """
+    if ctx_len <= 0 or n_shards <= 0:
+        raise ValueError("ctx_len and n_shards must be positive")
+    h = portable_hash64(F.col(id_col).cast("string"))
+    t = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        h.alias("h"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_cum")
+    return t.select("doc_id", "shard", "n_tokens", cum_before).select(
+        "doc_id",
+        "shard",
+        F.floor(F.col("_cum") / ctx_len).cast("long").alias("pack_id"),
+        (F.col("_cum") % ctx_len).cast("long").alias("offset_tokens"),
+        "n_tokens",
+    )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    ctx_len: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the packed corpus as shard-partitioned parquet.
+
+    One shuffle total: the pack assignment's shard window is reused as
+    the write partitioning (``repartition(shard)`` hashes on the same
+    key the window just sorted by, so AQE coalesces rather than
+    re-shuffles), and ``partitionBy("shard")`` gives downstream loaders
+    per-shard partition pruning. Returns the written assignment.
+    """
+    packed = pack_sequences(docs, ctx_len, n_shards, id_col, text_col).join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+    )
+    (
+        packed.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pack_id", "offset_tokens")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return packed

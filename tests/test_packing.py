@@ -1,0 +1,79 @@
+"""Sequence packing / shard export (operators/packing.py) vs a
+brute-force Python oracle that re-implements concat-and-chunk with
+plain loops and hashlib."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg_iui_ner_api_spark.operators.packing import pack_sequences, write_training_shards
+
+CTX = 10
+SHARDS = 3
+
+DOCS = [
+    (i, " ".join(f"w{j}" for j in range((i * 3) % 7 + 1))) for i in range(40)
+]
+
+
+def _h(doc_id):
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+
+def _brute(docs, ctx_len=CTX, n_shards=SHARDS):
+    rows = [(did, _h(did), _h(did) % n_shards, len(text.split())) for did, text in docs]
+    out = {}
+    for shard in range(n_shards):
+        cum = 0
+        for did, h, s, nt in sorted((r for r in rows if r[2] == shard), key=lambda r: (r[1], r[0])):
+            out[did] = (s, cum // ctx_len, cum % ctx_len, nt)
+            cum += nt
+    return out
+
+
+def test_pack_sequences_matches_bruteforce(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: (r["shard"], r["pack_id"], r["offset_tokens"], r["n_tokens"])
+           for r in pack_sequences(df, ctx_len=CTX, n_shards=SHARDS).collect()}
+    assert got == _brute(DOCS)
+    # packing is gapless: within each shard, offsets+lengths tile the stream
+    by_shard = {}
+    for did, (s, p, o, nt) in got.items():
+        by_shard.setdefault(s, []).append((p * CTX + o, nt))
+    for s, spans in by_shard.items():
+        spans.sort()
+        pos = 0
+        for start, nt in spans:
+            assert start == pos
+            pos += nt
+
+
+def test_pack_sequences_rejects_bad_params(spark):
+    df = spark.createDataFrame(DOCS[:2], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, ctx_len=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, n_shards=0)
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(df, a, ctx_len=CTX, n_shards=SHARDS)
+    write_training_shards(df, b, ctx_len=CTX, n_shards=SHARDS)
+
+    def content(path):
+        rows = spark.read.parquet(path).collect()
+        return sorted((r["doc_id"], r["shard"], r["pack_id"], r["offset_tokens"],
+                       r["n_tokens"], r["text"]) for r in rows)
+
+    ca, cb = content(a), content(b)
+    assert ca == cb and len(ca) == len(DOCS)
+    # shard partition pruning: the filter lands in PartitionFilters, so a
+    # training job reading one shard scans one directory
+    one = spark.read.parquet(a).where(F.col("shard") == 1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "shard" in pf.group(1)
