@@ -959,13 +959,16 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT doc_id, md5({_NORM.format(x='text')}) AS fp FROM documents"
     )
     sql["decontaminate"] = f"""
-        WITH dsh AS (
+        WITH dsh0 AS (
           SELECT doc_id, unnest({_SHINGLES.format(x='text')}) AS sh FROM documents
         ),
-        sized AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY doc_id),
+        sized AS (SELECT doc_id, count(*) AS n_shingles FROM dsh0 GROUP BY doc_id),
+        dsh AS (SELECT * FROM dsh0 WHERE sh <> ''),
         bench AS (
-          SELECT DISTINCT unnest({_SHINGLES.format(x='text')}) AS sh
-          FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+          SELECT DISTINCT sh FROM (
+            SELECT unnest({_SHINGLES.format(x='text')}) AS sh
+            FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+          ) WHERE sh <> ''
         ),
         hits AS (
           SELECT doc_id, count(*) AS n_overlap

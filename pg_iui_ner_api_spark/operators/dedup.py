@@ -597,26 +597,21 @@ def decontaminate(
     shingle count rides along from the pre-explode projection, so the
     corpus is shingled exactly once.
     """
+    # zero-token texts shingle to [""] (the whole-doc fallback); drop the
+    # empty shingle on BOTH sides or one blank benchmark row would flag
+    # every blank corpus doc as 100% contaminated
     wsh = _with_shingles(docs, n, id_col, text_col)
     sized = wsh.select(
         "doc_id",
         F.size("sh").cast("long").alias("n_shingles"),
         F.explode_outer("sh").alias("sh"),
-    ).where(F.col("sh").isNotNull())
-    bench = (
-        _with_shingles(
-            benchmark.select(
-                F.lit("_bench").alias("doc_id"),
-                F.col(bench_text_col).alias("text"),
-            ),
-            n,
-            "doc_id",
-            "text",
-        )
-        .select(F.explode_outer("sh").alias("sh"))
-        .where(F.col("sh").isNotNull())
-        .distinct()
-    )
+    ).where(F.col("sh").isNotNull() & (F.col("sh") != ""))
+    bench = shingle_table(
+        benchmark.select(
+            F.lit("_bench").alias("doc_id"), F.col(bench_text_col).alias("text")
+        ),
+        n,
+    ).select("sh").where(F.col("sh") != "")
     hits = (
         sized.join(F.broadcast(bench), "sh")
         .groupBy("doc_id", "n_shingles")

@@ -42,6 +42,7 @@ def pack_sequences(
     n_shards: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign every document a ``(shard, pack_id, offset_tokens)`` — the
     training context it starts in under concat-and-chunk packing.
@@ -52,6 +53,10 @@ def pack_sequences(
     position inside its pack; a document longer than the remaining room
     simply straddles into the next pack, exactly like the real token-
     stream cut.
+
+    ``carry`` names extra input columns to ride through the window (the
+    write path carries the text itself so the whole export is ONE
+    shuffle); when empty, only (hash, n_tokens) enters the sort.
     """
     if ctx_len <= 0 or n_shards <= 0:
         raise ValueError("ctx_len and n_shards must be positive")
@@ -61,6 +66,7 @@ def pack_sequences(
         h.alias("h"),
         F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
         token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        *[F.col(c) for c in carry],
     )
     w = (
         Window.partitionBy("shard")
@@ -68,12 +74,15 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("_cum")
-    return t.select("doc_id", "shard", "n_tokens", cum_before).select(
+    return t.select("doc_id", "shard", "n_tokens", cum_before, *carry).select(
         "doc_id",
         "shard",
-        F.floor(F.col("_cum") / ctx_len).cast("long").alias("pack_id"),
+        # integer DIV, not floor(double /): exact past 2^53 cumulative
+        # tokens, matching the oracle's `//`
+        F.expr(f"_cum DIV {int(ctx_len)}").alias("pack_id"),
         (F.col("_cum") % ctx_len).cast("long").alias("offset_tokens"),
         "n_tokens",
+        *carry,
     )
 
 
@@ -87,21 +96,17 @@ def write_training_shards(
 ) -> DataFrame:
     """Materialize the packed corpus as shard-partitioned parquet.
 
-    One shuffle total: the pack assignment's shard window is reused as
-    the write partitioning (``repartition(shard)`` hashes on the same
-    key the window just sorted by, so AQE coalesces rather than
-    re-shuffles), and ``partitionBy("shard")`` gives downstream loaders
-    per-shard partition pruning. Returns the written assignment.
+    ONE shuffle total: the text rides through the pack window via
+    ``carry`` (the window's hash-partitioning on ``shard`` already
+    sends every row of a shard to exactly one task, and the window sort
+    leaves rows in pack order), so the write needs no join back to the
+    corpus and no repartition — ``partitionBy("shard")`` just splits
+    each task's already-grouped output into its shard directory for
+    downstream partition pruning. The cost of carrying text is sort
+    spill, not an extra exchange. Returns the written assignment.
     """
-    packed = pack_sequences(docs, ctx_len, n_shards, id_col, text_col).join(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-        "doc_id",
+    packed = pack_sequences(
+        docs, ctx_len, n_shards, id_col, text_col, carry=(text_col,)
     )
-    (
-        packed.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "pack_id", "offset_tokens")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(path)
-    )
+    packed.write.mode("overwrite").partitionBy("shard").parquet(path)
     return packed

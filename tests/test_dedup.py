@@ -301,16 +301,20 @@ def test_dedup_lines_matches_bruteforce(spark):
         ("b", "cookie banner\nunique b\n\nkeep me"),   # both dup lines dropped
         ("c", "cookie banner"),                          # everything dropped
         ("d", ""),                                       # empty doc
-    ]
+        ("e", "\t\nkeep me\n\t"),                        # tab-only lines are
+        ("f", "\t"),                                     # CONTENT (trim is
+    ]                                                    # space-only), deduped
     df = spark.createDataFrame(docs, "doc_id string, text string")
     got = {r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_dropped"])
            for r in dedup_lines(df).collect()}
 
-    # brute force: first occurrence ordered by (doc_id, pos); blanks kept
+    # brute force: first occurrence ordered by (doc_id, pos); blanks kept.
+    # blank = space-only trim, mirroring Spark/DuckDB trim() semantics
+    # (str.strip() would also strip tabs and diverge)
     seen, keep = set(), {}
     for did, text in sorted(docs):
         for pos, ln in enumerate(text.split("\n")):
-            if ln.strip() == "":
+            if ln.strip(" ") == "":
                 keep.setdefault(did, []).append((pos, ln))
             elif ln not in seen:
                 seen.add(ln)
@@ -318,10 +322,26 @@ def test_dedup_lines_matches_bruteforce(spark):
     expect = {}
     for did, text in docs:
         rows = sorted(keep.get(did, []))
-        nk = sum(1 for _, ln in rows if ln.strip() != "")
-        total_nb = sum(1 for ln in text.split("\n") if ln.strip() != "")
+        nk = sum(1 for _, ln in rows if ln.strip(" ") != "")
+        total_nb = sum(1 for ln in text.split("\n") if ln.strip(" ") != "")
         expect[did] = ("\n".join(ln for _, ln in rows), nk, total_nb - nk)
     assert got == expect
     assert got["c"] == ("", 0, 1)
     # empty text splits to one blank line, which is structural
     assert got["d"] == ("", 0, 0)
+    # tab-only line: content, deduped corpus-wide — e keeps its first tab
+    # line ("keep me" and the second tab are dups), f loses its only line
+    assert got["e"] == ("\t", 1, 2)
+    assert got["f"] == ("", 0, 1)
+
+
+def test_decontaminate_ignores_blank_texts(spark):
+    from pg_iui_ner_api_spark.operators.dedup import decontaminate
+
+    docs = [("d1", ""), ("d2", "   "), ("d3", "real words here now")]
+    bench = [("",), ("\t ",), ("unrelated benchmark prompt text",)]
+    ddf = spark.createDataFrame(docs, "doc_id string, text string")
+    bdf = spark.createDataFrame(bench, "text string")
+    # blank benchmark rows must not flag blank corpus docs via the ""
+    # whole-doc fallback shingle
+    assert decontaminate(ddf, bdf, n=3).count() == 0

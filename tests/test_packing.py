@@ -77,3 +77,17 @@ def test_write_training_shards_deterministic(spark, tmp_path):
     import re
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "shard" in pf.group(1)
+
+
+def test_write_path_is_one_shuffle(spark):
+    # the export claim: text rides through the pack window, so the whole
+    # write plan has exactly ONE Exchange (the window's shard hash
+    # partitioning) beyond any input repartition
+    from pg_iui_ner_api_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").coalesce(4)
+    packed = pack_sequences(df, ctx_len=CTX, n_shards=SHARDS, carry=("text",))
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange")
+    assert n_exchange == 1, plan
+    assert "text" in packed.columns
