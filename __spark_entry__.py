@@ -384,9 +384,10 @@ def _q_fuzzy_join(spark, sf):
     # brute-force theta-join, so it also pins the trick's recall
     c = _t(spark, sf, "customer").select("c_custkey", "c_name")
     out = SIM.edit_distance_pairs(
-        c, c, "c_name", "c_name", "c_custkey", "c_custkey"
+        c, c, "c_name", "c_name", "c_custkey", "c_custkey",
+        strict_order=True,
     )
-    return out.where(F.col("lid") < F.col("rid")).select(
+    return out.select(
         F.col("lid").alias("ka"), F.col("rid").alias("kb"), "dist"
     )
 

@@ -87,7 +87,8 @@ def _deletion_variants(s, max_len: int = 64):
 def edit_distance_pairs(left: DataFrame, right: DataFrame,
                         left_col: str, right_col: str,
                         left_id: str, right_id: str,
-                        max_dist: int = 1) -> DataFrame:
+                        max_dist: int = 1,
+                        strict_order: bool = False) -> DataFrame:
     """Typo-tolerant string join: (left_id, right_id, dist) for every
     pair with ``levenshtein <= max_dist`` — the fuzzy generalization of
     the exact broadcast alias-candidate join (operators/linking.py;
@@ -107,6 +108,12 @@ def edit_distance_pairs(left: DataFrame, right: DataFrame,
     shuffle on short strings — never an all-pairs product, never a
     theta-join. Only ``max_dist=1`` is supported (deeper neighborhoods
     grow combinatorially; compose with blocking for coarser matching).
+
+    ``strict_order=True`` (for self-joins) pushes ``lid < rid`` into
+    the join itself: every row otherwise matches ITSELF on all |s|+1 of
+    its variants, so the trivial self-pairs dominate the join output
+    and the distinct's shuffle; filtering inside the join removes them
+    before anything materializes.
     """
     if max_dist != 1:
         raise ValueError("edit_distance_pairs supports max_dist=1 only")
@@ -118,9 +125,15 @@ def edit_distance_pairs(left: DataFrame, right: DataFrame,
         F.col(right_id).alias("rid"), F.col(right_col).alias("rs"),
         F.explode(_deletion_variants(F.col(right_col))).alias("var"),
     )
+    cond = F.col("l.var") == F.col("r.var")
+    if strict_order:
+        cond = cond & (F.col("l.lid") < F.col("r.rid"))
     return (
-        l.join(r, "var")
-        .select("lid", "rid", "ls", "rs")
+        l.alias("l").join(r.alias("r"), cond)
+        .select(
+            F.col("l.lid").alias("lid"), F.col("r.rid").alias("rid"),
+            F.col("l.ls").alias("ls"), F.col("r.rs").alias("rs"),
+        )
         .distinct()
         .withColumn("dist", F.levenshtein("ls", "rs"))
         .where(F.col("dist") <= max_dist)
