@@ -984,7 +984,7 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (
           SELECT doc_id,
                  {_H.format(x="CAST(doc_id AS VARCHAR)")} AS h,
-                 CAST(len({_TOKS.format(x='text')}) AS BIGINT) AS n_tokens
+                 CAST(coalesce(len({_TOKS.format(x='text')}), 0) AS BIGINT) AS n_tokens
           FROM documents
         ),
         c AS (

@@ -65,7 +65,11 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         h.alias("h"),
         F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        # null text = zero tokens (size(null) is null and would poison
+        # the running sum into null pack assignments)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
         *[F.col(c) for c in carry],
     )
     w = (

@@ -91,3 +91,21 @@ def test_write_path_is_one_shuffle(spark):
     n_exchange = plan.count("Exchange")
     assert n_exchange == 1, plan
     assert "text" in packed.columns
+
+
+def test_pack_sequences_null_text_is_zero_tokens(spark):
+    from pg_iui_ner_api_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["pack_id"], r["offset_tokens"], r["n_tokens"])
+           for r in pack_sequences(df, ctx_len=4, n_shards=1).collect()}
+    assert got[2][2] == 0                      # null text -> 0 tokens
+    assert None not in {v for t in got.values() for v in t}
+    # stream is still gapless across the null doc
+    spans = sorted((p * 4 + o, nt) for p, o, nt in got.values())
+    pos = 0
+    for start, nt in spans:
+        assert start == pos
+        pos += nt
