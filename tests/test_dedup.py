@@ -345,3 +345,15 @@ def test_decontaminate_ignores_blank_texts(spark):
     # blank benchmark rows must not flag blank corpus docs via the ""
     # whole-doc fallback shingle
     assert decontaminate(ddf, bdf, n=3).count() == 0
+
+
+def test_dedup_lines_and_decontaminate_null_text(spark):
+    from pg_iui_ner_api_spark.operators.dedup import decontaminate, dedup_lines
+
+    df = spark.createDataFrame([("a", "x\ny"), ("b", None)],
+                               "doc_id string, text string")
+    got = {r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_dropped"])
+           for r in dedup_lines(df).collect()}
+    assert got == {"a": ("x\ny", 2, 0), "b": ("", 0, 0)}
+    bench = spark.createDataFrame([("x q r s t",), (None,)], "text string")
+    assert decontaminate(df, bench, n=3).count() == 0
