@@ -1540,10 +1540,10 @@ def oracle_sql() -> dict[str, str]:
         FROM b
     """
     # stratified_sample twin: same salted md5 bucket, thresholds from the
-    # SAME fracs dict (int(frac*buckets), matching the operator's floor)
+    # SAME fracs dict (int(round(frac*buckets)), matching the operator)
     _sbucket = _H.format(x="'strat:' || CAST(doc_id AS VARCHAR)") + " % 10000"
     _scase = "CASE " + " ".join(
-        f"WHEN lang = '{s}' THEN {int(f * 10000)}"
+        f"WHEN lang = '{s}' THEN {int(round(f * 10000))}"
         for s, f in sorted(_STRAT_FRACS.items())
     ) + " ELSE 1000 END"
     sql["stratified_sample"] = f"""

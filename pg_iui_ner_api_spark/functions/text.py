@@ -257,7 +257,9 @@ def dataset_split(
     buckets: int = SPLIT_BUCKETS,
 ) -> Column:
     b = split_bucket(c, buckets)
-    t_hi, d_hi = int(train * buckets), int((train + dev) * buckets)
+    # round, not floor: int(0.57*10000) truncates float error to 5699,
+    # silently keeping one bucket fewer than requested for some fractions
+    t_hi, d_hi = int(round(train * buckets)), int(round((train + dev) * buckets))
     return (
         F.when(b < t_hi, "train").when(b < d_hi, "dev").otherwise("test")
     )
@@ -284,9 +286,12 @@ def stratified_keep(
     filter, no shuffle, no RNG state.
     """
     b = split_bucket(F.concat(F.lit(salt + ":"), id_c.cast("string")), buckets)
-    thresh: Column = F.lit(int(default_frac * buckets))
+    # round, not floor (same float-truncation hazard as dataset_split)
+    thresh: Column = F.lit(int(round(default_frac * buckets)))
     for s, frac in sorted(fracs.items()):
-        thresh = F.when(stratum_c == s, F.lit(int(frac * buckets))).otherwise(thresh)
+        thresh = F.when(
+            stratum_c == s, F.lit(int(round(frac * buckets)))
+        ).otherwise(thresh)
     return b < thresh
 
 

@@ -77,6 +77,11 @@ def asof_join(
         *[F.col(c).alias(c) for c in right_cols],
     )
     tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    # A right row with a NULL timestamp can never legitimately match;
+    # left in the stream its NULL _pos would sort nulls-first and become
+    # a spurious head-of-partition match for left rows with no real
+    # predecessor. Drop before building the union stream.
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.select(
         *keys,
         _epoch(F.col(right_ts)).alias("_pos"),
@@ -147,6 +152,7 @@ def range_join(
     end_col: str = "s_end",
     ts_col: str = "ts",
     bucket_seconds: int = 3600,
+    max_buckets_per_interval: int = 100_000,
 ) -> DataFrame:
     """Interval-containment join: point row p matches interval row i of
     the same ``keys`` when ``i.start <= p.ts <= i.end`` (inclusive both
@@ -161,14 +167,28 @@ def range_join(
     """
     keys = list(keys)
     b = int(bucket_seconds)
-    iv = intervals.withColumn(
-        "_bkt",
-        F.explode(
-            F.sequence(
-                (F.col(start_col) / b).cast("long"),
-                (F.col(end_col) / b).cast("long"),
-            )
+    # Fan-out guards (mirrors _deletion_variants' explicit max_len cap):
+    # an inverted interval (end < start — Spark's sequence would silently
+    # count DOWN and still emit buckets) is corrupt and matches nothing,
+    # so it is filtered; a runaway interval (far-future end) fails fast
+    # with a clear error instead of exploding to millions of rows.
+    lo = (F.col(start_col) / b).cast("long")
+    hi = (F.col(end_col) / b).cast("long")
+    guard = F.assert_true(
+        hi - lo < F.lit(int(max_buckets_per_interval)),
+        F.concat(
+            F.lit("range_join: interval spans too many buckets "
+                  f"(cap {max_buckets_per_interval}): "),
+            F.col(start_col).cast("string"), F.lit(".."),
+            F.col(end_col).cast("string"),
         ),
+    )
+    # assert_true is NULL on pass, so this `when` is the identity on lo —
+    # but it keeps the guard inside the live expression tree (a separate
+    # dropped column would be pruned by Catalyst and never evaluated).
+    lo_checked = F.when(guard.isNull(), lo)
+    iv = intervals.where(F.col(end_col) >= F.col(start_col)).withColumn(
+        "_bkt", F.explode(F.sequence(lo_checked, hi))
     )
     pt = points.withColumn("_bkt", (_epoch(F.col(ts_col)) / b).cast("long"))
     cond = [pt["_bkt"] == iv["_bkt"]] + [pt[k] == iv[k] for k in keys]

@@ -68,20 +68,38 @@ class ParquetRegistry:
         nothing and run concurrently with writers)."""
         if version is not None:
             vdir = os.path.join(self.dir, f"v_{version}")
-            if not os.path.isdir(vdir):
-                raise ValueError(f"no snapshot v_{version} in {self.dir}")
+            if version not in self.versions() or not os.path.isdir(vdir):
+                raise ValueError(
+                    f"no committed snapshot v_{version} in {self.dir}"
+                )
             return self.spark.read.schema(self.schema).parquet(vdir)
         cur = self._current_path()
         if cur is None:
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.schema(self.schema).parquet(cur)
 
+    def _current_version(self) -> int | None:
+        cur = self._current_path()
+        return None if cur is None else int(os.path.basename(cur).split("_")[1])
+
     def versions(self) -> list[int]:
-        """Retained snapshot ids, oldest first (Iceberg: snapshot log)."""
+        """COMMITTED snapshot ids, oldest first (Iceberg: snapshot log).
+
+        A ``v_<n>`` directory is committed only if ``n`` is at or below
+        the version ``_current`` points to AND Spark's ``_SUCCESS``
+        marker landed — a partially-written snapshot left by a crash
+        between ``df.write`` and the ``_current`` repoint must never be
+        listed (or ``rollback`` would commit partial data as a new live
+        version, defeating the atomic-swap guarantee)."""
+        cur_v = self._current_version()
+        if cur_v is None:
+            return []
         vs = [
-            int(d.split("_")[1])
+            n
             for d in os.listdir(self.dir)
             if d.startswith("v_") and d.split("_")[1].isdigit()
+            and (n := int(d.split("_")[1])) <= cur_v
+            and os.path.exists(os.path.join(self.dir, d, "_SUCCESS"))
         ]
         return sorted(vs)
 
@@ -89,7 +107,12 @@ class ParquetRegistry:
         """Restore a historical snapshot by committing its content as a
         NEW version (Iceberg's rollback semantics: history stays linear
         and append-only; nothing is deleted, the bad versions remain
-        auditable)."""
+        auditable). Only COMMITTED versions are restorable."""
+        if version not in self.versions():
+            raise ValueError(
+                f"v_{version} is not a committed snapshot of {self.dir} "
+                f"(committed: {self.versions()})"
+            )
         self._commit(self.read(version))
 
     # -- U1: append insert -------------------------------------------------

@@ -104,6 +104,25 @@ def test_asof_join_tolerance_nulls_far_matches(spark):
     assert got == {k: (v[1] if v else None) for k, v in exp.items()}
 
 
+def test_asof_join_null_right_ts_never_matches(spark):
+    """A right row with a NULL timestamp must be invisible to the as-of
+    stream: before the fix its NULL _pos sorted nulls-first and became a
+    spurious head-of-partition match (populated *_r, NULL matched_ts)
+    for left rows with no real predecessor."""
+    left = _events(spark, [(1, 2, 50, "purchase", 5.0)])  # user 2, t=50
+    right = spark.createDataFrame(
+        [Row(event_id=99, user_id=2, ts=None, event_type="click", value=1.0)],
+        "event_id int, user_id int, ts timestamp, event_type string, value double",
+    )
+    out = A.asof_join(
+        left, right, ["user_id"], right_cols=["event_id"], tiebreak="event_id"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["matched_ts"] is None and r["event_id_r"] is None
+    assert r["gap_seconds"] is None
+
+
 def test_asof_tie_rule_matches_duckdb(spark):
     """The pinned tie rule (equal right ts -> max tiebreak for backward)
     against an independent DuckDB lateral formulation."""
@@ -179,6 +198,31 @@ def test_range_join_no_duplicate_pairs(spark):
     )
     pts = _events(spark, [(1, 1, 3600, "x", 0)])
     assert A.range_join(iv, pts, ["user_id"], bucket_seconds=60).count() == 1
+
+
+def test_range_join_inverted_interval_filtered(spark):
+    # end < start is corrupt: Spark's sequence would silently count DOWN
+    # and still emit buckets; the guard filters the row instead.
+    epoch0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    iv = spark.createDataFrame(
+        [Row(user_id=1, iv_id=1, s_start=epoch0 + 100000, s_end=epoch0)]
+    )
+    pts = _events(spark, [(1, 1, 3600, "x", 0)])
+    assert A.range_join(iv, pts, ["user_id"], bucket_seconds=60).count() == 0
+
+
+def test_range_join_runaway_interval_errors(spark):
+    # a far-future end must fail fast, not explode to millions of rows
+    epoch0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    iv = spark.createDataFrame(
+        [Row(user_id=1, iv_id=1, s_start=epoch0, s_end=epoch0 + 10_000_000)]
+    )
+    pts = _events(spark, [(1, 1, 3600, "x", 0)])
+    with pytest.raises(Exception, match="too many buckets"):
+        A.range_join(
+            iv, pts, ["user_id"], bucket_seconds=60,
+            max_buckets_per_interval=1000,
+        ).count()
 
 
 def test_timeline_features_bruteforce(spark):

@@ -81,3 +81,35 @@ def test_time_travel_and_rollback(spark, tmp_path):
     assert {(r["id"], r["v"]) for r in reg.read().collect()} == {(1, "a"), (2, "b")}
     with _pt.raises(ValueError):
         reg.read(99)
+
+
+def test_partial_snapshot_is_not_committed(spark, tmp_path):
+    """A v_<n> directory left by a crash between df.write and the
+    _current repoint must never be listed, read, or rolled back — only
+    the committed history counts (atomic-swap guarantee)."""
+    import os
+    import pytest as _pt
+
+    from pg_iui_ner_api_spark.sources.registry import ParquetRegistry
+
+    reg = ParquetRegistry(spark, str(tmp_path), "pt", "id long, v string")
+    reg.insert(spark.createDataFrame([(1, "a")], "id long, v string"))
+    assert reg.versions() == [0]
+
+    # simulate the crash: v_1 written (even with _SUCCESS) but _current
+    # still points at v_0
+    spark.createDataFrame([(9, "partial")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(reg.dir, "v_1"))
+    # and a truly partial v_2: no _SUCCESS marker at all
+    os.makedirs(os.path.join(reg.dir, "v_2"), exist_ok=True)
+
+    assert reg.versions() == [0]
+    with _pt.raises(ValueError):
+        reg.read(1)
+    with _pt.raises(ValueError):
+        reg.rollback(1)
+    # the next real commit overwrites the orphan dir and moves _current
+    reg.update("id", 1, {"v": "a2"})
+    assert reg.versions() == [0, 1]
+    assert {(r["id"], r["v"]) for r in reg.read(1).collect()} == {(1, "a2")}

@@ -193,6 +193,28 @@ def test_dataset_split_deterministic_and_proportional(spark):
         assert s == want
 
 
+def test_stratified_threshold_rounds_not_truncates(spark):
+    """int(0.57*10000) truncates float error to 5699 — thresholds must
+    round so a frac of k/buckets keeps exactly the first k buckets."""
+    from pg_iui_ner_api_spark.functions.text import stratified_keep
+
+    df = spark.createDataFrame([(i,) for i in range(20000)], "doc_id long")
+    keep = df.select(
+        T.split_bucket(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+        .alias("b"),
+        stratified_keep(
+            F.col("doc_id"), F.lit("x"), {"x": 0.57}, default_frac=0.0
+        ).alias("k"),
+    ).collect()
+    assert all((r["b"] < 5700) == r["k"] for r in keep)
+    # dataset_split boundaries likewise round (0.57/0.29 both truncate)
+    s = T.dataset_split(F.col("doc_id"), train=0.57, dev=0.29)
+    rows = df.select(T.split_bucket(F.col("doc_id")).alias("b"), s.alias("s")).collect()
+    for r in rows:
+        want = "train" if r["b"] < 5700 else ("dev" if r["b"] < 8600 else "test")
+        assert r["s"] == want
+
+
 def test_stratified_keep_deterministic_and_proportional(spark):
     from pg_iui_ner_api_spark.functions.text import stratified_keep
     from pyspark.sql import functions as F
