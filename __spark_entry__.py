@@ -543,7 +543,32 @@ def _part_edges(spark, sf):
 
 
 def _q_graph_cooccur(spark, sf):
+    # deliberately UNCAPPED: this key is the exact oracle-comparable form
+    # (DuckDB computes the same full self-join), bounded at sf0.1 where the
+    # largest group is ~13 nodes. The 100 TB form is graph_cooccur_capped
+    # below — max_group + the dropped-groups report, per the hub-cap
+    # contract (operators/graph.py:52-97).
     return _part_edges(spark, sf)
+
+
+# hub cap for the capped twin: drops the 7..13-node tail groups at sf0.01
+# (~1.6k of ~14.7k groups), so the drop path is genuinely exercised.
+_COOCCUR_CAP = 6
+
+
+def _q_graph_cooccur_capped(spark, sf):
+    return GR.cooccurrence_edges(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        max_group=_COOCCUR_CAP,
+    )
+
+
+def _q_graph_cooccur_dropped(spark, sf):
+    # the never-silent half of the cap contract: exactly which hub groups
+    # the cap dropped, with their sizes
+    return GR.cooccurrence_dropped_groups(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey", _COOCCUR_CAP
+    )
 
 
 def _q_graph_degrees(spark, sf):
@@ -767,7 +792,41 @@ def _q_pivot_seg_prio(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDERING CONTRACT: the driver's correctness harness records only the
+    # first 50 keys, so (a) keys that have never earned a driver-green
+    # CORRECTNESS row come FIRST (r3's graph/relational-analytics/PII/splits
+    # families + this round's new keys), (b) keys already green in
+    # CORRECTNESS_r01–r03 follow, and (c) the rows-only keys (no DuckDB
+    # oracle — kg_*, media binary features, trained IVF) sit at the very
+    # end so they never displace an oracle-backed key from the window.
     return {
+        # -- (a) never driver-checked (r3 families) + new in r4 -----------
+        "graph_degrees": _q_graph_degrees,
+        "graph_pmi": _q_graph_pmi,
+        "graph_khop": _q_graph_khop,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
+        "graph_lpa": _q_graph_lpa,
+        "graph_components": _q_graph_components,
+        "rep_stats": _q_rep_stats,
+        "pii_scrub": _q_pii_scrub,
+        "split_assign": _q_split_assign,
+        "stratified_sample": _q_stratified_sample,
+        "topk_group": _q_topk_group,
+        "asof_join": _q_asof_join,
+        "session_assign": _q_session_assign,
+        "window_funcs": _q_window_funcs,
+        "quantiles": _q_quantiles,
+        "rollup_rev": _q_rollup_rev,
+        "cube_rev": _q_cube_rev,
+        "funnel": _q_funnel,
+        "resample": _q_resample,
+        "histogram": _q_histogram,
+        "pivot_seg_prio": _q_pivot_seg_prio,
+        "profile": _q_profile,
+        "graph_cooccur_capped": _q_graph_cooccur_capped,
+        "graph_cooccur_dropped": _q_graph_cooccur_dropped,
+        # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
         "conj_filter": _q_conj_filter,
@@ -793,6 +852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "pack_sequences": _q_pack_sequences,
         "token_stats": _q_token_stats,
+        # ---- window boundary (key 50) ------------------------------------
         "bm25": _q_bm25,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
@@ -809,38 +869,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": _q_curate,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "graph_cooccur": _q_graph_cooccur,
+        "media_geometry": _q_media_geometry,
+        "media_resize_geom": _q_media_resize_geom,
+        # -- (c) rows-only (no SQL oracle; golden-hash pinned in
+        #        tests/test_golden_queries.py) ------------------------------
         "ann_ivf_trained": _q_ann_ivf_trained,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
-        "media_geometry": _q_media_geometry,
-        "media_resize_geom": _q_media_resize_geom,
-        "graph_cooccur": _q_graph_cooccur,
-        "graph_degrees": _q_graph_degrees,
-        "graph_pmi": _q_graph_pmi,
-        "graph_khop": _q_graph_khop,
-        "graph_pagerank": _q_graph_pagerank,
-        "graph_triangles": _q_graph_triangles,
-        "graph_lpa": _q_graph_lpa,
-        "graph_components": _q_graph_components,
-        "rep_stats": _q_rep_stats,
-        "pii_scrub": _q_pii_scrub,
-        "split_assign": _q_split_assign,
-        "stratified_sample": _q_stratified_sample,
-        "topk_group": _q_topk_group,
-        "asof_join": _q_asof_join,
-        "session_assign": _q_session_assign,
-        "window_funcs": _q_window_funcs,
-        "quantiles": _q_quantiles,
-        "rollup_rev": _q_rollup_rev,
-        "cube_rev": _q_cube_rev,
-        "funnel": _q_funnel,
-        "resample": _q_resample,
-        "histogram": _q_histogram,
-        "pivot_seg_prio": _q_pivot_seg_prio,
-        "profile": _q_profile,
     }
 
 
@@ -1365,6 +1404,17 @@ def oracle_sql() -> dict[str, str]:
         sym AS (SELECT src, dst FROM edges
                 UNION ALL SELECT dst, src FROM edges)"""
     sql["graph_cooccur"] = f"WITH {_GEDGES} SELECT src, dst FROM edges"
+    sql["graph_cooccur_capped"] = f"""
+        WITH {_GEDGES},
+        keep AS (SELECT g FROM e GROUP BY g HAVING count(*) <= 6)
+        SELECT DISTINCT a.n AS src, b.n AS dst
+        FROM e a JOIN e b ON a.g = b.g AND a.n < b.n
+        WHERE a.g IN (SELECT g FROM keep)
+    """
+    sql["graph_cooccur_dropped"] = f"""
+        WITH {_GEDGES}
+        SELECT g, count(*) AS n_nodes FROM e GROUP BY g HAVING count(*) > 6
+    """
     sql["graph_degrees"] = (
         f"WITH {_GEDGES} SELECT src AS node, count(*) AS degree "
         "FROM sym GROUP BY 1"
