@@ -143,6 +143,118 @@ class ParquetRegistry:
         self._commit(self.read().where(~predicate))
 
 
+# -- Iceberg passthrough (the real-cluster form of the ops above) ----------
+#
+# The sandbox has no Iceberg runtime jar and no network to fetch one
+# (verified round 4: ~/.ivy2 empty, pypi unreachable), so these row-level
+# statements cannot EXECUTE here. What can be verified without a catalog:
+#   1. the generated SQL is exactly what an Iceberg catalog accepts
+#      (pinned as goldens in tests/test_registry_iceberg_sql.py), and
+#   2. it is syntactically valid Spark SQL — parsed by Spark's own
+#      parser (MERGE INTO / UPDATE / DELETE FROM are in the grammar
+#      independent of any catalog), and
+#   3. the SEMANTICS match the COW path — the DuckDB contract test
+#      (tests/test_registry_contract.py) replays equivalent row-level SQL
+#      against an independent engine and asserts state parity.
+
+
+def _sql_lit(v: object) -> str:
+    """Render a Python value as a Spark SQL literal."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{s}'"
+
+
+def merge_if_absent_sql(table: str, source_view: str, key_cols: list[str]) -> str:
+    """U2 as Iceberg row-level SQL: MERGE WHEN NOT MATCHED INSERT —
+    the statement `upsert_if_absent` (anti-join + union COW) emulates."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    return (
+        f"MERGE INTO {table} t\n"
+        f"USING {source_view} s\n"
+        f"ON {on}\n"
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def update_sql(table: str, key_col: str, key: object,
+               assignments: dict[str, object]) -> str:
+    """U3 as Iceberg row-level SQL (what `update` emulates via
+    when/otherwise column rewrites)."""
+    sets = ", ".join(f"{c} = {_sql_lit(v)}" for c, v in assignments.items())
+    return f"UPDATE {table} SET {sets} WHERE {key_col} = {_sql_lit(key)}"
+
+
+def delete_sql(table: str, predicate_sql: str) -> str:
+    """U4 as Iceberg row-level SQL (what `delete` emulates via an
+    inverted filter + COW rewrite)."""
+    return f"DELETE FROM {table} WHERE {predicate_sql}"
+
+
+def time_travel_sql(table: str, version: int) -> str:
+    """`read(version=)` as Iceberg time travel."""
+    return f"SELECT * FROM {table} VERSION AS OF {version}"
+
+
+def rollback_sql(table: str, version: int) -> str:
+    """`rollback` as the Iceberg stored procedure (catalog-qualified
+    tables: CALL <catalog>.system.rollback_to_snapshot(<tbl>, <snap>))."""
+    catalog, _, rest = table.partition(".")
+    if not rest:
+        catalog, rest = "spark_catalog", table
+    return (
+        f"CALL {catalog}.system.rollback_to_snapshot('{rest}', {version})"
+    )
+
+
+class IcebergRegistry:
+    """The same registry interface running real row-level SQL against an
+    Iceberg catalog (`use_iceberg` mode). Requires the
+    iceberg-spark-runtime jar + a configured catalog — absent in this
+    sandbox, so only the SQL TEXT path is exercised here (see module
+    note above); on a real cluster this class IS the registry.
+
+    Reference analogue: /root/reference/src/utils/crud.py:8-215 runs the
+    equivalent SQLAlchemy point statements against SQLite.
+    """
+
+    def __init__(self, spark: SparkSession, table: str):
+        self.spark = spark
+        self.table = table
+
+    def read(self, version: int | None = None) -> DataFrame:
+        if version is not None:
+            return self.spark.sql(time_travel_sql(self.table, version))
+        return self.spark.read.table(self.table)
+
+    def insert(self, rows: DataFrame) -> None:
+        rows.writeTo(self.table).append()
+
+    def upsert_if_absent(self, rows: DataFrame, key_cols: list[str]) -> None:
+        rows.createOrReplaceTempView("_merge_src")
+        self.spark.sql(merge_if_absent_sql(self.table, "_merge_src", key_cols))
+
+    def update(self, key_col: str, key, assignments: dict[str, object]) -> None:
+        self.spark.sql(update_sql(self.table, key_col, key, assignments))
+
+    def delete_where(self, predicate_sql: str) -> None:
+        self.spark.sql(delete_sql(self.table, predicate_sql))
+
+    def rollback(self, version: int) -> None:
+        self.spark.sql(rollback_sql(self.table, version))
+
+
 def bootstrap_model_registry(spark: SparkSession, root: str) -> ParquetRegistry:
     """S8 + U2: create the registry and seed the EN/PL base-model rows
     (reference tools.py:21-40 + enum.py:6-9), idempotently."""

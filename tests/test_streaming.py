@@ -310,3 +310,51 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
     assert 3 not in got2          # cross-batch duplicate dropped
     assert 4 in got2
     assert got2 == got1 | {4}
+
+
+def test_stream_kg_increment_crash_replay_idempotent(spark, tmp_path):
+    """Restart after a torn trigger must overwrite, never duplicate.
+
+    Simulates the classic foreachBatch failure window: the micro-batch's
+    output parquet was fully written but the query died BEFORE the
+    checkpoint commit was recorded (deleting the newest file under
+    ``<ckpt>/commits`` reproduces exactly that state). The restarted
+    query replays the same batch id; because each batch writes to its
+    own ``batch=<id>`` partition with mode=overwrite, the replay must
+    rewrite the partition in place — edge/linked content and row COUNTS
+    equal to the single clean run (a set-compare alone would hide
+    replay-duplicated rows)."""
+    docs = synth.synth_documents(spark, 120, partitions=2)
+    input_dir = str(tmp_path / "in")
+    wd = str(tmp_path / "wd")
+    ckpt = str(tmp_path / "ckpt")
+    docs.coalesce(1).write.mode("append").parquet(input_dir)
+
+    J.stream_kg_increment(spark, input_dir, wd, ckpt).awaitTermination()
+
+    def snapshot(d):
+        rows = sorted(
+            tuple(r) for r in spark.read.parquet(f"{wd}/{d}").collect()
+        )
+        return rows
+
+    edges_once = snapshot("edges_inc")
+    linked_once = snapshot("linked_inc")
+    assert edges_once, "trigger produced no edges — test corpus too small"
+
+    commits_dir = os.path.join(ckpt, "commits")
+    commits = sorted(
+        f for f in os.listdir(commits_dir) if not f.startswith(".")
+    )
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    # the local ChecksumFileSystem keeps a shadow .<name>.crc; a real HDFS
+    # crash would lose both, and leaving it makes the restart's rename-based
+    # commit write fail as a (spurious) concurrent-modification error
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    J.stream_kg_increment(spark, input_dir, wd, ckpt).awaitTermination()
+
+    assert snapshot("edges_inc") == edges_once
+    assert snapshot("linked_inc") == linked_once
