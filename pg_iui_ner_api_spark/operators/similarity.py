@@ -117,6 +117,9 @@ def edit_distance_pairs(left: DataFrame, right: DataFrame,
     """
     if max_dist != 1:
         raise ValueError("edit_distance_pairs supports max_dist=1 only")
+    from ..functions.text import spread
+
+    left, right = spread(left), spread(right)
     l = left.select(
         F.col(left_id).alias("lid"), F.col(left_col).alias("ls"),
         F.explode(_deletion_variants(F.col(left_col))).alias("var"),
@@ -125,19 +128,25 @@ def edit_distance_pairs(left: DataFrame, right: DataFrame,
         F.col(right_id).alias("rid"), F.col(right_col).alias("rs"),
         F.explode(_deletion_variants(F.col(right_col))).alias("var"),
     )
-    cond = F.col("l.var") == F.col("r.var")
+    # the levenshtein verify lives INSIDE the join condition: on dense
+    # key spaces (ids differing only in digits) most variant collisions
+    # are dist>=2 false candidates, and verifying during the merge means
+    # they never materialize — the downstream distinct then shuffles only
+    # TRUE pairs (3 narrow columns), not every candidate with both
+    # strings attached. levenshtein(.., .., threshold) short-circuits in
+    # O(len) once the running distance exceeds max_dist.
+    bounded = F.levenshtein(F.col("l.ls"), F.col("r.rs"), max_dist)
+    # the bounded form returns -1 when the distance EXCEEDS the threshold
+    cond = (F.col("l.var") == F.col("r.var")) & (bounded >= 0)
     if strict_order:
         cond = cond & (F.col("l.lid") < F.col("r.rid"))
     return (
         l.alias("l").join(r.alias("r"), cond)
         .select(
             F.col("l.lid").alias("lid"), F.col("r.rid").alias("rid"),
-            F.col("l.ls").alias("ls"), F.col("r.rs").alias("rs"),
+            bounded.alias("dist"),
         )
         .distinct()
-        .withColumn("dist", F.levenshtein("ls", "rs"))
-        .where(F.col("dist") <= max_dist)
-        .select("lid", "rid", "dist")
     )
 
 
