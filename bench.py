@@ -219,6 +219,8 @@ def _headline(spark) -> dict[str, float]:
         "asof_join", "window_funcs", "bm25", "fuzzy_dedup", "topk_group",
         "funnel", "resample", "fuzzy_join", "curate",
         "decontaminate", "dedup_lines", "pack_sequences",
+        # r4 addition: PQ-compressed ANN (ADC scoring, no decompression)
+        "ann_pq",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the
