@@ -36,6 +36,7 @@ from pg_iui_ner_api_spark.operators import (
     graph as GR,
     media as M,
     ner as N,
+    pq as PQ,
     similarity as SIM,
 )
 from pg_iui_ner_api_spark.plans.pipeline import run_kg_pipeline
@@ -301,6 +302,22 @@ def _q_quality_score(spark, sf):
     )
 
 
+_QM_BUCKETS = 64
+
+
+def _q_quality_model_score(spark, sf):
+    """Model-based quality filtering (operators/quality_model.py) under
+    the deterministic seed weights — the map-only scoring path the
+    DuckDB oracle replays hash-for-hash (training is pinned separately
+    in tests/test_quality_model.py; it is iterative driver-side state,
+    not SQL-expressible)."""
+    from pg_iui_ner_api_spark.operators import quality_model as QM
+
+    return QM.score_documents(
+        _t(spark, sf, "documents"), QM.seed_weights(_QM_BUCKETS), bias=0.0
+    )
+
+
 def _q_lang_id(spark, sf):
     d = spread(_t(spark, sf, "documents"))
     toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != "")
@@ -417,6 +434,17 @@ def _q_ann_ivf_trained(spark, sf):  # rows-only: approximate by construction
     )
     cents = ANN.train_centroids(e, dim=64, ncells=16, iters=2)
     return ANN.ivf_topk(e, q, dim=64, k=10, ncells=16, nprobe=4, centroids=cents)
+
+
+def _q_ann_pq(spark, sf):  # rows-only: approximate by construction
+    """Product-quantization ADC top-k with the deterministic seed
+    codebooks (operators/pq.py) — 32x-compressed vectors, scored without
+    decompression; golden-hash pinned, recall gated in tests/test_pq.py."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    return PQ.pq_search(e, q, dim=64, k=10, m=8, ksub=16)
 
 
 def _q_ann_ivf(spark, sf):
@@ -826,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile": _q_profile,
         "graph_cooccur_capped": _q_graph_cooccur_capped,
         "graph_cooccur_dropped": _q_graph_cooccur_dropped,
+        "quality_model_score": _q_quality_model_score,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -875,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (c) rows-only (no SQL oracle; golden-hash pinned in
         #        tests/test_golden_queries.py) ------------------------------
         "ann_ivf_trained": _q_ann_ivf_trained,
+        "ann_pq": _q_ann_pq,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
@@ -1114,6 +1144,21 @@ def oracle_sql() -> dict[str, str]:
         "round(0.5 * (CASE WHEN nt BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END) "
         "+ 0.5 * (CASE WHEN pr <= 0.2 THEN 1.0 - pr * 2 ELSE 0.0 END), 6) AS quality "
         "FROM q"
+    )
+    # quality_model_score: hashed-BoW linear scoring twin. Same portable
+    # md5 bucket as the Spark side; list_sum is an ordered fold like
+    # F.aggregate; empty/NULL docs score exactly the bias (0.0).
+    from pg_iui_ner_api_spark.operators.quality_model import seed_weights as _qm_w
+
+    _w_sql = "[" + ",".join(repr(w) for w in _qm_w(_QM_BUCKETS)) + "]::DOUBLE[]"
+    _toks_coalesced = _TOKS.format(x="coalesce(text, '')")
+    sql["quality_model_score"] = (
+        f"WITH q AS (SELECT doc_id, {_toks_coalesced} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, 0.0 + coalesce(list_sum(list_transform(toks, "
+        f"t -> ({_w_sql})[({_H.format(x='t')} % {_QM_BUCKETS}) + 1])), 0.0) "
+        f"/ greatest(len(toks), 1) AS logit FROM q) "
+        f"SELECT doc_id, round(logit, 6) AS logit, "
+        f"round(1.0 / (1.0 + exp(-logit)), 6) AS prob FROM s"
     )
     # lang_id: per-lang marker counts with the same precedence chain
     marker_cases = []

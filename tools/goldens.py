@@ -41,7 +41,7 @@ GOLDEN_PATH = os.path.join(
 GOLDEN_QUERIES = (
     "kg_mentions", "kg_edges", "kg_nodes",
     "media_features", "media_resize",
-    "ann_ivf", "ann_ivf_trained",
+    "ann_ivf", "ann_ivf_trained", "ann_pq",
 )
 FLOAT_ROUND = 4
 
