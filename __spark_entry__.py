@@ -254,6 +254,19 @@ def _q_pack_sequences(spark, sf):
     )
 
 
+def _q_repeated_spans(spark, sf):
+    """ExactSubstr-style repeated-span detection (operators/dedup.py):
+    maximal token spans whose every 5-gram occurs >=2 times corpus-wide;
+    oracle replays the same md5 gram hashes + gaps-and-islands merge."""
+    out = D.repeated_spans(_t(spark, sf, "documents"), k=5)
+    return out.select(
+        "doc_id",
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.col("tok_end").cast("long").alias("tok_end"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+    )
+
+
 def _q_dedup_lines(spark, sf):
     # documents are single-line; compose multi-line docs of 10 consecutive
     # ids each so cross-doc duplicate lines actually occur
@@ -855,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cooccur_capped": _q_graph_cooccur_capped,
         "graph_cooccur_dropped": _q_graph_cooccur_dropped,
         "quality_model_score": _q_quality_model_score,
+        "repeated_spans": _q_repeated_spans,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1067,6 +1081,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, shard, CAST(cb // 256 AS BIGINT) AS pack_id,
                CAST(cb % 256 AS BIGINT) AS offset_tokens, n_tokens
         FROM c
+    """
+    # repeated_spans twin: same md5 gram hash, same gaps-and-islands
+    # merge (starts p, p' share a span iff p' - p <= k: overlap or touch)
+    _rs_k = 5
+    _rs_toks = _TOKS.format(x=_NORM.format(x="text"))
+    _rs_gram_h = _H.format(
+        x=f"array_to_string(list_slice(toks, i + 1, i + {_rs_k}), ' ')"
+    )
+    sql["repeated_spans"] = f"""
+        WITH t AS (SELECT doc_id, {_rs_toks} AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 UNNEST(range(len(toks) - {_rs_k} + 1)) AS p,
+                 UNNEST(list_transform(range(len(toks) - {_rs_k} + 1),
+                                       i -> {_rs_gram_h})) AS h
+          FROM t WHERE len(toks) >= {_rs_k}
+        ),
+        hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        dup AS (SELECT doc_id, p FROM g JOIN hot USING (h)),
+        w AS (
+          SELECT doc_id, p,
+                 CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                      <= {_rs_k} THEN 0 ELSE 1 END AS brk
+          FROM dup
+        ),
+        isl AS (
+          SELECT doc_id, p,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS UNBOUNDED PRECEDING) AS island
+          FROM w
+        )
+        SELECT doc_id, min(p) AS tok_start,
+               max(p) + {_rs_k} - 1 AS tok_end,
+               count(*) AS n_grams
+        FROM isl GROUP BY doc_id, island
     """
     sql["dedup_lines"] = """
         WITH grp AS (

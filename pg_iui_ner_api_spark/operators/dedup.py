@@ -26,7 +26,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.text import fingerprint, normalize_ws, portable_hash64, spread
+from ..functions.text import (
+    fingerprint,
+    normalize_ws,
+    portable_hash64,
+    spread,
+    tokens,
+)
 
 # ---------------------------------------------------------------------------
 # exact
@@ -688,4 +694,84 @@ def dedup_lines(
             .cast("long")
             .alias("n_dropped"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide repeated-span detection (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal token spans whose every ``k``-gram repeats somewhere in
+    the corpus — the span-level exact-substring dedup of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr), re-expressed as a hashed k-gram inverted index
+    instead of their single-machine suffix array.
+
+    A token position ``p`` (0-based) is *duplicated* when the k-gram
+    starting there occurs ≥ 2 times corpus-wide (including twice in
+    the same document — self-repetition counts, as in the paper).
+    Runs of duplicated k-gram starts whose token intervals
+    ``[p, p+k-1]`` overlap or touch merge into one maximal span.
+    Output: ``(doc_id, tok_start, tok_end, n_grams)`` — positions are
+    whitespace-token indices over the normalized text; callers scrub
+    by slicing the same tokenization. Docs shorter than ``k`` tokens
+    emit nothing.
+
+    Scale shape (the suffix array is the part that can't scale —
+    hashing can): k-grams are md5-hashed IN-ROW before any explode, so
+    no shuffle ever carries text. (1) gram counts: partial-aggregable
+    groupBy on the 8-byte hash — a boilerplate gram occurring 10^9
+    times collapses map-side (same skew argument as dedup_lines);
+    (2) one sort-merge join of (doc_id, p, h) against the hot-hash
+    set on h; (3) span merge per doc via a doc_id window — partition
+    size is bounded by document length, never by gram popularity.
+    False positives are md5 collisions (~2^-60 per pair): accepted and
+    identical in the DuckDB oracle, which replays the same hash.
+    """
+    toks = tokens(normalize_ws(F.col(text_col)))
+    n_grams_in_doc = F.size(toks) - (k - 1)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(k)]
+    )
+    # guard: sequence(1, m) DESCENDS when m < 1 — emit [] for short docs
+    gh = F.when(
+        n_grams_in_doc >= 1,
+        F.transform(F.sequence(F.lit(1), n_grams_in_doc),
+                    lambda i: portable_hash64(gram(i))),
+    ).otherwise(F.array().cast("array<long>"))
+    grams = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(gh).alias("p", "h"),
+    )
+    hot = (
+        grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("h")
+    )
+    dup = grams.join(hot, "h").select("doc_id", "p")
+    # gaps-and-islands: starts p, p' belong to one span iff p' - p <= k
+    # (interval overlap p'-p <= k-1, plus adjacency p'-p == k: the
+    # duplicated text is contiguous either way)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p")
+    brk = F.when(
+        F.col("p") - F.lag("p").over(w) <= k, F.lit(0)
+    ).otherwise(F.lit(1))
+    islands = dup.withColumn("brk", brk).withColumn(
+        "isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "isl")
+        .agg(
+            F.min("p").alias("tok_start"),
+            (F.max("p") + F.lit(k - 1)).alias("tok_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("doc_id", "tok_start", "tok_end", "n_grams")
     )

@@ -357,3 +357,79 @@ def test_dedup_lines_and_decontaminate_null_text(spark):
     assert got == {"a": ("x\ny", 2, 0), "b": ("", 0, 0)}
     bench = spark.createDataFrame([("x q r s t",), (None,)], "text string")
     assert decontaminate(df, bench, n=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# repeated_spans (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+def test_repeated_spans_basic_and_merge(spark):
+    """Two docs sharing a 7-token run: with k=3 the five duplicated gram
+    starts (0..4 in doc B's run) merge into ONE maximal span covering
+    the whole run in each doc."""
+    from pg_iui_ner_api_spark.operators.dedup import repeated_spans
+    from pg_iui_ner_api_spark.synth import local_dim_df
+
+    shared = "w1 w2 w3 w4 w5 w6 w7"
+    df = local_dim_df(
+        spark,
+        [
+            (1, f"{shared} uniqA uniqB uniqC"),
+            (2, f"pre1 pre2 {shared}"),
+            (3, "всё unique here nothing repeats at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["tok_start"], r["tok_end"], r["n_grams"])
+        for r in repeated_spans(df, k=3).collect()
+    }
+    assert got == {(1, 0, 6, 5), (2, 2, 8, 5)}
+
+
+def test_repeated_spans_self_repetition_counts(spark):
+    """A gram occurring twice INSIDE one doc is duplicated (paper
+    semantics); both occurrences are reported, adjacency-merged when
+    they touch."""
+    from pg_iui_ner_api_spark.operators.dedup import repeated_spans
+    from pg_iui_ner_api_spark.synth import local_dim_df
+
+    df = local_dim_df(
+        spark,
+        [(1, "a b c xx yy zz a b c")],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["tok_start"], r["tok_end"]) for r in repeated_spans(df, k=3).collect()
+    )
+    assert got == [(0, 2), (6, 8)]
+
+
+def test_repeated_spans_short_and_null_docs_silent(spark):
+    from pg_iui_ner_api_spark.operators.dedup import repeated_spans
+
+    df = spark.sql(
+        "SELECT * FROM VALUES (1, 'one two'), (2, CAST(NULL AS STRING)), "
+        "(3, '') AS t(doc_id, text)"
+    )
+    assert repeated_spans(df, k=3).count() == 0
+
+
+def test_repeated_spans_gap_splits_islands(spark):
+    """Duplicated grams separated by MORE than k unique tokens stay two
+    spans (no false merge across the gap)."""
+    from pg_iui_ner_api_spark.operators.dedup import repeated_spans
+    from pg_iui_ner_api_spark.synth import local_dim_df
+
+    df = local_dim_df(
+        spark,
+        [
+            (1, "p q r u1 u2 u3 u4 u5 s t v"),
+            (2, "p q r x1 x2 x3 x4 x5 s t v"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["doc_id"], r["tok_start"], r["tok_end"])
+        for r in repeated_spans(df, k=3).collect()
+    )
+    assert got == [(1, 0, 2), (1, 8, 10), (2, 0, 2), (2, 8, 10)]
