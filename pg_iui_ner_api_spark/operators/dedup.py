@@ -733,20 +733,31 @@ def repeated_spans(
     False positives are md5 collisions (~2^-60 per pair): accepted and
     identical in the DuckDB oracle, which replays the same hash.
     """
-    toks = tokens(normalize_ws(F.col(text_col)))
+    # Tokenize ONCE per row behind a projection boundary. Splicing the
+    # tokens(...) tree inline into the gram lambda duplicates it k+1
+    # times — each element_at() then re-runs the regexp split PER GRAM
+    # POSITION (O(len·k) re-tokenizations per doc; measured 258 s at
+    # sf0.01 vs ~3 s with the bound column). CollapseProject keeps the
+    # boundary because the alias is non-cheap and multiply referenced.
+    toks = F.col("toks")
     n_grams_in_doc = F.size(toks) - (k - 1)
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(k)]
-    )
+    # slice+array_join is ONE expression node each vs k element_at nodes
+    # — HOF lambdas are interpreted (not codegen'd), so node count is
+    # the constant factor that matters here
+    gram = lambda i: F.array_join(F.slice(toks, i, k), " ")  # noqa: E731
     # guard: sequence(1, m) DESCENDS when m < 1 — emit [] for short docs
     gh = F.when(
         n_grams_in_doc >= 1,
         F.transform(F.sequence(F.lit(1), n_grams_in_doc),
                     lambda i: portable_hash64(gram(i))),
     ).otherwise(F.array().cast("array<long>"))
-    grams = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(gh).alias("p", "h"),
+    grams = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            tokens(normalize_ws(F.col(text_col))).alias("toks"),
+        )
+        .select("doc_id", F.posexplode(gh).alias("p", "h"))
     )
     hot = (
         grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))

@@ -18,7 +18,25 @@ the session's warehouse dir serves.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_orphan_location(spark: SparkSession, table: str) -> None:
+    """A session killed between ``df.write`` and catalog commit can leave
+    the warehouse directory on disk with no catalog entry; a later
+    ``saveAsTable`` then fails with LOCATION_ALREADY_EXISTS. Managed
+    tables only — if the catalog knows the table, ``mode("overwrite")``
+    handles it and we must not touch the files behind its back."""
+    if spark.catalog.tableExists(table):
+        return
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    if not warehouse:
+        return
+    loc = f"{warehouse.rstrip('/')}/{table.split('.')[-1].lower()}"
+    shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str,
@@ -27,6 +45,7 @@ def write_bucketed(df: DataFrame, table: str, bucket_col: str,
     table. Sorting by the bucket key lets the co-located join skip its
     per-bucket sort too (full sort-merge join with neither Exchange nor
     Sort on either side)."""
+    _clear_orphan_location(df.sparkSession, table)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort:
         w = w.sortBy(bucket_col)
