@@ -267,6 +267,37 @@ def _q_repeated_spans(spark, sf):
     )
 
 
+def _q_dedup_against(spark, sf):
+    """Incremental ingestion dedup (operators/dedup.py::dedup_against):
+    deterministic halves of the corpus play "already ingested" vs "new
+    batch" (md5(doc_id) first hex digit), so both engines construct the
+    identical split from the same table."""
+    d = _t(spark, sf, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    existing = d.where(pfx < "8")
+    new = d.where(pfx >= "8")
+    return D.dedup_against(new, existing)
+
+
+def _q_lm_score(spark, sf):
+    """Bigram-LM quality scoring (operators/lm.py) — CCNet-style
+    perplexity filter trained on the corpus itself; oracle replays the
+    identical md5-hashed add-one-smoothed model."""
+    from pg_iui_ner_api_spark.operators.lm import lm_score
+
+    return lm_score(_t(spark, sf, "documents"))
+
+
+def _q_shuffle_corpus(spark, sf):
+    """Seeded deterministic global shuffle (operators/packing.py):
+    sort-by-hash shard+position assignment, windowed per shard (never a
+    global total order)."""
+    from pg_iui_ner_api_spark.operators.packing import shuffle_corpus
+
+    out = shuffle_corpus(_t(spark, sf, "documents"), seed="s0", n_shards=8)
+    return out.select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
 def _q_dedup_lines(spark, sf):
     # documents are single-line; compose multi-line docs of 10 consecutive
     # ids each so cross-doc duplicate lines actually occur
@@ -869,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cooccur_dropped": _q_graph_cooccur_dropped,
         "quality_model_score": _q_quality_model_score,
         "repeated_spans": _q_repeated_spans,
+        "dedup_against": _q_dedup_against,
+        "lm_score": _q_lm_score,
+        "shuffle_corpus": _q_shuffle_corpus,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1116,6 +1150,57 @@ def oracle_sql() -> dict[str, str]:
                max(p) + {_rs_k} - 1 AS tok_end,
                count(*) AS n_grams
         FROM isl GROUP BY doc_id, island
+    """
+    # dedup_against twin: same fingerprint, same deterministic halves
+    sql["dedup_against"] = f"""
+        WITH fp AS (
+          SELECT doc_id, md5({_NORM.format(x='text')}) AS fp,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pfx
+          FROM documents
+        ),
+        newb AS (SELECT doc_id, fp FROM fp WHERE pfx >= '8'),
+        seen AS (SELECT DISTINCT fp FROM fp WHERE pfx < '8')
+        SELECT fp, min(doc_id) AS keep_id, count(*) AS n_batch_dups
+        FROM newb n
+        WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = n.fp)
+        GROUP BY fp
+    """
+    # lm_score twin: identical md5-hashed bigram model, add-one smoothing,
+    # V = distinct first-word hashes, avg ln rounded to 4 decimals
+    _lm_toks = _TOKS.format(x=_NORM.format(x="text"))
+    sql["lm_score"] = f"""
+        WITH t AS (SELECT doc_id, {_lm_toks} AS toks FROM documents),
+        b AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(range(1, len(toks)),
+                        i -> {_H.format(x='toks[i]')})) AS h1,
+                 UNNEST(list_transform(range(1, len(toks)),
+                        i -> {_H.format(x="toks[i] || ' ' || toks[i+1]")})) AS h12
+          FROM t WHERE len(toks) >= 2
+        ),
+        c2 AS (SELECT h12, count(*) AS cnt2 FROM b GROUP BY h12),
+        c1 AS (SELECT h1, count(*) AS cnt1 FROM b GROUP BY h1),
+        v AS (SELECT count(*) AS v FROM c1)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(avg(ln((cnt2 + 1.0) / (cnt1 + v))), 4) AS avg_logp
+        FROM b JOIN c2 USING (h12) JOIN c1 USING (h1) CROSS JOIN v
+        GROUP BY doc_id
+    """
+    # shuffle_corpus twin: same md5(seed|id) key, same 60-bit int fold,
+    # same per-shard rank
+    sql["shuffle_corpus"] = """
+        WITH k AS (
+          SELECT doc_id, md5('s0|' || CAST(doc_id AS VARCHAR)) AS key
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, key,
+                 CAST(CAST(('0x' || substr(key, 1, 15)) AS BIGINT) % 8 AS INT) AS shard
+          FROM k
+        )
+        SELECT doc_id, shard,
+               row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS pos
+        FROM s
     """
     sql["dedup_lines"] = """
         WITH grp AS (

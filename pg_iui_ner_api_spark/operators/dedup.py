@@ -52,6 +52,37 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_against(new_docs: DataFrame, existing_docs: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Incremental ingestion dedup: keep a new-batch doc iff (a) its
+    normalized content fingerprint is NOT already in the corpus and
+    (b) it holds the minimum id for that fingerprint within the batch.
+
+    The missing piece between one-shot ``dedup_exact`` and a living
+    corpus: every real pipeline ingests batches against data it already
+    accepted (the reference's 2-minute ingest scheduler has the same
+    shape — each sync must not re-insert rows it stored last tick,
+    /root/reference/src/utils/sync_functions.py:114).
+
+    Scale shape: both sides reduce to (id, 32-byte fp) projections
+    before anything wide — the corpus text never moves. The anti-join
+    keys on the fingerprint, so at 10^12 existing docs the right side
+    is the stored fingerprint table (bucketed on fp → co-located,
+    Exchange-free for the new batch after one repartition); the final
+    groupBy partial-aggregates map-side. One effective shuffle of
+    8+32-byte rows per ingested batch.
+    """
+    new_fp = new_docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    seen = existing_docs.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    return (
+        new_fp.join(seen, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_batch_dups"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

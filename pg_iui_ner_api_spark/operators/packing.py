@@ -114,3 +114,42 @@ def write_training_shards(
     )
     packed.write.mode("overwrite").partitionBy("shard").parquet(path)
     return packed
+
+
+def shuffle_corpus(docs: DataFrame, seed: str = "s0", n_shards: int = 8,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment:
+    (doc_id, shard, pos) such that reading shards 0..n-1 each in pos
+    order visits the corpus in a pseudorandom order that is a pure
+    function of (seed, doc_id) — reproducible across reruns, appends,
+    partitionings, and engines (no RNG state anywhere).
+
+    Training pipelines need exactly this before epoch-0: web corpora
+    arrive crawl-ordered (one domain contiguous for terabytes), and
+    sequentially-read training data must be globally shuffled, not
+    shuffled-within-files. The standard trick is sort-by-hash: key
+    every doc with md5(seed|doc_id), then position = rank within its
+    shard.
+
+    Scale shape: NO global row_number (a single-partition window is
+    the classic 100 TB killer) — the window partitions by shard, so
+    the sort is n_shards independent O((N/n_shards) log) sorts after
+    ONE hash shuffle; pick n_shards ~ corpus/10^6 so each fits an
+    executor. The md5 key makes shard sizes multinomial-uniform —
+    skew-free by construction regardless of input key skew. Changing
+    ``seed`` reshuffles everything; appended docs slot in without
+    moving existing (shard, key) assignments (only positions after
+    them shift), the same append-stability argument as
+    ``split_assign``.
+    """
+    key = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    # 60-bit int from the key's first 15 hex digits — same portable
+    # scheme as portable_hash64, reused here on the already-computed key
+    kint = F.conv(F.substring(F.col("key"), 1, 15), 16, 10).cast("long")
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), key.alias("key")
+    ).withColumn("shard", F.pmod(kint, F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy("key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )

@@ -433,3 +433,32 @@ def test_repeated_spans_gap_splits_islands(spark):
         for r in repeated_spans(df, k=3).collect()
     )
     assert got == [(1, 0, 2), (1, 8, 10), (2, 0, 2), (2, 8, 10)]
+
+
+def test_dedup_against_incremental_batch(spark):
+    existing = spark.createDataFrame(
+        [("e1", "alpha beta"), ("e2", "gamma delta")],
+        "doc_id string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("n1", "ALPHA   beta"),   # dup of existing e1 (normalized)
+            ("n2", "fresh content"),  # genuinely new
+            ("n3", "fresh  CONTENT"), # in-batch dup of n2, higher id
+            ("n4", "gamma delta"),    # dup of existing e2
+            ("n5", "another one"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["keep_id"]: r["n_batch_dups"]
+           for r in D.dedup_against(new, existing).collect()}
+    assert got == {"n2": 2, "n5": 1}
+
+
+def test_dedup_against_empty_existing_reduces_to_exact(spark, docs_df):
+    empty = docs_df.limit(0)
+    via_against = {(r["keep_id"], r["n_batch_dups"])
+                   for r in D.dedup_against(docs_df, empty).collect()}
+    via_exact = {(r["keep_id"], r["n_dups"])
+                 for r in D.dedup_exact(docs_df).collect()}
+    assert via_against == via_exact

@@ -109,3 +109,54 @@ def test_pack_sequences_null_text_is_zero_tokens(spark):
     for start, nt in spans:
         assert start == pos
         pos += nt
+
+
+def test_shuffle_corpus_is_deterministic_permutation(spark):
+    from pg_iui_ner_api_spark.operators.packing import shuffle_corpus
+
+    docs = spark.range(500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id")
+    )
+    a = shuffle_corpus(docs, seed="s1", n_shards=4).collect()
+    b = shuffle_corpus(docs, seed="s1", n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    # permutation: every doc exactly once
+    assert len({r["doc_id"] for r in a}) == 500
+    # positions are 1..count(shard) contiguous within each shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_shuffle_corpus_seed_changes_order(spark):
+    from pg_iui_ner_api_spark.operators.packing import shuffle_corpus
+
+    docs = spark.range(300).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id")
+    )
+    a = {(r["doc_id"]): (r["shard"], r["pos"])
+         for r in shuffle_corpus(docs, seed="s1", n_shards=4).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pos"])
+         for r in shuffle_corpus(docs, seed="s2", n_shards=4).collect()}
+    assert a != b
+    # and the shuffle actually breaks input order: doc ids sorted by
+    # (shard, pos) must not be the sequential input order
+    order = [d for d, _ in sorted(a.items(), key=lambda kv: kv[1])]
+    assert order != sorted(order, key=lambda s: int(s[1:]))
+
+
+def test_shuffle_corpus_no_global_single_partition_sort(spark):
+    """The scale pin: the plan must sort WITHIN hash partitions (window
+    per shard), never range-repartition to a global total order."""
+    from pg_iui_ner_api_spark.operators.packing import shuffle_corpus
+
+    docs = spark.range(100).select(F.col("id").cast("string").alias("doc_id"))
+    plan = (
+        shuffle_corpus(docs, seed="s1", n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(shard" in plan.lower(), plan
