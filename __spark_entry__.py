@@ -298,6 +298,21 @@ def _q_shuffle_corpus(spark, sf):
     return out.select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
 
 
+def _q_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/dsir.py): deterministic
+    2/16 md5 slice of the corpus plays the trusted target, the rest is
+    raw; top-50 Gumbel resample toward the target distribution. The
+    oracle replays the identical hashed-bigram model and deterministic
+    Gumbel keys."""
+    from pg_iui_ner_api_spark.operators.dsir import dsir_select
+
+    d = _t(spark, sf, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    target = d.where(pfx < "2")
+    raw = d.where(pfx >= "2")
+    return dsir_select(raw, target, k=50, seed="s0", buckets=4096)
+
+
 def _q_dedup_lines(spark, sf):
     # documents are single-line; compose multi-line docs of 10 consecutive
     # ids each so cross-doc duplicate lines actually occur
@@ -903,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": _q_dedup_against,
         "lm_score": _q_lm_score,
         "shuffle_corpus": _q_shuffle_corpus,
+        "dsir_select": _q_dsir_select,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1185,6 +1201,47 @@ def oracle_sql() -> dict[str, str]:
                round(avg(ln((cnt2 + 1.0) / (cnt1 + v))), 4) AS avg_logp
         FROM b JOIN c2 USING (h12) JOIN c1 USING (h1) CROSS JOIN v
         GROUP BY doc_id
+    """
+    # dsir_select twin: identical hashed-bigram buckets, add-one-smoothed
+    # distribution estimates, deterministic Gumbel keys, top-50
+    sql["dsir_select"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_lm_toks} AS toks,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pfx
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, pfx,
+                 UNNEST(list_transform(range(1, len(toks)),
+                        i -> {_H.format(x="toks[i] || ' ' || toks[i+1]")} % 4096)) AS bkt
+          FROM t WHERE len(toks) >= 2
+        ),
+        rc AS (SELECT bkt, count(*) AS cr FROM b WHERE pfx >= '2' GROUP BY bkt),
+        tc AS (SELECT bkt, count(*) AS ct FROM b WHERE pfx < '2' GROUP BY bkt),
+        nr AS (SELECT coalesce(sum(cr), 0) AS nr FROM rc),
+        nt AS (SELECT coalesce(sum(ct), 0) AS nt FROM tc),
+        lr AS (
+          SELECT r.bkt,
+                 ln((coalesce(t.ct, 0) + 1.0) / (nt + 4096.0))
+                 - ln((r.cr + 1.0) / (nr + 4096.0)) AS lr
+          FROM rc r LEFT JOIN tc t USING (bkt) CROSS JOIN nr CROSS JOIN nt
+        ),
+        sc AS (
+          SELECT doc_id, count(*) AS n_feats, sum(lr) AS s
+          FROM b JOIN lr USING (bkt) WHERE pfx >= '2' GROUP BY doc_id
+        ),
+        g AS (
+          SELECT doc_id, n_feats, s,
+                 s - ln(-ln(
+                   (CAST(('0x' || substr(md5('s0|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) + 1.0)
+                   / {float((1 << 60) + 1)!r}
+                 )) AS sel
+          FROM sc
+        )
+        SELECT doc_id, n_feats, round(s, 4) AS logratio,
+               round(sel, 4) AS sel_score
+        FROM g ORDER BY sel DESC, doc_id LIMIT 50
     """
     # shuffle_corpus twin: same md5(seed|id) key, same 60-bit int fold,
     # same per-shard rank
