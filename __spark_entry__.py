@@ -662,6 +662,36 @@ def _q_graph_degrees(spark, sf):
     return GR.degrees(_part_edges(spark, sf))
 
 
+# link prediction runs on the CAPPED co-occurrence graph (the 100 TB form)
+# with a neighbor cap that bounds the wedge join: sum(deg^2 | deg<=40) is
+# ~1.1M at sf0.01 vs 11.4M uncapped / 102M at sf0.1 under cap 100
+_LP_CAP = 40
+
+
+def _q_link_pred(spark, sf):
+    """Adamic-Adar link prediction (operators/graph.py::adamic_adar) over
+    the capped part co-occurrence graph; oracle replays the identical
+    wedge enumeration + cap + existing-edge anti-join."""
+    edges = GR.cooccurrence_edges(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        max_group=_COOCCUR_CAP,
+    )
+    out = GR.adamic_adar(edges, max_neighbors=_LP_CAP, min_cn=2)
+    return out.select(
+        "src", "dst", "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+    )
+
+
+def _q_link_pred_dropped(spark, sf):
+    # the never-silent half of the adamic_adar cap contract
+    edges = GR.cooccurrence_edges(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        max_group=_COOCCUR_CAP,
+    )
+    return GR.adamic_adar_dropped_hubs(edges, _LP_CAP)
+
+
 def _q_graph_pmi(spark, sf):
     return GR.cooccurrence_pmi(
         _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey", min_pairs=2
@@ -919,6 +949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         "shuffle_corpus": _q_shuffle_corpus,
         "dsir_select": _q_dsir_select,
+        "link_pred": _q_link_pred,
+        "link_pred_dropped": _q_link_pred_dropped,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1650,6 +1682,41 @@ def oracle_sql() -> dict[str, str]:
     sql["graph_cooccur_dropped"] = f"""
         WITH {_GEDGES}
         SELECT g, count(*) AS n_nodes FROM e GROUP BY g HAVING count(*) > 6
+    """
+    # capped-graph CTE chain shared by the link-prediction twins
+    _CAPPED_GRAPH = """
+        e AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
+        keep AS (SELECT g FROM e GROUP BY g HAVING count(*) <= 6),
+        edges AS (
+          SELECT DISTINCT a.n AS src, b.n AS dst
+          FROM e a JOIN e b ON a.g = b.g AND a.n < b.n
+          WHERE a.g IN (SELECT g FROM keep)
+        ),
+        sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1)"""
+    sql["link_pred"] = f"""
+        WITH {_CAPPED_GRAPH},
+        nbr AS (
+          SELECT s.src AS z, s.dst AS u, d.degree
+          FROM sym s JOIN deg d ON d.node = s.src WHERE d.degree <= 40
+        ),
+        w AS (
+          SELECT a.u AS src, b.u AS dst, 1.0 / ln(a.degree) AS w
+          FROM nbr a JOIN nbr b ON a.z = b.z AND a.u < b.u
+        ),
+        sc AS (
+          SELECT src, dst, count(*) AS common_neighbors, sum(w) AS aa
+          FROM w GROUP BY 1, 2
+        )
+        SELECT src, dst, common_neighbors, round(aa, 6) AS adamic_adar
+        FROM sc
+        WHERE common_neighbors >= 2
+          AND NOT EXISTS (SELECT 1 FROM edges e2
+                          WHERE e2.src = sc.src AND e2.dst = sc.dst)
+    """
+    sql["link_pred_dropped"] = f"""
+        WITH {_CAPPED_GRAPH}
+        SELECT node, degree FROM deg WHERE degree > 40
     """
     sql["graph_degrees"] = (
         f"WITH {_GEDGES} SELECT src AS node, count(*) AS degree "

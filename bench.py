@@ -221,6 +221,10 @@ def _headline(spark) -> dict[str, float]:
         "decontaminate", "dedup_lines", "pack_sequences",
         # r4 addition: PQ-compressed ANN (ADC scoring, no decompression)
         "ann_pq",
+        # r4 additions: repetition mining, model-based quality, bigram-LM
+        # scoring, DSIR selection, incremental dedup, seeded shuffle
+        "repeated_spans", "quality_model_score", "lm_score",
+        "dsir_select", "dedup_against", "shuffle_corpus", "link_pred",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

@@ -382,3 +382,65 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     result = out.localCheckpoint()
     o.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# link prediction
+# ---------------------------------------------------------------------------
+def adamic_adar(
+    edges: DataFrame,
+    max_neighbors: int | None = None,
+    min_cn: int = 2,
+) -> DataFrame:
+    """Link-prediction scores for NON-adjacent node pairs of a canonical
+    (src<dst) edge list: ``(src, dst, common_neighbors, adamic_adar)``
+    with src < dst, keeping pairs sharing >= ``min_cn`` neighbors.
+
+    adamic_adar(u, v) = sum over common neighbors z of 1 / ln(deg(z))
+    (Adamic & Adar 2003) — the standard "friends-of-friends" candidate
+    scorer for suggesting missing KG edges; ``common_neighbors`` is the
+    plain co-neighbor count. A shared neighbor z always has deg >= 2, so
+    ln(deg) never vanishes.
+
+    Scale shape: wedge enumeration centered at z is inherently
+    sum(deg(z)^2) — a celebrity entity with 10^6 neighbors would emit
+    10^12 wedges, so this operator carries the SAME hub-cap contract as
+    ``cooccurrence_edges``: pass ``max_neighbors`` to exclude hub
+    centers, and report exactly what was dropped via
+    :func:`adamic_adar_dropped_hubs` (never silently). A dropped hub
+    stops contributing as a *shared neighbor*; its own candidate pairs
+    survive through its non-hub neighbors. After the cap the wedge join
+    fans out <= max_neighbors per center; the pair aggregation is a
+    partial-aggregable groupBy on the (u, v) key, and existing edges
+    are removed with an anti join against the (already canonical) edge
+    list. Zero Python anywhere.
+    """
+    e0 = edges.select("src", "dst").localCheckpoint()  # 3 consumers
+    deg = degrees(e0)
+    nbr = symmetrize(e0).select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    zdeg = deg.select(F.col("node").alias("z"), "degree")
+    if max_neighbors is not None:
+        zdeg = zdeg.filter(F.col("degree") <= max_neighbors)
+    # the degree join doubles as the hub filter: capped centers vanish
+    nbr = nbr.join(zdeg, "z")
+    a, b = nbr.alias("a"), nbr.alias("b")
+    wedges = a.join(b, "z").where(F.col("a.u") < F.col("b.u")).select(
+        F.col("a.u").alias("src"),
+        F.col("b.u").alias("dst"),
+        (1.0 / F.log(F.col("a.degree"))).alias("w"),
+    )
+    scored = wedges.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum("w").alias("adamic_adar"),
+    )
+    return scored.join(e0, ["src", "dst"], "left_anti").filter(
+        F.col("common_neighbors") >= min_cn
+    )
+
+
+def adamic_adar_dropped_hubs(edges: DataFrame, max_neighbors: int) -> DataFrame:
+    """The never-silent half of the :func:`adamic_adar` cap contract:
+    ``(node, degree)`` of every center the cap excluded."""
+    return degrees(edges.select("src", "dst")).filter(
+        F.col("degree") > max_neighbors
+    )

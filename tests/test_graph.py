@@ -274,3 +274,77 @@ def test_label_propagation_finds_communities(spark):
     }
     assert set(got[v] for v in (1, 2, 3, 4)) == {1}
     assert set(got[v] for v in (11, 12, 13, 14)) == {10}
+
+
+def _py_adamic_adar(pairs, max_neighbors=None, min_cn=1):
+    import math
+
+    adj = _adj(pairs)
+    existing = {tuple(sorted(p)) for p in pairs}
+    centers = {
+        z for z, ns in adj.items()
+        if max_neighbors is None or len(ns) <= max_neighbors
+    }
+    out = {}
+    for z in centers:
+        ns = sorted(adj[z])
+        for i in range(len(ns)):
+            for j in range(i + 1, len(ns)):
+                k = (ns[i], ns[j])
+                cn, aa = out.get(k, (0, 0.0))
+                out[k] = (cn + 1, aa + 1.0 / math.log(len(adj[z])))
+    return {
+        k: v for k, v in out.items()
+        if k not in existing and v[0] >= min_cn
+    }
+
+
+def test_adamic_adar_matches_python(spark):
+    got = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in G.adamic_adar(_edges_df(spark, EDGES), min_cn=1).collect()
+    }
+    want = _py_adamic_adar(EDGES, min_cn=1)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+    # sanity: no predicted pair is an existing edge
+    assert not set(got) & {tuple(sorted(e)) for e in EDGES}
+
+
+def test_adamic_adar_min_cn_filters(spark):
+    got = {
+        (r["src"], r["dst"])
+        for r in G.adamic_adar(_edges_df(spark, EDGES), min_cn=2).collect()
+    }
+    assert got == set(_py_adamic_adar(EDGES, min_cn=2))
+
+
+def test_adamic_adar_hub_cap_and_report(spark):
+    # star: hub 0 connected to 1..5, plus 1-2; capping at 4 removes the
+    # hub as a shared neighbor (degree 5 > 4)
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    capped = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["adamic_adar"])
+        for r in G.adamic_adar(
+            _edges_df(spark, star), max_neighbors=4, min_cn=1
+        ).collect()
+    }
+    want = _py_adamic_adar(star, max_neighbors=4, min_cn=1)
+    assert capped == {
+        k: (cn, pytest.approx(aa, rel=1e-12)) for k, (cn, aa) in want.items()
+    }
+    dropped = {
+        (r["node"], r["degree"])
+        for r in G.adamic_adar_dropped_hubs(_edges_df(spark, star), 4).collect()
+    }
+    assert dropped == {(0, 5)}
+
+
+def test_adamic_adar_plan_stays_jvm(spark):
+    plan = (
+        G.adamic_adar(_edges_df(spark, EDGES))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
