@@ -313,6 +313,15 @@ def _q_dsir_select(spark, sf):
     return dsir_select(raw, target, k=50, seed="s0", buckets=4096)
 
 
+def _q_chunk_docs(spark, sf):
+    """RAG-style overlapping token-window chunking
+    (operators/packing.py::chunk_documents) — map-only, zero Exchange;
+    oracle replays the identical window arithmetic."""
+    from pg_iui_ner_api_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_t(spark, sf, "documents"), size=32, overlap=8)
+
+
 def _q_dedup_lines(spark, sf):
     # documents are single-line; compose multi-line docs of 10 consecutive
     # ids each so cross-doc duplicate lines actually occur
@@ -951,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": _q_dsir_select,
         "link_pred": _q_link_pred,
         "link_pred_dropped": _q_link_pred_dropped,
+        "chunk_docs": _q_chunk_docs,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1274,6 +1284,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_feats, round(s, 4) AS logratio,
                round(sel, 4) AS sel_score
         FROM g ORDER BY sel DESC, doc_id LIMIT 50
+    """
+    # chunk_docs twin: identical stride arithmetic (size 32, overlap 8,
+    # stride 24), 1-based-inclusive list_slice == 0-based-exclusive slice
+    sql["chunk_docs"] = f"""
+        WITH t AS (SELECT doc_id, {_lm_toks} AS toks FROM documents),
+        c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        idx AS (
+          SELECT doc_id, toks, n,
+                 UNNEST(range(CASE WHEN n <= 32 THEN 1
+                              ELSE 1 + CAST(ceil((n - 32) / 24.0) AS INT) END)) AS i
+          FROM c
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(i * 24 AS BIGINT) AS tok_start,
+               CAST(least(i * 24 + 32, n) AS BIGINT) AS tok_end,
+               CAST(least(i * 24 + 32, n) - i * 24 AS BIGINT) AS n_tokens,
+               array_to_string(
+                 list_slice(toks, i * 24 + 1, least(i * 24 + 32, n)), ' '
+               ) AS chunk_text
+        FROM idx
     """
     # shuffle_corpus twin: same md5(seed|id) key, same 60-bit int fold,
     # same per-shard rank

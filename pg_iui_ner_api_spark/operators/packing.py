@@ -153,3 +153,59 @@ def shuffle_corpus(docs: DataFrame, seed: str = "s0", n_shards: int = 8,
     return keyed.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+def chunk_documents(docs: DataFrame, size: int = 128, overlap: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Overlapping fixed-size token-window chunks per document:
+    ``(doc_id, chunk_idx, tok_start, tok_end, n_tokens, chunk_text)``.
+
+    The retrieval-side counterpart of ``pack_sequences``: RAG indexing
+    and long-document embedding both need documents cut into windows of
+    ``size`` tokens advancing by ``size - overlap``, the last window
+    ending exactly at the document end (possibly shorter, never a
+    window wholly contained in the previous one). A document with
+    ``n <= size`` tokens yields exactly one chunk; an empty/null text
+    yields none.
+
+    Scale shape: strictly map-only — tokens, window arithmetic, and the
+    chunk struct array are all in-row Column algebra with one explode;
+    ZERO shuffles at any corpus size (the plan has no Exchange), so it
+    composes with whatever partitioning the surrounding pipeline chose.
+    The ``overlap/size`` ratio bounds output amplification at
+    size/(size-overlap) x corpus tokens, visible and constant.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    step = size - overlap
+    from ..functions.text import normalize_ws, tokens
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(normalize_ws(F.col(text_col))).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    n_chunks = F.when(n <= 0, F.lit(0)).when(n <= size, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - F.lit(size)) / F.lit(float(step)))).cast("int")
+    )
+    chunk = lambda i: F.struct(  # noqa: E731
+        (i * step).cast("long").alias("tok_start"),
+        F.least(i * step + size, n).cast("long").alias("tok_end"),
+        F.concat_ws(
+            " ", F.slice(toks, i * step + 1, F.least(F.lit(size), n - i * step))
+        ).alias("chunk_text"),
+    )
+    chunks = F.when(
+        n_chunks > 0, F.transform(F.sequence(F.lit(0), n_chunks - 1), chunk)
+    ).otherwise(
+        F.array().cast("array<struct<tok_start:long,tok_end:long,chunk_text:string>>")
+    )
+    return base.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c")).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.tok_start").alias("tok_start"),
+        F.col("c.tok_end").alias("tok_end"),
+        (F.col("c.tok_end") - F.col("c.tok_start")).alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

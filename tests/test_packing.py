@@ -3,6 +3,7 @@ brute-force Python oracle that re-implements concat-and-chunk with
 plain loops and hashlib."""
 
 import hashlib
+import math
 
 import pytest
 from pyspark.sql import functions as F
@@ -160,3 +161,77 @@ def test_shuffle_corpus_no_global_single_partition_sort(spark):
     )
     assert "rangepartitioning" not in plan.lower(), plan
     assert "hashpartitioning(shard" in plan.lower(), plan
+
+
+def _py_chunks(text, size, overlap):
+    toks = [t for t in " ".join(text.lower().split()).split(" ") if t] if text else []
+    n = len(toks)
+    if n == 0:
+        return []
+    step = size - overlap
+    n_chunks = 1 if n <= size else 1 + math.ceil((n - size) / step)
+    out = []
+    for i in range(n_chunks):
+        s, e = i * step, min(i * step + size, n)
+        out.append((i, s, e, e - s, " ".join(toks[s:e])))
+    return out
+
+
+def test_chunk_documents_matches_python(spark):
+    from pg_iui_ner_api_spark.operators.packing import chunk_documents
+
+    rows = [
+        ("d0", ""),                                   # no chunks
+        ("d1", None),                                 # no chunks
+        ("d2", "one two three"),                      # single short chunk
+        ("d3", " ".join(f"w{i}" for i in range(10))), # exactly size
+        ("d4", " ".join(f"w{i}" for i in range(11))), # size+1 -> 2 chunks
+        ("d5", " ".join(f"w{i}" for i in range(37))), # several, ragged tail
+        ("d6", "  UPPER   Case\ttokens  here "),      # normalization
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {}
+    for r in chunk_documents(df, size=10, overlap=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["tok_start"], r["tok_end"], r["n_tokens"],
+             r["chunk_text"])
+        )
+    for d, t in rows:
+        want = _py_chunks(t or "", 10, 3)
+        assert sorted(got.get(d, [])) == want, d
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    from pg_iui_ner_api_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [("d", " ".join(f"w{i}" for i in range(101)))], "doc_id string, text string"
+    )
+    ch = sorted(
+        (r["tok_start"], r["tok_end"])
+        for r in chunk_documents(df, size=16, overlap=4).collect()
+    )
+    assert ch[0][0] == 0 and ch[-1][1] == 101
+    for (s0, e0), (s1, e1) in zip(ch, ch[1:]):
+        assert s1 == s0 + 12          # stride = size - overlap
+        assert s1 < e0                # consecutive chunks overlap
+    assert all(e - s <= 16 for s, e in ch)
+
+
+def test_chunk_documents_is_map_only(spark):
+    from pg_iui_ner_api_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+    plan = (
+        chunk_documents(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from pg_iui_ner_api_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([("d", "a b")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=8, overlap=8)
