@@ -313,6 +313,19 @@ def _q_dsir_select(spark, sf):
     return dsir_select(raw, target, k=50, seed="s0", buckets=4096)
 
 
+def _q_bpe_merges(spark, sf):
+    """Distributed BPE vocabulary induction (operators/bpe.py): the
+    learned merge sequence over the corpus word histogram. Iterative
+    with a data-dependent driver decision per merge — not
+    SQL-expressible, so rows-only for the driver and golden-hash pinned
+    in tests/test_golden_queries.py against the pure-Python BPE oracle
+    of tests/test_bpe.py."""
+    from pg_iui_ner_api_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(_t(spark, sf, "documents"), num_merges=20)
+    return merges
+
+
 def _q_chunk_docs(spark, sf):
     """RAG-style overlapping token-window chunking
     (operators/packing.py::chunk_documents) — map-only, zero Exchange;
@@ -1011,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        tests/test_golden_queries.py) ------------------------------
         "ann_ivf_trained": _q_ann_ivf_trained,
         "ann_pq": _q_ann_pq,
+        "bpe_merges": _q_bpe_merges,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
