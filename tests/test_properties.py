@@ -189,3 +189,95 @@ def test_asof_join_matches_brute_force(spark, events):
                 best = cand
         want[i] = (base + best[0], best[1]) if best else (None, None)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r4 curation operators vs pure-Python references over arbitrary corpora.
+# ---------------------------------------------------------------------------
+_WORDS = st.lists(
+    st.sampled_from(["the", "cat", "dog", "ran", "sat", "a", "on", "xyzzy"]),
+    min_size=0, max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_WORDS, min_size=1, max_size=12),
+    st.integers(min_value=2, max_value=9),   # size
+    st.integers(min_value=0, max_value=8),   # overlap (clamped < size)
+)
+def test_chunk_documents_matches_reference(spark, docs, size, overlap):
+    from pg_iui_ner_api_spark.operators.packing import chunk_documents
+
+    overlap = min(overlap, size - 1)
+    step = size - overlap
+    rows = [(f"d{i}", " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {}
+    for r in chunk_documents(df, size=size, overlap=overlap).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["tok_start"], r["tok_end"], r["chunk_text"])
+        )
+    import math as _m
+
+    for i, ws in enumerate(docs):
+        n = len(ws)
+        want = []
+        if n:
+            n_chunks = 1 if n <= size else 1 + _m.ceil((n - size) / step)
+            for c in range(n_chunks):
+                s, e = c * step, min(c * step + size, n)
+                want.append((c, s, e, " ".join(ws[s:e])))
+        assert sorted(got.get(f"d{i}", [])) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=5),
+)
+def test_shuffle_corpus_is_always_a_permutation(spark, ids, n_shards):
+    from pg_iui_ner_api_spark.operators.packing import shuffle_corpus
+
+    df = spark.createDataFrame([(f"d{i}",) for i in ids], "doc_id string")
+    rows = shuffle_corpus(df, seed="p", n_shards=n_shards).collect()
+    assert len(rows) == len(ids)
+    assert {r["doc_id"] for r in rows} == {f"d{i}" for i in ids}
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_WORDS, min_size=1, max_size=10))
+def test_lm_score_matches_reference(spark, docs):
+    import hashlib
+    import math as _m
+    from collections import Counter
+
+    from pg_iui_ner_api_spark.operators.lm import lm_score
+
+    rows = [(f"d{i}", " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+           for r in lm_score(df).collect()}
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    bi = {f"d{i}": [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+          for i, ws in enumerate(docs) if len(ws) >= 2}
+    c2 = Counter(h(f"{a} {b}") for ps in bi.values() for a, b in ps)
+    c1 = Counter(h(a) for ps in bi.values() for a, _ in ps)
+    v = len(c1)
+    want = {}
+    for d, ps in bi.items():
+        lps = [_m.log((c2[h(f'{a} {b}')] + 1.0) / (c1[h(a)] + v)) for a, b in ps]
+        want[d] = (len(ps), round(sum(lps) / len(lps), 4))
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], abs=2e-4)
