@@ -326,6 +326,18 @@ def _q_bpe_merges(spark, sf):
     return merges
 
 
+def _q_bpe_token_count(spark, sf):
+    """Per-document token cost under the induced BPE vocabulary
+    (operators/bpe.py::bpe_token_count): encode runs over the DISTINCT
+    word table, corpus contributes one explode + one hash join. Same
+    rows-only/golden contract as bpe_merges (shares its iterative
+    training)."""
+    from pg_iui_ner_api_spark.operators.bpe import bpe_token_count, bpe_train
+
+    merges, _ = bpe_train(_t(spark, sf, "documents"), num_merges=20)
+    return bpe_token_count(_t(spark, sf, "documents"), merges)
+
+
 def _q_chunk_docs(spark, sf):
     """RAG-style overlapping token-window chunking
     (operators/packing.py::chunk_documents) — map-only, zero Exchange;
@@ -1025,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained": _q_ann_ivf_trained,
         "ann_pq": _q_ann_pq,
         "bpe_merges": _q_bpe_merges,
+        "bpe_token_count": _q_bpe_token_count,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,

@@ -161,3 +161,55 @@ def bpe_vocab(segmented: DataFrame) -> DataFrame:
             F.sum("wc").alias("total_count"),
         )
     )
+
+
+def encode_words(words: DataFrame, merges: list[tuple[str, str]],
+                 word_col: str = "word") -> DataFrame:
+    """Segment each word under a learned merge sequence: adds
+    ``pieces: array<string>``.
+
+    Applies the merges in rank order, each as the same greedy
+    left-to-right fold training used — so a word seen in training
+    segments EXACTLY as ``bpe_train``'s ``segmented`` table says, and
+    an unseen word segments deterministically with the identical rule.
+    The k folds build one (deep) Column expression analyzed once, then
+    evaluated in-row: zero Python, zero shuffles.
+    """
+    syms = F.split(F.col(word_col), "")
+    for left, right in merges:
+        syms = _merge_fold(syms, left, right)
+    return words.withColumn("pieces", syms)
+
+
+def bpe_token_count(docs: DataFrame, merges, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_pieces) — token cost of every document under
+    an induced vocabulary (``merges`` = ``bpe_train``'s merge table, or
+    a rank-ordered list of (left, right) pairs).
+
+    Scale shape: the k-fold encode expression runs over the DISTINCT
+    word table, not the corpus — the corpus contributes one explode +
+    one hash join on the word and a partial-aggregable per-doc sum, so
+    duplicate words (most of any corpus, Zipf) are segmented once.
+    Empty documents survive with n_words = n_pieces = 0 via the left
+    join.
+    """
+    if isinstance(merges, DataFrame):
+        merges = [
+            (r["left"], r["right"]) for r in merges.orderBy("rank").collect()
+        ]
+    words = spread(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens(normalize_ws(F.col(text_col)))).alias("word"),
+    )
+    vocab = encode_words(
+        words.where(F.col("word").isNotNull()).select("word").distinct(), merges
+    ).select("word", F.size("pieces").alias("np"))
+    return (
+        words.join(vocab, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("word")).alias("n_words"),
+            F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("n_pieces"),
+        )
+    )

@@ -106,3 +106,64 @@ def test_word_counts_drop_report(spark):
     assert kept == {"short"}
     dropped = {(r["word"], r["wc"]) for r in B.dropped_words(df).collect()}
     assert dropped == {(long_word, 1)}
+
+
+def test_encode_words_matches_training_segmentation(spark, docs_df):
+    merges_df, seg_df = B.bpe_train(docs_df, num_merges=10)
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    words = seg_df.select("word")
+    got = {r["word"]: list(r["pieces"])
+           for r in B.encode_words(words, merges).collect()}
+    want = {r["word"]: list(r["pieces"]) for r in seg_df.collect()}
+    assert got == want
+
+
+def test_encode_words_handles_oov_deterministically(spark, docs_df):
+    merges_df, _ = B.bpe_train(docs_df, num_merges=10)
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    oov = spark.createDataFrame([("lowish",), ("zzz",)], "word string")
+    got = {r["word"]: list(r["pieces"])
+           for r in B.encode_words(oov, merges).collect()}
+
+    def py_encode(w):
+        ss = list(w)
+        for l, r in merges:
+            out = []
+            for s in ss:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            ss = out
+        return ss
+
+    assert got == {"lowish": py_encode("lowish"), "zzz": py_encode("zzz")}
+
+
+def test_bpe_token_count(spark, docs_df):
+    merges_df, seg_df = B.bpe_train(docs_df, num_merges=10)
+    pieces_per_word = {r["word"]: len(r["pieces"]) for r in seg_df.collect()}
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"])
+           for r in B.bpe_token_count(docs_df, merges_df).collect()}
+    for d, t in DOCS:
+        ws = [w for w in t.lower().split() if w]
+        assert got[d] == (len(ws), sum(pieces_per_word[w] for w in ws))
+
+
+def test_bpe_token_count_keeps_empty_docs(spark):
+    df = spark.createDataFrame(
+        [("d1", "low low"), ("d2", ""), ("d3", None)], "doc_id string, text string"
+    )
+    got = {r["doc_id"]: (r["n_words"], r["n_pieces"])
+           for r in B.bpe_token_count(df, [("l", "o")]).collect()}
+    assert got["d2"] == (0, 0) and got["d3"] == (0, 0)
+    assert got["d1"] == (2, 4)  # 'low' -> ['lo', 'w'] twice
+
+
+def test_encode_words_plan_stays_jvm(spark):
+    df = spark.createDataFrame([("abc",)], "word string")
+    plan = (
+        B.encode_words(df, [("a", "b"), ("ab", "c")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

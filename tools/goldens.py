@@ -42,7 +42,7 @@ GOLDEN_QUERIES = (
     "kg_mentions", "kg_edges", "kg_nodes",
     "media_features", "media_resize",
     "ann_ivf", "ann_ivf_trained", "ann_pq",
-    "bpe_merges",
+    "bpe_merges", "bpe_token_count",
 )
 FLOAT_ROUND = 4
 
