@@ -313,6 +313,26 @@ def _q_dsir_select(spark, sf):
     return dsir_select(raw, target, k=50, seed="s0", buckets=4096)
 
 
+def _q_kg_negatives(spark, sf):
+    """Deterministic TransE-style negative sampling
+    (operators/negatives.py) over a (customer, bought, part) triple
+    slice; oracle replays the identical md5 side/bucket/index chains."""
+    from pg_iui_ner_api_spark.operators.negatives import negative_triples
+
+    o = _t(spark, sf, "orders").where(F.col("o_orderkey") % 20 == 0)
+    li = _t(spark, sf, "lineitem")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("string").alias("subj"),
+            F.lit("bought").alias("pred"),
+            F.col("l_partkey").cast("string").alias("obj"),
+        )
+        .distinct()
+    )
+    return negative_triples(edges, n_neg=2, seed="s0", buckets=16)
+
+
 def _q_bpe_merges(spark, sf):
     """Distributed BPE vocabulary induction (operators/bpe.py): the
     learned merge sequence over the corpus word histogram. Iterative
@@ -986,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred": _q_link_pred,
         "link_pred_dropped": _q_link_pred_dropped,
         "chunk_docs": _q_chunk_docs,
+        "kg_negatives": _q_kg_negatives,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1311,6 +1332,60 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_feats, round(s, 4) AS logratio,
                round(sel, 4) AS sel_score
         FROM g ORDER BY sel DESC, doc_id LIMIT 50
+    """
+    # kg_negatives twin: identical md5 side/bucket/index chains over the
+    # same deterministic triple slice (seed s0, n_neg 2, 16 buckets)
+    _NEG_KEY = "'s0|' || subj || '|' || pred || '|' || obj || '|' || CAST(neg_idx AS VARCHAR)"
+    sql["kg_negatives"] = f"""
+        WITH edges AS (
+          SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS subj,
+                 'bought' AS pred, CAST(l_partkey AS VARCHAR) AS obj
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderkey % 20 = 0
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT subj AS node FROM edges UNION ALL SELECT obj FROM edges)
+        ),
+        dim AS (
+          SELECT node, bucket,
+                 row_number() OVER (PARTITION BY bucket ORDER BY node) - 1 AS idx
+          FROM (SELECT node,
+                       CAST({_H.format(x='node')} % 16 AS INT) AS bucket
+                FROM nodes)
+        ),
+        sizes AS (SELECT bucket, count(*) AS bsize FROM dim GROUP BY 1),
+        cand0 AS (
+          SELECT subj, pred, obj, UNNEST(range(2)) AS neg_idx FROM edges
+        ),
+        cand1 AS (
+          SELECT *,
+                 {_H.format(x=_NEG_KEY + " || '|s'")} % 2 AS side,
+                 CAST({_H.format(x=_NEG_KEY + " || '|b'")} % 16 AS INT) AS bucket,
+                 {_H.format(x=_NEG_KEY + " || '|j'")} AS jh
+          FROM cand0
+        ),
+        cand2 AS (
+          SELECT c.*, c.jh % z.bsize AS idx
+          FROM cand1 c JOIN sizes z USING (bucket)
+        ),
+        cand3 AS (
+          SELECT c.subj, c.pred, c.obj, CAST(c.neg_idx AS INT) AS neg_idx,
+                 CASE WHEN c.side = 0 THEN 'subj' ELSE 'obj' END AS corrupt_side,
+                 CASE WHEN c.side = 0 THEN d.node ELSE c.subj END AS neg_subj,
+                 CASE WHEN c.side = 0 THEN c.obj ELSE d.node END AS neg_obj
+          FROM cand2 c JOIN dim d ON d.bucket = c.bucket AND d.idx = c.idx
+        ),
+        f AS (
+          SELECT * FROM cand3
+          WHERE (corrupt_side = 'subj' AND neg_subj <> subj)
+             OR (corrupt_side = 'obj' AND neg_obj <> obj)
+        )
+        SELECT subj, pred, obj, neg_idx, corrupt_side, neg_subj, neg_obj
+        FROM f
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.subj = f.neg_subj AND e.pred = f.pred
+                            AND e.obj = f.neg_obj)
     """
     # chunk_docs twin: identical stride arithmetic (size 32, overlap 8,
     # stride 24), 1-based-inclusive list_slice == 0-based-exclusive slice

@@ -225,7 +225,7 @@ def _headline(spark) -> dict[str, float]:
         # scoring, DSIR selection, incremental dedup, seeded shuffle
         "repeated_spans", "quality_model_score", "lm_score",
         "dsir_select", "dedup_against", "shuffle_corpus", "link_pred",
-        "chunk_docs", "bpe_merges",
+        "chunk_docs", "bpe_merges", "kg_negatives",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the
