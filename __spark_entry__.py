@@ -1354,20 +1354,25 @@ def oracle_sql() -> dict[str, str]:
                        CAST({_H.format(x='node')} % 16 AS INT) AS bucket
                 FROM nodes)
         ),
-        sizes AS (SELECT bucket, count(*) AS bsize FROM dim GROUP BY 1),
+        sizes AS (
+          SELECT bucket, count(*) AS bsize,
+                 row_number() OVER (ORDER BY bucket) - 1 AS brank
+          FROM dim GROUP BY bucket
+        ),
+        nb AS (SELECT count(*) AS nb FROM sizes),
         cand0 AS (
           SELECT subj, pred, obj, UNNEST(range(2)) AS neg_idx FROM edges
         ),
         cand1 AS (
-          SELECT *,
+          SELECT cand0.*,
                  {_H.format(x=_NEG_KEY + " || '|s'")} % 2 AS side,
-                 CAST({_H.format(x=_NEG_KEY + " || '|b'")} % 16 AS INT) AS bucket,
+                 {_H.format(x=_NEG_KEY + " || '|b'")} % nb.nb AS brank,
                  {_H.format(x=_NEG_KEY + " || '|j'")} AS jh
-          FROM cand0
+          FROM cand0 CROSS JOIN nb
         ),
         cand2 AS (
-          SELECT c.*, c.jh % z.bsize AS idx
-          FROM cand1 c JOIN sizes z USING (bucket)
+          SELECT c.*, z.bucket, c.jh % z.bsize AS idx
+          FROM cand1 c JOIN sizes z USING (brank)
         ),
         cand3 AS (
           SELECT c.subj, c.pred, c.obj, CAST(c.neg_idx AS INT) AS neg_idx,

@@ -51,7 +51,9 @@ KG_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 # efficiency is the MEDIAN paired ratio (a pair shares the same noise
 # minute; best-of-leg across reps mixes noise regimes and is reported
 # separately)
-SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# median of 3 paired reps: one host-degraded minute can no longer drag
+# the headline (median of 2 is a mean; this host swings several-fold)
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 # Parallelism levels per rep. BASELINE.json's gate is "N to 4N", not
 # "8 to 32": the r3 controlled topology experiment (BASELINE.md)
 # established that occupying >8 cores of this microVM hits a

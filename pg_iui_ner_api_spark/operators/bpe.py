@@ -46,8 +46,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.text import normalize_ws, spread, tokens
 
 
-def word_counts(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text",
+def word_counts(docs: DataFrame, text_col: str = "text",
                 max_word_len: int = 64) -> DataFrame:
     """(word, wc) — corpus word histogram, the single corpus-wide pass."""
     base = spread(docs).select(
@@ -60,8 +59,7 @@ def word_counts(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def dropped_words(docs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text",
+def dropped_words(docs: DataFrame, text_col: str = "text",
                   max_word_len: int = 64) -> DataFrame:
     """The never-silent half of the ``max_word_len`` guard:
     (word, wc) of every word training excluded."""
@@ -109,7 +107,7 @@ def _merge_fold(syms_col, left: str, right: str):
 
 
 def bpe_train(docs: DataFrame, num_merges: int = 100, min_count: int = 2,
-              id_col: str = "doc_id", text_col: str = "text",
+              text_col: str = "text",
               max_word_len: int = 64) -> tuple[DataFrame, DataFrame]:
     """Learn up to ``num_merges`` BPE merges from the corpus.
 
@@ -123,7 +121,7 @@ def bpe_train(docs: DataFrame, num_merges: int = 100, min_count: int = 2,
     Stops early when no pair reaches ``min_count``.
     """
     spark = docs.sparkSession
-    wc = word_counts(docs, id_col, text_col, max_word_len)
+    wc = word_counts(docs, text_col, max_word_len)
     syms = wc.select(
         "word", "wc", F.split("word", "").alias("syms")
     ).localCheckpoint()
@@ -141,9 +139,14 @@ def bpe_train(docs: DataFrame, num_merges: int = 100, min_count: int = 2,
             break
         left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["c"])
         learned.append((rank, left, right, left + right, cnt))
-        syms = syms.select(
+        prev = syms
+        syms = prev.select(
             "word", "wc", _merge_fold(F.col("syms"), left, right).alias("syms")
         ).localCheckpoint()
+        # the superseded checkpoint would otherwise pile up in block
+        # storage for num_merges iterations (same discipline as
+        # triangle_count's unpersist of its oriented edge copy)
+        prev.unpersist()
     merges = spark.createDataFrame(
         learned, schema="rank int, left string, right string, merged string, pair_count long"
     )
@@ -182,7 +185,8 @@ def encode_words(words: DataFrame, merges: list[tuple[str, str]],
 
 
 def bpe_token_count(docs: DataFrame, merges, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
+                    text_col: str = "text",
+                    max_word_len: int = 64) -> DataFrame:
     """(doc_id, n_words, n_pieces) — token cost of every document under
     an induced vocabulary (``merges`` = ``bpe_train``'s merge table, or
     a rank-ordered list of (left, right) pairs).
@@ -193,6 +197,12 @@ def bpe_token_count(docs: DataFrame, merges, id_col: str = "doc_id",
     duplicate words (most of any corpus, Zipf) are segmented once.
     Empty documents survive with n_words = n_pieces = 0 via the left
     join.
+
+    Words longer than ``max_word_len`` (the same guard training uses —
+    the vocab never saw them) bypass the k quadratic folds and count at
+    the character-level fallback (n_pieces contribution = length): a
+    single megabyte base64 "word" must not hang the whole stage inside
+    a per-row O(k * len^2) fold.
     """
     if isinstance(merges, DataFrame):
         merges = [
@@ -202,14 +212,23 @@ def bpe_token_count(docs: DataFrame, merges, id_col: str = "doc_id",
         F.col(id_col).alias("doc_id"),
         F.explode_outer(tokens(normalize_ws(F.col(text_col)))).alias("word"),
     )
-    vocab = encode_words(
-        words.where(F.col("word").isNotNull()).select("word").distinct(), merges
-    ).select("word", F.size("pieces").alias("np"))
+    short = (
+        words.where(
+            F.col("word").isNotNull() & (F.length("word") <= max_word_len)
+        )
+        .select("word")
+        .distinct()
+    )
+    vocab = encode_words(short, merges).select(
+        "word", F.size("pieces").alias("np")
+    )
     return (
         words.join(vocab, "word", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.col("word")).alias("n_words"),
-            F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("n_pieces"),
+            F.coalesce(
+                F.sum(F.coalesce(F.col("np"), F.length("word"))), F.lit(0)
+            ).cast("long").alias("n_pieces"),
         )
     )

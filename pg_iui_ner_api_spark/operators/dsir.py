@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text import portable_hash64
 from .lm import doc_bigrams
 
 TWO_60 = float(1 << 60)  # md5-prefix ints are uniform on [0, 2^60)
@@ -98,13 +99,9 @@ def gumbel_key(id_col, seed: str):
     """Deterministic standard-Gumbel draw from md5(seed|id): fold the
     digest's first 60 bits to u in (0, 1), then -ln(-ln(u)). Strictly
     inside (0, 1): u = (k + 1) / (2^60 + 1) with k in [0, 2^60)."""
-    k = F.conv(
-        F.substring(
-            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
+    k = portable_hash64(
+        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+    )
     u = (k + F.lit(1.0)) / F.lit(TWO_60 + 1.0)
     return -F.log(-F.log(u))
 

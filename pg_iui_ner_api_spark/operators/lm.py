@@ -85,11 +85,15 @@ def lm_score(docs: DataFrame, id_col: str = "doc_id",
     emit nothing — count them upstream with ``token_stats``.
     """
     bi = doc_bigrams(docs, id_col, text_col)
-    train = bi if train_docs is None else doc_bigrams(train_docs, id_col, text_col)
-    if train is bi:
+    if train_docs is None:
         # three consumers (c2, c1, scoring join) — materialize once
         bi = bi.localCheckpoint()
         train = bi
+    else:
+        # external corpus still has two consumers (c2, c1) — checkpoint
+        # it too, or the whole tokenize+hash pass over the trusted
+        # corpus runs twice
+        train = doc_bigrams(train_docs, id_col, text_col).localCheckpoint()
     c2 = train.groupBy("h12").agg(F.count(F.lit(1)).alias("cnt2"))
     c1 = train.groupBy("h1").agg(F.count(F.lit(1)).alias("cnt1"))
     vocab = c1.agg(F.count(F.lit(1)).alias("v"))  # distinct first-words

@@ -51,7 +51,7 @@ def node_index(nodes: DataFrame, buckets: int = 64,
     """(node, bucket, idx) — per-bucket dense 0-based index of the node
     dim; idx is windowed per bucket, never globally."""
     b = F.pmod(portable_hash64(F.col(node_col).cast("string")), F.lit(buckets))
-    w = Window.partitionBy("bucket").orderBy(node_col)
+    w = Window.partitionBy("bucket").orderBy("node")
     return (
         nodes.select(F.col(node_col).alias("node"), b.cast("int").alias("bucket"))
         .withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
@@ -74,20 +74,34 @@ def negative_triples(edges: DataFrame, n_neg: int = 2, seed: str = "s0",
         .distinct()
     )
     dim = node_index(nodes, buckets).localCheckpoint()
-    sizes = dim.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+    # Replicas select among the NON-EMPTY buckets by dense rank, so a
+    # hash landing where no node lives can't silently drop the replica
+    # (an early version joined on the raw bucket id and lost every
+    # replica hashed to an empty bucket — fatal when the entity
+    # universe is small relative to ``buckets``). The rank window runs
+    # over the <= ``buckets``-row size table, not data.
+    sizes = (
+        dim.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .withColumn(
+            "brank",
+            (F.row_number().over(Window.orderBy("bucket")) - 1).cast("long"),
+        )
+    )
+    nb = sizes.agg(F.count(F.lit(1)).alias("nb"))
     s, p, o = F.col("subj"), F.col("pred"), F.col("obj")
     cand = e0.select(
         "subj", "pred", "obj",
         F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1))).alias("neg_idx"),
     )
     i = F.col("neg_idx")
-    cand = cand.select(
-        "*",
+    cand = cand.join(F.broadcast(nb)).select(
+        "subj", "pred", "obj", "neg_idx",
         F.pmod(_h(seed, s, p, o, i, tag="s"), F.lit(2)).cast("int").alias("side"),
-        F.pmod(_h(seed, s, p, o, i, tag="b"), F.lit(buckets)).cast("int").alias("bucket"),
+        F.pmod(_h(seed, s, p, o, i, tag="b"), F.col("nb")).alias("brank"),
         _h(seed, s, p, o, i, tag="j").alias("jh"),
     )
-    cand = cand.join(F.broadcast(sizes), "bucket").select(
+    cand = cand.join(F.broadcast(sizes), "brank").select(
         "subj", "pred", "obj", "neg_idx", "side", "bucket",
         F.pmod(F.col("jh"), F.col("bsize")).alias("idx"),
     )

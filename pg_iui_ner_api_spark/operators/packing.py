@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.text import portable_hash64, spread, token_count
+from ..functions.text import normalize_ws, portable_hash64, spread, token_count, tokens
 
 
 def pack_sequences(
@@ -178,8 +178,6 @@ def chunk_documents(docs: DataFrame, size: int = 128, overlap: int = 32,
     if not 0 <= overlap < size:
         raise ValueError("require 0 <= overlap < size")
     step = size - overlap
-    from ..functions.text import normalize_ws, tokens
-
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(normalize_ws(F.col(text_col))).alias("_toks"),

@@ -31,14 +31,13 @@ def _py_negatives(edges, n_neg, seed, buckets):
         dim[(b, len(per_bucket.setdefault(b, [])))] = n
         per_bucket[b].append(n)
     truth = set(edges)
+    nonempty = sorted(per_bucket)  # dense rank over non-empty buckets
     out = set()
     for s, p, o in edges:
         for i in range(n_neg):
             key = f"{seed}|{s}|{p}|{o}|{i}"
             side = _h(f"{key}|s") % 2
-            b = _h(f"{key}|b") % buckets
-            if b not in per_bucket:
-                continue  # no nodes in that bucket -> join drops the row
+            b = nonempty[_h(f"{key}|b") % len(nonempty)]
             idx = _h(f"{key}|j") % len(per_bucket[b])
             repl = dim[(b, idx)]
             ns, no = (repl, o) if side == 0 else (s, repl)
@@ -91,6 +90,16 @@ def test_negatives_deterministic_and_seed_sensitive(spark, edges_df):
         for s in ("s1", "s2", "s3")
     }
     assert len(variants) > 1
+
+
+def test_negatives_small_universe_large_buckets_no_silent_drop(spark, edges_df):
+    # regression: with buckets >> |nodes| most raw bucket ids are empty;
+    # the dense-rank selection must still resolve every replica (losses
+    # only from the self/closed-world guards). 5 edges x 4 replicas = 20
+    # requested over a 4-node universe.
+    rows = N.negative_triples(edges_df, n_neg=4, seed=SEED, buckets=64).collect()
+    assert len(rows) == len(_py_negatives(EDGES, 4, SEED, 64))
+    assert len(rows) >= 10
 
 
 def test_node_index_is_dense_per_bucket(spark, edges_df):
