@@ -387,7 +387,15 @@ def main() -> None:
               file=sys.stderr, flush=True)
         times: dict[int, float] = {}
         cpus: dict[int, float] = {}
-        order = SCALE_PARS if rep % 2 == 0 else tuple(reversed(SCALE_PARS))
+        # the gate pair runs every rep; non-gate legs (the 32-leg, which
+        # only evidences the >8-core host wall already characterized in
+        # BASELINE.md) run on the first rep only — they are the most
+        # degraded-prone legs and repeating them buys no gate precision
+        gate_pars = ({gate_small, 4 * gate_small}
+                     if gate_small is not None else set(SCALE_PARS))
+        pars = (SCALE_PARS if rep == 0
+                else tuple(p for p in SCALE_PARS if p in gate_pars))
+        order = pars if rep % 2 == 0 else tuple(reversed(pars))
         for par in order:
             # pin the leg to exactly `par` CPUs: local[par] bounds only
             # EXECUTOR threads — GC, JVM compiler, Netty and Python
@@ -544,9 +552,9 @@ def main() -> None:
             scaling["efficiency_n_to_4n_vs_bw_ceiling"] = round(
                 statistics.median(norm), 4)
     for par in sorted(dps):
-        utils = [c[par] / (t[par] * par)
-                 for c, t in zip(rep_cpu, rep_times)
-                 if c.get(par) and t.get(par)]
+        utils = [rep_cpu[i][par] / (rep_times[i][par] * par)
+                 for i in keep
+                 if rep_cpu[i].get(par) and rep_times[i].get(par)]
         if utils:
             scaling[f"local[{par}]_cpu_utilization"] = round(max(utils), 4)
 
