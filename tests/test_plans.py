@@ -251,3 +251,115 @@ def test_profile_single_aggregation_pass(spark):
     assert "Expand" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("FileScan") <= 1  # in-memory here, but no re-scan
+
+
+# ---- r4 operator plan pins ------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def text_docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("textdocs") / "docs")
+    spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma delta epsilon tok{i} " * 8)
+         for i in range(40)],
+        schema=["doc_id", "text"],
+    ).repartition(spark.sparkContext.defaultParallelism).write.parquet(p)
+    return p
+
+
+def test_chunk_documents_is_map_only(spark, text_docs_path):
+    """Chunking promises ZERO shuffles at any corpus size: tokens,
+    window arithmetic and the chunk explode are all in-row Column
+    algebra, composing with the surrounding pipeline's partitioning."""
+    from pg_iui_ner_api_spark.operators.packing import chunk_documents
+
+    plan = _plan(chunk_documents(spark.read.parquet(text_docs_path)))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan  # no Python on the hot path
+
+
+def test_quality_score_is_map_only(spark, text_docs_path):
+    """Hashed-BoW model scoring is a pure projection: broadcast-free,
+    shuffle-free, Python-free — the 100 TB corpus never moves."""
+    from pg_iui_ner_api_spark.operators.quality_model import (
+        score_documents, seed_weights)
+
+    plan = _plan(score_documents(
+        spark.read.parquet(text_docs_path), seed_weights(64)))
+    # spread() may widen a narrow input with a RoundRobin repartition
+    # (a no-op at scale); hash/range shuffles and Python are forbidden
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_shuffle_corpus_single_hash_exchange(spark, text_docs_path):
+    """Seeded global shuffle must be ONE hash shuffle on shard + per-
+    shard sorts — never a global sort (Exchange rangepartitioning) or a
+    single-partition window (Exchange SinglePartition), the two classic
+    100 TB killers for 'shuffle the corpus'."""
+    from pg_iui_ner_api_spark.operators.packing import shuffle_corpus
+
+    plan = _plan(shuffle_corpus(spark.read.parquet(text_docs_path)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pq_topk_single_exchange_no_corpus_shuffle(spark):
+    """ADC scoring joins the broadcast query table against the encoded
+    corpus in place; the only shuffle carries the narrow (q_id, vec_id,
+    acos) rows into the per-query top-k window — codes and embeddings
+    never ride an Exchange."""
+    from pg_iui_ner_api_spark.operators import pq as PQ
+
+    dim, m = 8, 4
+    vecs = spark.createDataFrame(
+        [(f"v{i}", [float((i * 7 + j) % 5) for j in range(dim)])
+         for i in range(30)],
+        schema=["vec_id", "embedding"],
+    )
+    books = PQ.seed_codebooks(dim, m=m, ksub=4)
+    enc = PQ.pq_encode(vecs, dim, m=m, ksub=4, codebooks=books)
+    qs = spark.createDataFrame(
+        [("q0", [1.0] * dim)], schema=["q_id", "q_emb"])
+    plan = _plan(PQ.pq_topk(enc, qs, books, k=3))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_negative_triples_no_cartesian(spark):
+    """Negative sampling resolves replicas through broadcast joins on
+    the <= `buckets`-row size table and equi-joins on the node index;
+    the edge table must never enter a CartesianProduct."""
+    from pg_iui_ner_api_spark.operators.negatives import negative_triples
+
+    edges = spark.createDataFrame(
+        [(f"s{i % 5}", "rel", f"o{i % 7}") for i in range(20)],
+        schema=["subj", "pred", "obj"],
+    )
+    plan = _plan(negative_triples(edges, n_neg=2, buckets=8))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lm_score_no_cartesian(spark, text_docs_path):
+    """Bigram-LM scoring: count tables join back on hashed bigram keys
+    (equi), the 1-row vocab total arrives via broadcast — no
+    CartesianProduct anywhere."""
+    from pg_iui_ner_api_spark.operators.lm import lm_score
+
+    plan = _plan(lm_score(spark.read.parquet(text_docs_path)))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_adamic_adar_no_cartesian(spark):
+    """Link prediction wedges come from an equi-self-join on the shared
+    neighbor (hub-capped) — never an all-pairs product."""
+    from pg_iui_ner_api_spark.operators.graph import adamic_adar
+
+    edges = spark.createDataFrame(
+        [(f"n{i % 6}", f"n{(i * 3 + 1) % 6}") for i in range(18)],
+        schema=["src", "dst"],
+    )
+    plan = _plan(adamic_adar(edges))
+    assert "CartesianProduct" not in plan, plan
