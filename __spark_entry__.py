@@ -33,6 +33,7 @@ from pg_iui_ner_api_spark.operators import (
     analytics as A,
     ann as ANN,
     dedup as D,
+    fusion as FUS,
     graph as GR,
     media as M,
     ner as N,
@@ -783,6 +784,116 @@ def _q_graph_components(spark, sf):
     return connected_components(e, small_graph_edges=0)
 
 
+def _q_graph_jaccard(spark, sf):
+    """Neighborhood-Jaccard link prediction (operators/graph.py::
+    jaccard_link) over the capped co-occurrence graph — same hub-cap
+    contract as link_pred; denominator uses TRUE degrees. The per-pair
+    division is a single IEEE op; round(6) only guards the hash."""
+    edges = GR.cooccurrence_edges(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        max_group=_COOCCUR_CAP,
+    )
+    out = GR.jaccard_link(edges, max_neighbors=_LP_CAP, min_cn=2)
+    return out.select(
+        "src", "dst", "common_neighbors",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def _q_graph_sssp(spark, sf):
+    """Bounded Bellman-Ford SSSP (operators/graph.py::sssp) over the
+    symmetrized part graph with deterministic integer weights — every
+    distance an exact integer sum, so the oracle hashes exactly."""
+    e = GR.symmetrize(_part_edges(spark, sf)).select(
+        "src", "dst", ((F.col("src") + F.col("dst")) % 7 + 1).alias("w")
+    )
+    return GR.sssp(e, source=1, rounds=3)
+
+
+def _q_graph_closure(spark, sf):
+    """Bounded-depth transitive closure (operators/graph.py::
+    transitive_closure) over the part-id halving taxonomy (node k's
+    parent is k DIV 2 — a deterministic is_a DAG of depth ~log2 N);
+    the oracle computes ancestors CLOSED-FORM via bit shifts, so it
+    checks the doubling loop without replaying its joins."""
+    e = (
+        _t(spark, sf, "part")
+        .where(F.col("p_partkey") >= 2)
+        .select(
+            F.col("p_partkey").alias("src"),
+            F.expr("p_partkey DIV 2").alias("dst"),
+        )
+    )
+    return GR.transitive_closure(e, max_depth=4)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal alignment + knowledge fusion (operators/media.py::
+# align_text_to_media, operators/fusion.py::fuse_triples).
+# ---------------------------------------------------------------------------
+def _anchor_spans(spark, sf):
+    """documents -> a deterministic interleaved 5-span sequence per doc:
+    a leading text span with NO media before it (NULL anchor), an image,
+    a text span TIED with the image at the same offset (tie anchors to
+    the media), an audio span at a doc-varying offset, and a trailing
+    text span. Gives the alignment window real positive/negative/tie
+    cases with an exact closed-form DuckDB twin."""
+    def _ref(i):
+        return F.concat(
+            F.lit("media://"), F.col("doc_id").cast("string"), F.lit(f"/{i}")
+        )
+
+    def _span(idx, kind, ref, offset):
+        return F.struct(
+            F.lit(idx).alias("span_idx"),
+            F.lit(kind).alias("kind"),
+            (ref if ref is not None else F.lit(None).cast("string")).alias(
+                "media_ref"
+            ),
+            offset.cast("int").alias("offset"),
+        )
+
+    spans = F.array(
+        _span(0, "text", None, F.lit(0)),
+        _span(1, "image", _ref(1), F.lit(10)),
+        _span(2, "text", None, F.lit(10)),
+        _span(3, "audio", _ref(3), F.lit(20) + F.col("doc_id") % 5),
+        _span(4, "text", None, F.lit(40)),
+    )
+    return (
+        _t(spark, sf, "documents")
+        .select("doc_id", F.explode(spans).alias("s"))
+        .select("doc_id", "s.span_idx", "s.kind", "s.media_ref", "s.offset")
+    )
+
+
+def _q_media_text_anchor(spark, sf):
+    return M.align_text_to_media(_anchor_spans(spark, sf))
+
+
+def _q_kg_fuse(spark, sf):
+    """Knowledge fusion (operators/fusion.py::fuse_triples): noisy-or
+    confidence aggregation over a deterministic extraction stream derived
+    from lineitem (same fact extracted by many 'documents' = orders).
+    round(6) guards the one order-dependent float fold (sum of logs)."""
+    li = _t(spark, sf, "lineitem")
+    triples = li.select(
+        F.concat(F.lit("P"), (F.col("l_partkey") % 50).cast("string")).alias("subj"),
+        F.col("l_returnflag").alias("pred"),
+        F.concat(F.lit("S"), (F.col("l_suppkey") % 20).cast("string")).alias("obj"),
+        (
+            ((F.col("l_partkey") * 37 + F.col("l_suppkey")) % 101).cast("double")
+            / F.lit(100.0)
+        ).alias("score"),
+        F.col("l_orderkey").alias("doc_id"),
+    )
+    out = FUS.fuse_triples(triples)
+    return out.select(
+        "subj", "pred", "obj", "n_mentions", "n_docs", "max_score",
+        "min_score", F.round("noisy_or", 6).alias("noisy_or"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation: repetition profiling (Gopher-style top-n-gram
 # + duplicate-token filters), PII scrubbing, deterministic splits.
@@ -972,6 +1083,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # end so they never displace an oracle-backed key from the window.
     return {
         # -- (a) never driver-checked (r3 families) + new in r4 -----------
+        "graph_jaccard": _q_graph_jaccard,
+        "graph_sssp": _q_graph_sssp,
+        "graph_closure": _q_graph_closure,
+        "media_text_anchor": _q_media_text_anchor,
+        "kg_fuse": _q_kg_fuse,
         "graph_degrees": _q_graph_degrees,
         "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
@@ -1797,6 +1913,43 @@ def oracle_sql() -> dict[str, str]:
                     224.0 / greatest(width, height)))) AS INT) AS out_height
         FROM geo
     """
+    # closed-form twin of the 5-span interleaved sequence _anchor_spans
+    # builds per doc: text@0 has no media before it, text@10 ties with
+    # the image@10 (media wins the tie), text@40 anchors to the audio at
+    # 20 + doc_id % 5
+    sql["media_text_anchor"] = """
+        SELECT doc_id, CAST(0 AS INT) AS span_idx, CAST(0 AS INT) AS offset,
+               CAST(NULL AS VARCHAR) AS anchor_ref,
+               CAST(NULL AS INT) AS anchor_offset,
+               CAST(NULL AS INT) AS anchor_dist
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2, 10, 'media://' || doc_id::VARCHAR || '/1', 10, 0
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 4, 40, 'media://' || doc_id::VARCHAR || '/3',
+               CAST(20 + doc_id % 5 AS INT), CAST(20 - doc_id % 5 AS INT)
+        FROM documents
+    """
+    sql["kg_fuse"] = """
+        WITH tr AS (
+          SELECT 'P' || (l_partkey % 50)::VARCHAR AS subj,
+                 l_returnflag AS pred,
+                 'S' || (l_suppkey % 20)::VARCHAR AS obj,
+                 CAST((l_partkey * 37 + l_suppkey) % 101 AS DOUBLE)
+                   / CAST(100.0 AS DOUBLE) AS score,
+                 l_orderkey AS doc_id
+          FROM lineitem
+        )
+        SELECT subj, pred, obj,
+               count(*) AS n_mentions,
+               count(DISTINCT doc_id) AS n_docs,
+               max(score) AS max_score,
+               min(score) AS min_score,
+               round(1 - exp(sum(ln(1 - least(score, 1 - 1e-9)))), 6)
+                 AS noisy_or
+        FROM tr GROUP BY 1, 2, 3
+    """
     # graph family: the part-cooccurrence edge list and its analytics.
     # sym doubles canonical edges, so "degree" = out-degree in sym and
     # every endpoint appears as src (no dangling nodes for PageRank).
@@ -1854,6 +2007,59 @@ def oracle_sql() -> dict[str, str]:
     sql["link_pred_dropped"] = f"""
         WITH {_CAPPED_GRAPH}
         SELECT node, degree FROM deg WHERE degree > 40
+    """
+    sql["graph_jaccard"] = f"""
+        WITH {_CAPPED_GRAPH},
+        nbr AS (
+          SELECT s.src AS z, s.dst AS u
+          FROM sym s JOIN deg d ON d.node = s.src WHERE d.degree <= 40
+        ),
+        cn AS (
+          SELECT a.u AS src, b.u AS dst, count(*) AS common_neighbors
+          FROM nbr a JOIN nbr b ON a.z = b.z AND a.u < b.u
+          GROUP BY 1, 2
+        ),
+        sc AS (
+          SELECT cn.src, cn.dst, common_neighbors,
+                 CAST(common_neighbors AS DOUBLE)
+                   / (du.degree + dv.degree - common_neighbors) AS j
+          FROM cn JOIN deg du ON du.node = cn.src
+                  JOIN deg dv ON dv.node = cn.dst
+        )
+        SELECT src, dst, common_neighbors, round(j, 6) AS jaccard
+        FROM sc
+        WHERE common_neighbors >= 2
+          AND NOT EXISTS (SELECT 1 FROM edges e2
+                          WHERE e2.src = sc.src AND e2.dst = sc.dst)
+    """
+    # 3 unrolled frontier-Bellman-Ford rounds (full relaxation per round
+    # is round-for-round equivalent to the operator's frontier form)
+    _SSSP_STEP = """
+        d{i} AS (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d{p}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM we e JOIN d{p} d ON e.src = d.node
+          ) GROUP BY node
+        )"""
+    sql["graph_sssp"] = f"""
+        WITH {_GEDGES},
+        we AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM sym),
+        d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        {_SSSP_STEP.format(i=1, p=0)},
+        {_SSSP_STEP.format(i=2, p=1)},
+        {_SSSP_STEP.format(i=3, p=2)}
+        SELECT node, dist FROM d3
+    """
+    # closed-form twin of the halving taxonomy: the ancestor at depth d
+    # IS k >> d (unique path, so min-depth is trivially exact)
+    sql["graph_closure"] = """
+        WITH p AS (SELECT p_partkey AS k FROM part WHERE p_partkey >= 2),
+        d AS (SELECT unnest([1, 2, 3, 4]) AS depth)
+        SELECT k AS node, (k >> depth) AS ancestor, depth
+        FROM p CROSS JOIN d
+        WHERE (k >> depth) >= 1
     """
     sql["graph_degrees"] = (
         f"WITH {_GEDGES} SELECT src AS node, count(*) AS degree "

@@ -444,3 +444,180 @@ def adamic_adar_dropped_hubs(edges: DataFrame, max_neighbors: int) -> DataFrame:
     return degrees(edges.select("src", "dst")).filter(
         F.col("degree") > max_neighbors
     )
+
+
+def jaccard_link(
+    edges: DataFrame,
+    max_neighbors: int | None = None,
+    min_cn: int = 2,
+) -> DataFrame:
+    """Neighborhood-Jaccard link-prediction scores for non-adjacent
+    node pairs of a canonical (src<dst) edge list:
+    ``(src, dst, common_neighbors, jaccard)`` with src < dst.
+
+    jaccard(u, v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the degree-
+    normalized companion of :func:`adamic_adar` (Liben-Nowell & Kleinberg
+    2003's strongest simple baseline). The union size is computed as
+    deg(u) + deg(v) - common, so it needs no second wedge pass: one
+    wedge enumeration + two narrow degree joins.
+
+    Carries the SAME hub-cap contract as :func:`adamic_adar` — pass
+    ``max_neighbors`` to exclude hub *centers* from wedge enumeration
+    (report the exclusions via :func:`adamic_adar_dropped_hubs`; the
+    contract is shared, so is the reporter). Degrees in the denominator
+    are always the TRUE degrees — the cap bounds enumeration cost, it
+    does not redefine the statistic for surviving pairs beyond the
+    wedges it drops. Per-pair division is a single IEEE double op —
+    exact-deterministic across engines (unlike float *sums*, which this
+    operator avoids entirely: both numerator and denominator are ints).
+    """
+    e0 = edges.select("src", "dst").localCheckpoint()  # 4 consumers
+    deg = degrees(e0)
+    nbr = symmetrize(e0).select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    zdeg = deg.select(F.col("node").alias("z"), "degree")
+    if max_neighbors is not None:
+        zdeg = zdeg.filter(F.col("degree") <= max_neighbors)
+    nbr = nbr.join(zdeg, "z").select("z", "u")
+    a, b = nbr.alias("a"), nbr.alias("b")
+    common = (
+        a.join(b, "z")
+        .where(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("src"), F.col("b.u").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+    )
+    du = deg.select(F.col("node").alias("src"), F.col("degree").alias("d_src"))
+    dv = deg.select(F.col("node").alias("dst"), F.col("degree").alias("d_dst"))
+    scored = (
+        common.join(du, "src")
+        .join(dv, "dst")
+        .select(
+            "src",
+            "dst",
+            "common_neighbors",
+            (
+                F.col("common_neighbors")
+                / (F.col("d_src") + F.col("d_dst") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.join(e0, ["src", "dst"], "left_anti").filter(
+        F.col("common_neighbors") >= min_cn
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted shortest paths
+# ---------------------------------------------------------------------------
+def sssp(
+    edges_w: DataFrame,
+    source,
+    rounds: int,
+    materialize: bool = True,
+) -> DataFrame:
+    """Single-source shortest paths ``(node, dist)`` over a DIRECTED
+    weighted edge list ``(src, dst, w)`` — frontier Bellman-Ford,
+    ``rounds`` relaxation rounds, so the result is exactly the minimum
+    distance over all paths of <= ``rounds`` edges (equal to true SSSP
+    whenever ``rounds`` >= the shortest-path tree depth; the caller
+    asserts convergence by checking one extra round changes nothing,
+    or picks ``rounds`` >= known diameter).
+
+    Scale shape (the iterative-DataFrame trio shared with
+    :func:`pagerank` / :func:`khop`):
+
+      * the edge table is materialized ONCE and never shuffles — each
+        round joins it against the broadcast *frontier* (only the nodes
+        improved last round, usually a vanishing fraction of N);
+      * per round, one union + one partial-aggregable min-groupBy over
+        the narrow (node, dist) vector — never the edges;
+      * dist is localCheckpoint-ed per round so lineage stays flat.
+
+    Weights must be non-negative (Bellman-Ford with bounded rounds is
+    still well-defined for negative weights, but "shortest" then
+    depends on ``rounds``; the oracle replays the same bound either
+    way). Integer weights make every distance an exact integer sum —
+    no float-aggregation drift anywhere.
+    """
+    spark = edges_w.sparkSession
+    e = edges_w.select("src", "dst", "w")
+    if materialize:
+        e = e.localCheckpoint()
+    dist = spark.createDataFrame([(source, 0)], schema=["node", "dist"])
+    frontier = dist
+    for _ in range(rounds):
+        relaxed = (
+            e.join(F.broadcast(frontier), e.src == frontier.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        # next frontier = nodes whose dist improved this round
+        frontier = merged.join(
+            dist.withColumnRenamed("dist", "old"), "node", "left"
+        ).where(F.col("old").isNull() | (F.col("dist") < F.col("old"))).select(
+            "node", "dist"
+        )
+        dist = merged
+    return dist
+
+
+# ---------------------------------------------------------------------------
+# bounded transitive closure (taxonomy ancestors)
+# ---------------------------------------------------------------------------
+def transitive_closure(
+    edges: DataFrame,
+    max_depth: int,
+    materialize: bool = True,
+) -> DataFrame:
+    """Bounded-depth reachability closure ``(node, ancestor, depth)``
+    over a DIRECTED edge list ``(src, dst)`` — every (node, ancestor)
+    pair connected by a directed path of <= ``max_depth`` edges, with
+    ``depth`` the MINIMUM hop count. The classic KG type-hierarchy
+    query ("all ancestors of every entity under the is_a taxonomy").
+
+    Scale shape — iterative DOUBLING, not frontier-at-a-time: round i
+    holds the exact closure up to 2^i hops and self-joins it
+    (reach(a,b,d1) ⋈ reach(b,c,d2) → reach(a,c,d1+d2)), so a depth-D
+    taxonomy needs ceil(log2 D) shuffles instead of D. min-groupBy per
+    round keeps one row per pair (partial-aggregable, narrow 3-int
+    rows); localCheckpoint per round keeps lineage flat. For a DAG of
+    bounded fan-up (taxonomies: each type has few parents) the closure
+    is O(nodes × depth) rows — linear, not quadratic.
+
+    Rows past ``max_depth`` are filtered per round, which also caps the
+    blow-up on cyclic inputs (a cycle never creates pairs beyond the
+    depth bound; min-depth semantics stay exact).
+    """
+    e = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("ancestor")
+    ).distinct()
+    if materialize:
+        e = e.localCheckpoint()
+    closure = e.select("node", "ancestor", F.lit(1).alias("depth"))
+    reach = 1
+    while reach < max_depth:
+        a = closure.alias("a")
+        b = closure.alias("b")
+        step = (
+            a.join(b, F.col("a.ancestor") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.ancestor").alias("ancestor"),
+                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+            )
+            .where(F.col("depth") <= max_depth)
+        )
+        closure = (
+            closure.unionAll(step)
+            .groupBy("node", "ancestor")
+            .agg(F.min("depth").alias("depth"))
+            .localCheckpoint()
+        )
+        reach *= 2
+    return closure

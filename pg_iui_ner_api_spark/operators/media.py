@@ -204,3 +204,67 @@ def frame_sample_plan(features: DataFrame, every_n: int = 8) -> DataFrame:
             lambda i: i % every_n == 0,
         ).alias("sampled_frames"),
     )
+
+
+def align_text_to_media(spans: DataFrame) -> DataFrame:
+    """Associate every TEXT span with the media span it illustrates —
+    the nearest media anchor at or before it in document order.
+
+    Input: one row per span, ``(doc_id, span_idx, kind, media_ref,
+    offset)`` (the exploded form of the interleaved corpus — see
+    ``media_spans``/``explode_text_spans``; reference analogue: the
+    interleaved span sequence the per-request API receives as one
+    document). Output: the text spans with
+
+      * ``anchor_ref``    — media_ref of the last media span whose
+                            offset <= the text span's offset
+                            (NULL when no media precedes it),
+      * ``anchor_offset`` — that anchor's offset (NULL likewise),
+      * ``anchor_dist``   — offset distance to the anchor.
+
+    This is the document-internal as-of join that turns "mention at
+    character 2041" into "mention under figure media://d/3" — the step
+    a multimodal KG needs before it can emit (entity, depicted_in,
+    media_ref) triples.
+
+    Shape: the union-of-streams as-of pattern of
+    ``operators/analytics.py::asof_join`` degenerates to a SINGLE
+    last-non-null running window here because both "streams" already
+    live in one table — so: ONE shuffle (hash on doc_id), one in-window
+    pass, zero Python, no join at all. Ties (media and text at the same
+    offset) anchor the text to that media span: media sorts before text
+    at equal offset.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(
+            F.col("offset").asc(),
+            # media first at equal offset so same-offset text anchors to it
+            F.when(F.col("kind") == "text", 1).otherwise(0).asc(),
+            F.col("span_idx").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_media = F.col("kind") != "text"
+    anchored = spans.select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        "offset",
+        F.last(F.when(is_media, F.col("media_ref")), ignorenulls=True)
+        .over(w)
+        .alias("anchor_ref"),
+        F.last(F.when(is_media, F.col("offset")), ignorenulls=True)
+        .over(w)
+        .alias("anchor_offset"),
+    )
+    return anchored.where(F.col("kind") == "text").select(
+        "doc_id",
+        "span_idx",
+        "offset",
+        "anchor_ref",
+        "anchor_offset",
+        (F.col("offset") - F.col("anchor_offset")).alias("anchor_dist"),
+    )

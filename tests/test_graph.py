@@ -348,3 +348,158 @@ def test_adamic_adar_plan_stays_jvm(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# neighborhood-Jaccard link prediction
+# ---------------------------------------------------------------------------
+def _py_jaccard(pairs, max_neighbors=None, min_cn=2):
+    adj = _adj(pairs)
+    edgeset = {tuple(sorted(p)) for p in pairs}
+    cn = {}
+    for z, nb in adj.items():
+        if max_neighbors is not None and len(nb) > max_neighbors:
+            continue
+        for u, v in itertools.combinations(sorted(nb), 2):
+            cn[(u, v)] = cn.get((u, v), 0) + 1
+    return {
+        (u, v): (c, c / (len(adj[u]) + len(adj[v]) - c))
+        for (u, v), c in cn.items()
+        if (u, v) not in edgeset and c >= min_cn
+    }
+
+
+def test_jaccard_link_matches_bruteforce(spark):
+    got = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["jaccard"])
+        for r in G.jaccard_link(_edges_df(spark, EDGES), min_cn=1).collect()
+    }
+    want = _py_jaccard(EDGES, min_cn=1)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-12)
+    assert not set(got) & {tuple(sorted(e)) for e in EDGES}
+    # jaccard is a ratio in (0, 1]
+    assert all(0 < j <= 1 for _, j in got.values())
+
+
+def test_jaccard_link_hub_cap_true_degrees(spark):
+    # star: hub 0 connected to 1..5, plus 1-2; capping at 4 removes the
+    # hub as a wedge CENTER, but surviving pairs still divide by TRUE
+    # degrees (the cap bounds enumeration, not the statistic)
+    star = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    got = {
+        (r["src"], r["dst"]): (r["common_neighbors"], r["jaccard"])
+        for r in G.jaccard_link(
+            _edges_df(spark, star), max_neighbors=4, min_cn=1
+        ).collect()
+    }
+    want = _py_jaccard(star, max_neighbors=4, min_cn=1)
+    assert set(got) == set(want)
+    for k, (c, j) in want.items():
+        assert got[k] == (c, pytest.approx(j, rel=1e-12))
+
+
+# ---------------------------------------------------------------------------
+# bounded single-source shortest paths
+# ---------------------------------------------------------------------------
+# directed weighted graph where the cheap path is LONGER than the direct
+# edge, so bounded rounds genuinely change the answer:
+#   1->2 (1), 2->3 (1), 3->4 (1), 1->4 (10), 4->5 (2), 2->5 (100)
+WEDGES = [(1, 2, 1), (2, 3, 1), (3, 4, 1), (1, 4, 10), (4, 5, 2), (2, 5, 100)]
+
+
+def _py_bellman_ford(pairs_w, source, rounds):
+    dist = {source: 0}
+    for _ in range(rounds):
+        nd = dict(dist)
+        for a, b, w in pairs_w:
+            if a in dist:
+                c = dist[a] + w
+                if b not in nd or c < nd[b]:
+                    nd[b] = c
+        dist = nd
+    return dist
+
+
+def _wedges_df(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in triples],
+        schema=["src", "dst", "w"],
+    )
+
+
+@pytest.mark.parametrize("rounds", [1, 2, 4])
+def test_sssp_bounded_rounds_match_bellman_ford(spark, rounds):
+    got = {
+        r["node"]: r["dist"]
+        for r in G.sssp(_wedges_df(spark, WEDGES), source=1, rounds=rounds).collect()
+    }
+    assert got == _py_bellman_ford(WEDGES, 1, rounds)
+
+
+def test_sssp_converged_is_true_shortest_paths(spark):
+    # rounds >= shortest-path tree depth (4) -> exact SSSP; one extra
+    # round changes nothing (the convergence check callers use)
+    r4 = {
+        r["node"]: r["dist"]
+        for r in G.sssp(_wedges_df(spark, WEDGES), source=1, rounds=4).collect()
+    }
+    r5 = {
+        r["node"]: r["dist"]
+        for r in G.sssp(_wedges_df(spark, WEDGES), source=1, rounds=5).collect()
+    }
+    assert r4 == r5 == {1: 0, 2: 1, 3: 2, 4: 3, 5: 5}
+
+
+# ---------------------------------------------------------------------------
+# bounded transitive closure
+# ---------------------------------------------------------------------------
+def _py_closure(pairs, max_depth):
+    adj = {}
+    for a, b in set(pairs):
+        adj.setdefault(a, set()).add(b)
+    reach = {(a, b): 1 for a, b in set(pairs)}
+    for _ in range(max_depth):
+        new = dict(reach)
+        for (a, b), d1 in list(reach.items()):
+            for c in adj.get(b, ()):
+                d = d1 + 1
+                if d <= max_depth and ((a, c) not in new or d < new[(a, c)]):
+                    new[(a, c)] = d
+        reach = new
+    return reach
+
+
+def test_transitive_closure_min_depth_multipath(spark):
+    # 1->4 both directly (depth 1) and via 3 (depth 2): min wins
+    dag = [(1, 3), (2, 3), (3, 4), (1, 4), (4, 5)]
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in G.transitive_closure(_edges_df(spark, dag), max_depth=3).collect()
+    }
+    assert got == _py_closure(dag, 3)
+    assert got[(1, 4)] == 1
+    assert got[(1, 5)] == 2
+
+
+def test_transitive_closure_depth_bound(spark):
+    chain = [(i, i + 1) for i in range(1, 7)]  # path 1..7
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in G.transitive_closure(_edges_df(spark, chain), max_depth=2).collect()
+    }
+    assert got == _py_closure(chain, 2)
+    assert max(got.values()) == 2
+
+
+def test_transitive_closure_cycle_bounded(spark):
+    cyc = [(1, 2), (2, 3), (3, 1)]
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in G.transitive_closure(_edges_df(spark, cyc), max_depth=4).collect()
+    }
+    assert got == _py_closure(cyc, 4)
+    # the cycle closes: every node reaches itself in exactly 3 hops
+    assert got[(1, 1)] == got[(2, 2)] == got[(3, 3)] == 3

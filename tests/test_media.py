@@ -121,3 +121,54 @@ def test_resize_geometry_aspect_and_no_upscale(spark, docs):
             rel = abs(r["out_width"] / r["out_height"] / (r["width"] / r["height"]) - 1)
             assert rel <= 0.5 / r["out_width"] + 0.5 / r["out_height"] + 1e-9, r
         assert r["out_width"] >= 1 and r["out_height"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# text-to-media as-of alignment
+# ---------------------------------------------------------------------------
+def _spans_df(spark, rows):
+    return spark.createDataFrame(
+        rows, schema=["doc_id", "span_idx", "kind", "media_ref", "offset"]
+    )
+
+
+def test_align_text_to_media(spark):
+    rows = [
+        # doc a: text BEFORE any media at the same offset still anchors
+        # to that media (media sorts first at equal offset)
+        ("a", 0, "text", None, 5),
+        ("a", 1, "image", "m1", 5),
+        ("a", 2, "text", None, 7),
+        ("a", 3, "video", "m2", 9),
+        ("a", 4, "text", None, 9),
+        # doc b: no media at all -> NULL anchors
+        ("b", 0, "text", None, 0),
+        ("b", 1, "text", None, 3),
+        # doc c: two media at the SAME offset -> the later span_idx wins
+        ("c", 0, "image", "x1", 3),
+        ("c", 1, "audio", "x2", 3),
+        ("c", 2, "text", None, 4),
+    ]
+    got = {
+        (r["doc_id"], r["span_idx"]): (r["anchor_ref"], r["anchor_offset"], r["anchor_dist"])
+        for r in M.align_text_to_media(_spans_df(spark, rows)).collect()
+    }
+    assert got == {
+        ("a", 0): ("m1", 5, 0),
+        ("a", 2): ("m1", 5, 2),
+        ("a", 4): ("m2", 9, 0),
+        ("b", 0): (None, None, None),
+        ("b", 1): (None, None, None),
+        ("c", 2): ("x2", 3, 1),
+    }
+
+
+def test_align_text_to_media_single_shuffle_no_python(spark):
+    rows = [("a", 0, "text", None, 5), ("a", 1, "image", "m1", 5)]
+    plan = (
+        M.align_text_to_media(_spans_df(spark, rows))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1  # ONE hash shuffle on doc_id
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
