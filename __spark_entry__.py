@@ -33,6 +33,7 @@ from pg_iui_ner_api_spark.operators import (
     analytics as A,
     ann as ANN,
     dedup as D,
+    encoding as ENC,
     fusion as FUS,
     graph as GR,
     media as M,
@@ -871,6 +872,24 @@ def _q_media_text_anchor(spark, sf):
     return M.align_text_to_media(_anchor_spans(spark, sf))
 
 
+def _q_dict_encode(spark, sf):
+    """Dictionary encoding (operators/encoding.py): globally dense
+    deterministic ids for the customer-name dimension. The oracle is
+    the one-line global row_number the operator is engineered to equal
+    WITHOUT funneling the dimension through one partition."""
+    return ENC.dictionary_encode(_t(spark, sf, "customer"), "c_name", buckets=64)
+
+
+def _q_dict_encode_apply(spark, sf):
+    """Fact-table encoding: the customer table with c_name replaced by
+    its dense dictionary id (one broadcast join against the mapping)."""
+    cust = _t(spark, sf, "customer")
+    mapping = ENC.dictionary_encode(cust, "c_name", buckets=64)
+    return ENC.encode_column(
+        cust.select("c_custkey", "c_name"), mapping, "c_name", "name_id"
+    )
+
+
 def _q_kg_fuse(spark, sf):
     """Knowledge fusion (operators/fusion.py::fuse_triples): noisy-or
     confidence aggregation over a deterministic extraction stream derived
@@ -1088,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_closure": _q_graph_closure,
         "media_text_anchor": _q_media_text_anchor,
         "kg_fuse": _q_kg_fuse,
+        "dict_encode": _q_dict_encode,
+        "dict_encode_apply": _q_dict_encode_apply,
         "graph_degrees": _q_graph_degrees,
         "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
@@ -1949,6 +1970,20 @@ def oracle_sql() -> dict[str, str]:
                round(1 - exp(sum(ln(1 - least(score, 1 - 1e-9)))), 6)
                  AS noisy_or
         FROM tr GROUP BY 1, 2, 3
+    """
+    _DICT_M = f"""
+        v AS (
+          SELECT DISTINCT c_name AS value,
+                 {_H.format(x='c_name')} % 64 AS bucket
+          FROM customer WHERE c_name IS NOT NULL
+        ),
+        m AS (SELECT value, row_number() OVER (ORDER BY bucket, value) - 1 AS id
+              FROM v)"""
+    sql["dict_encode"] = f"WITH {_DICT_M} SELECT value, id FROM m"
+    sql["dict_encode_apply"] = f"""
+        WITH {_DICT_M}
+        SELECT c.c_custkey, m.id AS name_id
+        FROM customer c LEFT JOIN m ON c.c_name = m.value
     """
     # graph family: the part-cooccurrence edge list and its analytics.
     # sym doubles canonical edges, so "degree" = out-degree in sym and

@@ -269,6 +269,10 @@ def _headline(spark) -> dict[str, float]:
         "repeated_spans", "quality_model_score", "lm_score",
         "dsir_select", "dedup_against", "shuffle_corpus", "link_pred",
         "chunk_docs", "bpe_merges", "kg_negatives",
+        # late-r4 additions: Jaccard link prediction, weighted SSSP,
+        # taxonomy closure, text->media anchoring, triple fusion
+        "graph_jaccard", "graph_sssp", "graph_closure",
+        "media_text_anchor", "kg_fuse",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the
