@@ -336,3 +336,80 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_fuse_triples(spark: SparkSession, input_dir: str, workdir: str,
+                        checkpoint_dir: str, available_now: bool = True,
+                        max_files_per_trigger: int | None = None):
+    """Continuous knowledge fusion: the streaming twin of
+    ``operators/fusion.fuse_triples``.
+
+    Noisy-or fusion is algebraically DECOMPOSABLE — sum(ln(1-s)), count,
+    max, min all merge associatively — so each micro-batch writes only
+    its per-triple PARTIAL aggregates (narrow rows: the triple key + four
+    numbers) to an idempotent ``batch=<id>`` overwrite partition, exactly
+    the stream_kg_increment pattern. The per-batch shuffle is batch-sized,
+    never corpus-sized; merging is deferred to
+    :func:`compact_fused_triples`.
+
+    The one non-mergeable statistic is the EXACT distinct-document count,
+    so each batch also logs its deduped ``(triple, doc_id)`` key set —
+    the honest cost of exactness (the 100 TB swap is an
+    approx_count_distinct sketch column in the partials, same layout).
+
+      workdir/fuse_partials/batch=<id>/   per-triple partial aggregates
+      workdir/fuse_docs/batch=<id>/       per-batch distinct (triple, doc)
+    """
+    triples = (
+        spark.readStream.schema(
+            "subj string, pred string, obj string, score double, doc_id string"
+        )
+        .option(*(("maxFilesPerTrigger", str(max_files_per_trigger))
+                  if max_files_per_trigger else ("_ignored", "0")))
+        .parquet(input_dir)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        s = F.least(F.col("score").cast("double"), F.lit(1.0 - 1e-9))
+        partials = batch_df.groupBy("subj", "pred", "obj").agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.max("score").alias("max_score"),
+            F.min("score").alias("min_score"),
+            F.sum(F.log(F.lit(1.0) - s)).alias("log_one_minus"),
+        )
+        docs = batch_df.select("subj", "pred", "obj", "doc_id").distinct()
+        partials.write.mode("overwrite").parquet(
+            f"{workdir}/fuse_partials/batch={batch_id}")
+        docs.write.mode("overwrite").parquet(
+            f"{workdir}/fuse_docs/batch={batch_id}")
+
+    writer = (
+        triples.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_fused_triples(spark: SparkSession, workdir: str) -> DataFrame:
+    """Merge the accumulated fusion partials into the canonical fused
+    table — same schema as ``fuse_triples`` (subj, pred, obj, n_mentions,
+    n_docs, max_score, min_score, noisy_or). Equals the batch operator
+    over the union corpus (pinned by test_streaming; noisy_or up to
+    float-sum reassociation)."""
+    parts = spark.read.parquet(f"{workdir}/fuse_partials").drop("batch")
+    docs = spark.read.parquet(f"{workdir}/fuse_docs").drop("batch")
+    merged = parts.groupBy("subj", "pred", "obj").agg(
+        F.sum("n_mentions").alias("n_mentions"),
+        F.max("max_score").alias("max_score"),
+        F.min("min_score").alias("min_score"),
+        (F.lit(1.0) - F.exp(F.sum("log_one_minus"))).alias("noisy_or"),
+    )
+    nd = docs.groupBy("subj", "pred", "obj").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return merged.join(nd, ["subj", "pred", "obj"]).select(
+        "subj", "pred", "obj", "n_mentions", "n_docs",
+        "max_score", "min_score", "noisy_or",
+    )

@@ -3,6 +3,7 @@ incrementally (exactly-once over file backlog) and event-time windows
 with watermark."""
 
 import os
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -358,3 +359,60 @@ def test_stream_kg_increment_crash_replay_idempotent(spark, tmp_path):
 
     assert snapshot("edges_inc") == edges_once
     assert snapshot("linked_inc") == linked_once
+
+
+def test_stream_fuse_triples_matches_batch(spark, tmp_path):
+    """Incremental noisy-or fusion == batch fuse_triples over the union
+    corpus: two micro-batches of extraction rows through
+    stream_fuse_triples (shared checkpoint), then compact. Counts and
+    order statistics are exact; noisy_or matches up to float-sum
+    reassociation. An empty third trigger must change nothing."""
+    from pg_iui_ner_api_spark.operators.fusion import fuse_triples
+
+    rows1 = [
+        ("e1", "rel", "e2", 0.5, "d1"),
+        ("e1", "rel", "e2", 0.2, "d2"),
+        ("e3", "rel", "e4", 1.0, "d1"),
+    ]
+    rows2 = [
+        ("e1", "rel", "e2", 0.5, "d1"),   # same doc again across batches
+        ("e1", "rel", "e2", 0.9, "d3"),
+        ("e5", "is_a", "e6", 0.4, "d4"),
+    ]
+    schema = ["subj", "pred", "obj", "score", "doc_id"]
+    inp = str(tmp_path / "in")
+    wd = str(tmp_path / "wd")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(inp)
+    J.stream_fuse_triples(spark, inp, wd, ckpt).awaitTermination()
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(inp)
+    J.stream_fuse_triples(spark, inp, wd, ckpt).awaitTermination()
+
+    got = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in J.compact_fused_triples(spark, wd).collect()
+    }
+    want = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in fuse_triples(
+            spark.createDataFrame(rows1 + rows2, schema)
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        g, w = got[k], want[k]
+        assert (g["n_mentions"], g["n_docs"]) == (w["n_mentions"], w["n_docs"])
+        assert (g["max_score"], g["min_score"]) == (w["max_score"], w["min_score"])
+        assert g["noisy_or"] == pytest.approx(w["noisy_or"], abs=1e-12)
+    # cross-batch distinct: e1/rel/e2 saw d1 twice in different batches
+    assert got[("e1", "rel", "e2")]["n_docs"] == 3
+    assert got[("e1", "rel", "e2")]["n_mentions"] == 4
+
+    # empty trigger: checkpoint resume adds nothing
+    J.stream_fuse_triples(spark, inp, wd, ckpt).awaitTermination()
+    after = {
+        (r["subj"], r["pred"], r["obj"]): r["n_mentions"]
+        for r in J.compact_fused_triples(spark, wd).collect()
+    }
+    assert after == {k: v["n_mentions"] for k, v in got.items()}
