@@ -764,6 +764,22 @@ def _q_graph_pagerank(spark, sf):
     return pr.select("node", F.round("pr", 6).alias("pr"))
 
 
+def _q_graph_ppr(spark, sf):
+    """Personalized PageRank (operators/graph.py::personalized_pagerank)
+    seeded at node 1 — rank concentrates in the seed's neighborhood.
+    round(6) on both sides: sum-reduction order may differ per engine."""
+    pr = GR.personalized_pagerank(
+        GR.symmetrize(_part_edges(spark, sf)), seeds=[1], iters=3
+    )
+    return pr.select("node", F.round("pr", 6).alias("pr"))
+
+
+def _q_skew_profile(spark, sf):
+    """Heavy-hitter key profile (operators/analytics.py::key_skew) of
+    lineitem's part key — the pre-shuffle salt/cap diagnostic."""
+    return A.key_skew(_t(spark, sf, "lineitem"), "l_partkey", top_n=20)
+
+
 def _q_graph_triangles(spark, sf):
     return GR.triangle_count(_part_edges(spark, sf))
 
@@ -1109,6 +1125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fuse": _q_kg_fuse,
         "dict_encode": _q_dict_encode,
         "dict_encode_apply": _q_dict_encode_apply,
+        "graph_ppr": _q_graph_ppr,
+        "skew_profile": _q_skew_profile,
         "graph_degrees": _q_graph_degrees,
         "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
@@ -2150,6 +2168,44 @@ def oracle_sql() -> dict[str, str]:
                    + CAST(0.85 AS DOUBLE) * coalesce(c{i}.m, CAST(0 AS DOUBLE)) AS pr
           FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.dst
         )""")
+    _ppr_iters = []
+    for i in (1, 2, 3):
+        _ppr_iters.append(f"""
+        c{i} AS (
+          SELECT s.dst AS dst, sum(r.pr / d.od) AS m
+          FROM sym s JOIN r{i - 1} r ON s.src = r.node
+                     JOIN deg d ON s.src = d.src
+          GROUP BY s.dst
+        ),
+        r{i} AS (
+          SELECT nodes.node,
+                 CASE WHEN nodes.node = 1
+                      THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                      ELSE CAST(0 AS DOUBLE) END
+                   + CAST(0.85 AS DOUBLE) * coalesce(c{i}.m, CAST(0 AS DOUBLE)) AS pr
+          FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst
+        )""")
+    sql["graph_ppr"] = f"""
+        WITH {_GEDGES},
+        deg AS (SELECT src, count(*) AS od FROM sym GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        r0 AS (SELECT node,
+                      CASE WHEN node = 1 THEN CAST(1.0 AS DOUBLE)
+                           ELSE CAST(0.0 AS DOUBLE) END AS pr
+               FROM nodes),
+        {','.join(_ppr_iters)}
+        SELECT node, round(pr, 6) AS pr FROM r3
+    """
+    sql["skew_profile"] = """
+        WITH c AS (SELECT l_partkey AS key, count(*) AS cnt
+                   FROM lineitem GROUP BY 1),
+        t AS (SELECT count(*) AS n FROM lineitem)
+        SELECT key, cnt,
+               CAST(cnt AS DOUBLE) / CAST(t.n AS DOUBLE) AS share,
+               row_number() OVER (ORDER BY cnt DESC, key) AS rank
+        FROM c CROSS JOIN t
+        ORDER BY cnt DESC, key LIMIT 20
+    """
     sql["graph_pagerank"] = f"""
         WITH {_GEDGES},
         deg AS (SELECT src, count(*) AS od FROM sym GROUP BY src),

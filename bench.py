@@ -272,7 +272,8 @@ def _headline(spark) -> dict[str, float]:
         # late-r4 additions: Jaccard link prediction, weighted SSSP,
         # taxonomy closure, text->media anchoring, triple fusion
         "graph_jaccard", "graph_sssp", "graph_closure",
-        "media_text_anchor", "kg_fuse",
+        "media_text_anchor", "kg_fuse", "dict_encode", "graph_ppr",
+        "skew_profile",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

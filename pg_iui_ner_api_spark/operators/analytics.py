@@ -542,3 +542,32 @@ def pivot_counts(
         .agg(F.count(F.lit(1)))
         .na.fill(0, list(values))
     )
+
+
+def key_skew(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key:
+    ``(key, cnt, share, rank)`` for the ``top_n`` heaviest values.
+
+    The pre-flight diagnostic every 100 TB shuffle wants: if the top
+    key's ``share`` is a few percent, that key's partition IS the
+    straggler, and the caller should salt it (or cap it — the
+    co-occurrence/adamic-adar hub contract) before joining.
+
+    Shape: one partial-aggregable count per key, then TakeOrdered
+    (map-side top-N, never a global sort); the rank window runs over
+    the N surviving rows only — bounded by construction, same class as
+    dictionary encoding's B-row offsets table. ``share`` divides two
+    exact ints in one IEEE op (total is a bounded driver scalar).
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = df.count()
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
+    return top.select(
+        "key",
+        "cnt",
+        (F.col("cnt") / F.lit(total)).alias("share"),
+        F.row_number().over(w).cast("long").alias("rank"),
+    )

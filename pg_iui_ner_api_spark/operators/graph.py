@@ -621,3 +621,56 @@ def transitive_closure(
         )
         reach *= 2
     return closure
+
+
+def personalized_pagerank(
+    edges_sym: DataFrame,
+    seeds: Sequence,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Personalized (seeded-teleport) PageRank ``(node, pr)`` — the
+    canonical "entities most related to X" KG query: random walks
+    restart at the SEEDS instead of uniformly, so rank concentrates in
+    the seeds' neighborhood (Jeh & Widom 2003).
+
+    Identical iterative shape to :func:`pagerank` — edges pre-joined
+    with out-degree, hash-partitioned once and localCheckpointed; each
+    iteration shuffles only the (node, pr) vector; per-round checkpoint
+    keeps lineage flat. The only change is the teleport vector:
+    ``(1-d)/|seeds|`` on seeds, 0 elsewhere, which is also the initial
+    rank (walk starts at the seeds).
+    """
+    seeds = list(seeds)
+    es = edges_sym.select("src", "dst").localCheckpoint()
+    deg = es.groupBy("src").agg(F.count("*").alias("od"))
+    linked = (
+        es.join(deg, "src")
+        .select("src", "dst", "od")
+        .repartition("src")
+        .localCheckpoint()
+    )
+    nodes = linked.select(F.col("src").alias("node")).distinct()
+    is_seed = F.col("node").isin(seeds)
+    init = F.when(is_seed, F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+    tele = F.when(is_seed, F.lit((1.0 - damping) / len(seeds))).otherwise(
+        F.lit(0.0)
+    )
+    ranks = nodes.select("node", init.alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            linked.join(ranks, linked.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("od")).alias("m"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    tele + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

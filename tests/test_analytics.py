@@ -473,3 +473,31 @@ def test_topk_per_group_rejects_existing_rank_column(spark):
     df = spark.createDataFrame([(1, "g", 1.0)], "rank long, grp string, v double")
     with pytest.raises(ValueError, match="rank"):
         A.topk_per_group(df, ["grp"], "v", k=1)
+
+
+# ---------------------------------------------------------------------------
+# key-skew profiler
+# ---------------------------------------------------------------------------
+def test_key_skew_top_heavy_keys(spark):
+    from pg_iui_ner_api_spark.operators.analytics import key_skew
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 15 + [("d",)] * 5
+    df = spark.createDataFrame(rows, schema=["k"])
+    got = [
+        (r["key"], r["cnt"], r["share"], r["rank"])
+        for r in key_skew(df, "k", top_n=3).orderBy("rank").collect()
+    ]
+    assert got == [
+        ("a", 50, 0.50, 1),
+        ("b", 30, 0.30, 2),
+        ("c", 15, 0.15, 3),
+    ]
+
+
+def test_key_skew_deterministic_ties(spark):
+    from pg_iui_ner_api_spark.operators.analytics import key_skew
+
+    rows = [("x",)] * 3 + [("y",)] * 3 + [("z",)] * 3
+    df = spark.createDataFrame(rows, schema=["k"])
+    got = [r["key"] for r in key_skew(df, "k", top_n=2).orderBy("rank").collect()]
+    assert got == ["x", "y"]  # equal counts break ties by key, stably

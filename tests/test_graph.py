@@ -503,3 +503,50 @@ def test_transitive_closure_cycle_bounded(spark):
     assert got == _py_closure(cyc, 4)
     # the cycle closes: every node reaches itself in exactly 3 hops
     assert got[(1, 1)] == got[(2, 2)] == got[(3, 3)] == 3
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+def _py_ppr(pairs, seeds, iters, damping):
+    adj = _adj(pairs)
+    k = len(seeds)
+    pr = {v: (1.0 / k if v in seeds else 0.0) for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            m = sum(pr[u] / len(adj[u]) for u in adj[v])
+            tele = (1.0 - damping) / k if v in seeds else 0.0
+            nxt[v] = tele + damping * m
+        pr = nxt
+    return pr
+
+
+def test_personalized_pagerank_matches_bruteforce(spark):
+    got = {
+        r["node"]: r["pr"]
+        for r in G.personalized_pagerank(
+            G.symmetrize(_edges_df(spark, EDGES)), seeds=[1], iters=3
+        ).collect()
+    }
+    want = _py_ppr(EDGES, {1}, 3, 0.85)
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
+    # rank concentrates near the seed: the seed's neighbors outrank the
+    # far tail
+    assert got[2] > got[6] and got[3] > got[6]
+    # mass is conserved up to the walk's leak (no dangling nodes here)
+    assert sum(got.values()) == pytest.approx(sum(want.values()), abs=1e-12)
+
+
+def test_personalized_pagerank_multiseed(spark):
+    got = {
+        r["node"]: r["pr"]
+        for r in G.personalized_pagerank(
+            G.symmetrize(_edges_df(spark, EDGES)), seeds=[1, 6], iters=2
+        ).collect()
+    }
+    want = _py_ppr(EDGES, {1, 6}, 2, 0.85)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12)
