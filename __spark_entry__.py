@@ -764,6 +764,15 @@ def _q_graph_pagerank(spark, sf):
     return pr.select("node", F.round("pr", 6).alias("pr"))
 
 
+def _q_graph_walks(spark, sf):
+    """Deterministic DeepWalk corpus (operators/graph.py::random_walks):
+    2 walks of 3 steps from every part node; the md5 transition chain is
+    replayed verbatim by the unrolled DuckDB twin."""
+    return GR.random_walks(
+        GR.symmetrize(_part_edges(spark, sf)), walk_len=3, walks_per_node=2
+    )
+
+
 def _q_graph_ppr(spark, sf):
     """Personalized PageRank (operators/graph.py::personalized_pagerank)
     seeded at node 1 — rank concentrates in the seed's neighborhood.
@@ -1127,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dict_encode_apply": _q_dict_encode_apply,
         "graph_ppr": _q_graph_ppr,
         "skew_profile": _q_skew_profile,
+        "graph_walks": _q_graph_walks,
         "graph_degrees": _q_graph_degrees,
         "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
@@ -2168,6 +2178,42 @@ def oracle_sql() -> dict[str, str]:
                    + CAST(0.85 AS DOUBLE) * coalesce(c{i}.m, CAST(0 AS DOUBLE)) AS pr
           FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON nodes.node = c{i}.dst
         )""")
+    sql["graph_walks"] = f"""
+        WITH {_GEDGES},
+        nbr AS (
+          SELECT src AS node, dst AS nxt,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+          FROM (SELECT DISTINCT src, dst FROM sym)
+        ),
+        dg AS (SELECT node, count(*) AS deg FROM nbr GROUP BY 1),
+        s0 AS (
+          SELECT n.node AS start, w.w AS walk_no, n.node AS node
+          FROM (SELECT DISTINCT node FROM nbr) n
+          CROSS JOIN (SELECT unnest([0, 1]) AS w) w
+        ),
+        s1 AS (
+          SELECT s.start, s.walk_no, nb.nxt AS node
+          FROM s0 s JOIN dg d ON d.node = s.node
+          JOIN nbr nb ON nb.node = s.node
+           AND nb.idx = CAST(('0x' || substr(md5('w0|' || s.start::VARCHAR || '|' || s.walk_no::VARCHAR || '|1'), 1, 15)) AS BIGINT) % d.deg
+        ),
+        s2 AS (
+          SELECT s.start, s.walk_no, nb.nxt AS node
+          FROM s1 s JOIN dg d ON d.node = s.node
+          JOIN nbr nb ON nb.node = s.node
+           AND nb.idx = CAST(('0x' || substr(md5('w0|' || s.start::VARCHAR || '|' || s.walk_no::VARCHAR || '|2'), 1, 15)) AS BIGINT) % d.deg
+        ),
+        s3 AS (
+          SELECT s.start, s.walk_no, nb.nxt AS node
+          FROM s2 s JOIN dg d ON d.node = s.node
+          JOIN nbr nb ON nb.node = s.node
+           AND nb.idx = CAST(('0x' || substr(md5('w0|' || s.start::VARCHAR || '|' || s.walk_no::VARCHAR || '|3'), 1, 15)) AS BIGINT) % d.deg
+        )
+        SELECT start, walk_no, 0 AS step, node FROM s0
+        UNION ALL SELECT start, walk_no, 1 AS step, node FROM s1
+        UNION ALL SELECT start, walk_no, 2 AS step, node FROM s2
+        UNION ALL SELECT start, walk_no, 3 AS step, node FROM s3
+    """
     _ppr_iters = []
     for i in (1, 2, 3):
         _ppr_iters.append(f"""

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -674,3 +674,75 @@ def personalized_pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def random_walks(
+    edges_sym: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 1,
+    seed: str = "w0",
+) -> DataFrame:
+    """Deterministic fixed-length random walks ``(start, walk_no, step,
+    node)`` over a symmetric edge list — the DeepWalk/node2vec corpus
+    generator (Perozzi et al. 2014): every node starts
+    ``walks_per_node`` walks of ``walk_len`` steps whose transitions are
+    uniform over the neighbor list.
+
+    Determinism: the step-t choice for walk (start, walk_no) is
+    ``portable_hash64(seed|start|walk_no|t) % degree(current)`` against
+    the dst-sorted neighbor index — a pure function of the edge set and
+    the seed (same md5 chain as ``negatives.node_index``), so walks are
+    reproducible across runs/partitionings AND replayable in DuckDB.
+
+    Scale shape (the pagerank trio again): the indexed neighbor table
+    ``(node, idx, nxt, deg)`` is partitioned ONCE and localCheckpointed;
+    each of the ``walk_len`` rounds shuffles only the walk frontier
+    (N x walks_per_node narrow rows) into two hash joins — a broadcast-
+    size degree lookup and the (node, idx) neighbor probe. Walk state
+    is checkpointed per round so lineage stays flat.
+    """
+    from ..functions.text import portable_hash64
+
+    es = edges_sym.select("src", "dst").distinct().localCheckpoint()
+    w_nbr = Window.partitionBy("src").orderBy("dst")
+    nbr = (
+        es.withColumn("idx", (F.row_number().over(w_nbr) - 1).cast("long"))
+        .select(F.col("src").alias("node"), "idx", F.col("dst").alias("nxt"))
+        .repartition("node")
+        .localCheckpoint()
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    walks = (
+        nbr.select("node")
+        .distinct()
+        .select(
+            F.col("node").alias("start"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("walk_no"),
+        )
+    )
+    cur = walks.select("start", "walk_no", F.col("start").alias("node"))
+    out = cur.select("start", "walk_no", F.lit(0).alias("step"), "node")
+    for t in range(1, walk_len + 1):
+        h = portable_hash64(
+            F.concat_ws(
+                "|",
+                F.lit(seed),
+                F.col("start").cast("string"),
+                F.col("walk_no").cast("string"),
+                F.lit(str(t)),
+            )
+        )
+        stepped = (
+            cur.join(deg, "node")
+            .withColumn("idx", F.pmod(h, F.col("deg")))
+            .join(nbr, ["node", "idx"])
+            .select("start", "walk_no", F.col("nxt").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(
+            stepped.select("start", "walk_no", F.lit(t).alias("step"), "node")
+        )
+        cur = stepped
+    return out

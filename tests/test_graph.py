@@ -550,3 +550,57 @@ def test_personalized_pagerank_multiseed(spark):
     want = _py_ppr(EDGES, {1, 6}, 2, 0.85)
     for n in want:
         assert got[n] == pytest.approx(want[n], abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# deterministic random walks
+# ---------------------------------------------------------------------------
+def _py_walks(pairs, walk_len, walks_per_node, seed):
+    import hashlib
+
+    adj = {u: sorted(vs) for u, vs in _adj(pairs).items()}
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = set()
+    for start in adj:
+        for w in range(walks_per_node):
+            node = start
+            rows.add((start, w, 0, node))
+            for t in range(1, walk_len + 1):
+                nb = adj[node]
+                node = nb[h64(f"{seed}|{start}|{w}|{t}") % len(nb)]
+                rows.add((start, w, t, node))
+    return rows
+
+
+def test_random_walks_match_md5_replay(spark):
+    got = {
+        (r["start"], r["walk_no"], r["step"], r["node"])
+        for r in G.random_walks(
+            G.symmetrize(_edges_df(spark, EDGES)),
+            walk_len=3, walks_per_node=2, seed="s1",
+        ).collect()
+    }
+    assert got == _py_walks(EDGES, 3, 2, "s1")
+
+
+def test_random_walks_are_paths_and_deterministic(spark):
+    sym = G.symmetrize(_edges_df(spark, EDGES))
+    a = G.random_walks(sym, walk_len=4, walks_per_node=1).collect()
+    # every consecutive (step, step+1) pair is a real edge
+    edgeset = {(u, v) for u, v in EDGES} | {(v, u) for u, v in EDGES}
+    byw = {}
+    for r in a:
+        byw.setdefault((r["start"], r["walk_no"]), {})[r["step"]] = r["node"]
+    for path in byw.values():
+        assert sorted(path) == list(range(5))
+        for t in range(4):
+            assert (path[t], path[t + 1]) in edgeset
+    # repartition-invariant
+    b = G.random_walks(
+        G.symmetrize(_edges_df(spark, EDGES)).repartition(5),
+        walk_len=4, walks_per_node=1,
+    ).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
