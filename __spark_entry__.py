@@ -36,6 +36,7 @@ from pg_iui_ner_api_spark.operators import (
     encoding as ENC,
     fusion as FUS,
     graph as GR,
+    layout as LAY,
     media as M,
     ner as N,
     pq as PQ,
@@ -764,6 +765,16 @@ def _q_graph_pagerank(spark, sf):
     return pr.select("node", F.round("pr", 6).alias("pr"))
 
 
+def _q_zorder(spark, sf):
+    """Z-order key (operators/layout.py::zorder_key): the Morton
+    interleave is pure long bit algebra, bit-identical in DuckDB."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        LAY.zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    )
+
+
 def _q_graph_walks(spark, sf):
     """Deterministic DeepWalk corpus (operators/graph.py::random_walks):
     2 walks of 3 steps from every part node; the md5 transition chain is
@@ -1137,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": _q_graph_ppr,
         "skew_profile": _q_skew_profile,
         "graph_walks": _q_graph_walks,
+        "zorder_key": _q_zorder,
         "graph_degrees": _q_graph_degrees,
         "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
@@ -2213,6 +2225,11 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT start, walk_no, 1 AS step, node FROM s1
         UNION ALL SELECT start, walk_no, 2 AS step, node FROM s2
         UNION ALL SELECT start, walk_no, 3 AS step, node FROM s3
+    """
+    sql["zorder_key"] = """
+        SELECT l_orderkey, l_partkey, l_suppkey,
+               ((((((((((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) | ((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) | (((((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) | ((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) << 2)) & 858993459)) | ((((((((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) | ((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) | (((((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) | ((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) << 2)) & 858993459)) << 1)) & 1431655765) | ((((((((((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) | ((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) | (((((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) | ((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) << 2)) & 858993459)) | ((((((((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) | ((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) | (((((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) | ((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) << 2)) & 858993459)) << 1)) & 1431655765) << 1)) AS zkey
+        FROM lineitem
     """
     _ppr_iters = []
     for i in (1, 2, 3):
