@@ -545,18 +545,7 @@ def sssp(
     dist = spark.createDataFrame([(source, 0)], schema=["node", "dist"])
     frontier = dist
     for _ in range(rounds):
-        relaxed = (
-            e.join(F.broadcast(frontier), e.src == frontier.node)
-            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-        )
-        merged = (
-            dist.unionAll(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
-        )
+        merged = _sssp_relax_round(e, dist, frontier).localCheckpoint()
         # next frontier = nodes whose dist improved this round
         frontier = merged.join(
             dist.withColumnRenamed("dist", "old"), "node", "left"
@@ -565,6 +554,24 @@ def sssp(
         )
         dist = merged
     return dist
+
+
+def _sssp_relax_round(e: DataFrame, dist: DataFrame, frontier: DataFrame) -> DataFrame:
+    """One Bellman-Ford round: relax every edge leaving the (broadcast)
+    frontier, min-merge into the running distance vector. Split out so
+    the per-round physical plan is pinnable (the loop checkpoints each
+    round, which hides the join tree behind an RDD scan)."""
+    relaxed = (
+        e.join(F.broadcast(frontier), e.src == frontier.node)
+        .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
+    return (
+        dist.unionAll(relaxed)
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
 
 
 # ---------------------------------------------------------------------------

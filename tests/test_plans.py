@@ -363,3 +363,70 @@ def test_adamic_adar_no_cartesian(spark):
     )
     plan = _plan(adamic_adar(edges))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_jaccard_link_no_cartesian(spark):
+    """Jaccard wedges are the same equi-self-join; the two degree joins
+    are narrow equi-joins — no all-pairs product anywhere."""
+    from pg_iui_ner_api_spark.operators.graph import jaccard_link
+
+    edges = spark.createDataFrame(
+        [(f"n{i % 6}", f"n{(i * 3 + 1) % 6}") for i in range(18)],
+        schema=["src", "dst"],
+    )
+    plan = _plan(jaccard_link(edges))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sssp_relax_joins_broadcast_frontier(spark):
+    """Every Bellman-Ford round joins the materialized edge table
+    against the BROADCAST frontier — the edge side never shuffles and
+    the relax join is never a sort-merge. (The round function is the
+    loop body of sssp; the loop itself checkpoints each round, hiding
+    the join tree behind an RDD scan.)"""
+    from pg_iui_ner_api_spark.operators.graph import _sssp_relax_round
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 4, 1), (1, 4, 9)], schema=["src", "dst", "w"]
+    )
+    dist = spark.createDataFrame([(1, 0)], schema=["node", "dist"])
+    plan = _plan(_sssp_relax_round(edges, dist, dist))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_walks_no_cartesian_no_python(spark):
+    """Each walk step is a degree lookup + a (node, idx) neighbor probe
+    — equi-joins only, md5 chain computed JVM-side."""
+    from pg_iui_ner_api_spark.operators.graph import random_walks, symmetrize
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], schema=["src", "dst"])
+    plan = _plan(random_walks(symmetrize(edges), walk_len=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_zorder_layout_single_range_exchange(spark):
+    """Z-order clustering is ONE rangepartitioning exchange + an
+    in-partition sort — never a global total sort of the payload."""
+    from pg_iui_ner_api_spark.operators.layout import zorder_layout
+
+    df = spark.range(100).select(
+        (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    plan = _plan(zorder_layout(df, "x", "y", partitions=4))
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_key_skew_is_take_ordered(spark):
+    """Top-N heavy keys via TakeOrderedAndProject (map-side top-N), not
+    a global sort of the distinct-key table."""
+    from pg_iui_ner_api_spark.operators.analytics import key_skew
+
+    df = spark.range(1000).select((F.col("id") % 50).alias("k"))
+    plan = _plan(key_skew(df, "k", top_n=5))
+    assert "TakeOrderedAndProject" in plan, plan
