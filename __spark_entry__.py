@@ -765,6 +765,25 @@ def _q_graph_pagerank(spark, sf):
     return pr.select("node", F.round("pr", 6).alias("pr"))
 
 
+def _q_kg_violations(spark, sf):
+    """Functional-property violations (operators/fusion.py::
+    functional_violations): parts bound to >1 supplier under a
+    pretend-functional supplied_by predicate."""
+    li = _t(spark, sf, "lineitem")
+    triples = li.select(
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("subj"),
+        F.lit("supplied_by").alias("pred"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("obj"),
+    )
+    return FUS.functional_violations(triples, ["supplied_by"])
+
+
+def _q_scd2(spark, sf):
+    """SCD2 dimension build (operators/analytics.py::scd2_build) over
+    the event log: per-user event_type episodes with validity spans."""
+    return A.scd2_build(_t(spark, sf, "events"), "user_id", "ts", ["event_type"])
+
+
 def _q_zorder(spark, sf):
     """Z-order key (operators/layout.py::zorder_key): the Morton
     interleave is pure long bit algebra, bit-identical in DuckDB."""
@@ -1149,6 +1168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": _q_skew_profile,
         "graph_walks": _q_graph_walks,
         "zorder_key": _q_zorder,
+        "kg_violations": _q_kg_violations,
+        "scd2_dim": _q_scd2,
         "graph_degrees": _q_graph_degrees,
         "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
@@ -2230,6 +2251,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_orderkey, l_partkey, l_suppkey,
                ((((((((((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) | ((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) | (((((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) | ((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) << 2)) & 858993459)) | ((((((((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) | ((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) | (((((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) | ((((((l_partkey & 65535)) | (((l_partkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) << 2)) & 858993459)) << 1)) & 1431655765) | ((((((((((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) | ((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) | (((((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) | ((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) << 2)) & 858993459)) | ((((((((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) | ((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) | (((((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) | ((((((l_suppkey & 65535)) | (((l_suppkey & 65535)) << 8)) & 16711935)) << 4)) & 252645135)) << 2)) & 858993459)) << 1)) & 1431655765) << 1)) AS zkey
         FROM lineitem
+    """
+    sql["kg_violations"] = """
+        SELECT 'P' || l_partkey::VARCHAR AS subj,
+               'supplied_by' AS pred,
+               count(DISTINCT l_suppkey) AS n_objs
+        FROM lineitem GROUP BY 1, 2 HAVING count(DISTINCT l_suppkey) > 1
+    """
+    sql["scd2_dim"] = """
+        WITH s AS (
+          SELECT user_id, ts, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_type) AS prev
+          FROM events
+        ),
+        c AS (SELECT user_id, ts, event_type FROM s
+              WHERE event_type IS DISTINCT FROM prev)
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_type) AS valid_to
+        FROM c
     """
     _ppr_iters = []
     for i in (1, 2, 3):

@@ -571,3 +571,39 @@ def key_skew(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
         (F.col("cnt") / F.lit(total)).alias("share"),
         F.row_number().over(w).cast("long").alias("rank"),
     )
+
+
+def scd2_build(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    attrs: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Change log -> type-2 slowly-changing dimension: one row per
+    (key, attribute-state) EPISODE with ``valid_from``/``valid_to``
+    (NULL valid_to = current). The standard warehouse construction for
+    "what did this entity look like at time T" — for the KG, entity
+    attributes versioned by extraction time.
+
+    Two windowed passes over ONE hash partitioning on the key (no
+    join): a lag-compare drops consecutive no-op changes (same attrs as
+    the previous event), then lead() closes each surviving episode at
+    the next survivor's timestamp. ``tiebreak`` orders same-timestamp
+    events deterministically (defaults to the first attr).
+    """
+    order = [F.col(ts).asc(), F.col(tiebreak or attrs[0]).asc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    state = F.struct(*[F.col(a) for a in attrs])
+    # null-safe compare: a plain != returns NULL (and drops the row)
+    # whenever any attr is NULL on either side; <=> keeps those episodes
+    changed = df.select(key, ts, *attrs).withColumn(
+        "_prev", F.lag(state).over(w)
+    ).where(~state.eqNullSafe(F.col("_prev")))
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return changed.select(
+        key,
+        *attrs,
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+    )

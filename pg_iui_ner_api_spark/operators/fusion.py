@@ -57,3 +57,31 @@ def fuse_triples(
         F.min(score).alias("min_score"),
         (F.lit(1.0) - F.exp(F.sum(F.log(F.lit(1.0) - s)))).alias("noisy_or"),
     )
+
+
+def functional_violations(
+    triples: DataFrame,
+    functional_preds: list[str],
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+) -> DataFrame:
+    """KG integrity check: subjects that bind a FUNCTIONAL predicate
+    (one declared to admit exactly one object — birth date, capital,
+    canonical id) to more than one distinct object:
+    ``(subj, pred, n_objs)``.
+
+    The standard post-fusion quality gate (OWL functional-property
+    semantics): violations are either extraction errors to route back
+    to review or genuine conflicts for a resolution policy.
+
+    ONE partial-aggregable groupBy on (subj, pred) after an in-scan
+    predicate filter (pushed to the source when `triples` is a scan);
+    the shuffle carries distinct-count partials, never objects.
+    """
+    return (
+        triples.where(F.col(pred).isin(functional_preds))
+        .groupBy(subj, pred)
+        .agg(F.countDistinct(obj).alias("n_objs"))
+        .where(F.col("n_objs") > 1)
+    )

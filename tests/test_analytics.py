@@ -501,3 +501,51 @@ def test_key_skew_deterministic_ties(spark):
     df = spark.createDataFrame(rows, schema=["k"])
     got = [r["key"] for r in key_skew(df, "k", top_n=2).orderBy("rank").collect()]
     assert got == ["x", "y"]  # equal counts break ties by key, stably
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build
+# ---------------------------------------------------------------------------
+def test_scd2_build_episodes(spark):
+    from pg_iui_ner_api_spark.operators.analytics import scd2_build
+
+    rows = [
+        # key, ts, city
+        ("u1", 1, "paris"),
+        ("u1", 2, "paris"),    # no-op change: collapsed
+        ("u1", 3, "tokyo"),
+        ("u1", 5, "paris"),    # back again: NEW episode, not merged
+        ("u2", 1, None),       # null attr state is a real episode
+        ("u2", 4, "rome"),     # null -> value transition must survive
+        ("u2", 6, None),       # value -> null transition too
+    ]
+    df = spark.createDataFrame(rows, schema=["k", "ts", "city"])
+    got = sorted(
+        (
+            (r["k"], r["city"], r["valid_from"], r["valid_to"])
+            for r in scd2_build(df, "k", "ts", ["city"]).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        ("u1", "paris", 1, 3),
+        ("u1", "tokyo", 3, 5),
+        ("u1", "paris", 5, None),
+        ("u2", None, 1, 4),
+        ("u2", "rome", 4, 6),
+        ("u2", None, 6, None),
+    ]
+
+
+def test_scd2_single_exchange(spark):
+    from pg_iui_ner_api_spark.operators.analytics import scd2_build
+
+    df = spark.createDataFrame(
+        [("u1", 1, "a"), ("u1", 2, "b")], schema=["k", "ts", "city"]
+    )
+    plan = (
+        scd2_build(df, "k", "ts", ["city"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan  # both windows share one shuffle
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -70,3 +70,22 @@ def test_fuse_triples_single_shuffle_jvm_only(spark):
     # single key-hash Exchange chain with map-side partials, zero Python
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_functional_violations(spark):
+    rows = [
+        ("e1", "born_in", "1950", "d1"),
+        ("e1", "born_in", "1950", "d2"),   # same object twice: no violation
+        ("e2", "born_in", "1950", "d1"),
+        ("e2", "born_in", "1951", "d2"),   # two distinct objects: violation
+        ("e2", "likes", "x", "d1"),
+        ("e2", "likes", "y", "d2"),        # non-functional pred: ignored
+    ]
+    df = spark.createDataFrame(rows, schema=["subj", "pred", "obj", "doc_id"])
+    from pg_iui_ner_api_spark.operators.fusion import functional_violations
+
+    got = [
+        (r["subj"], r["pred"], r["n_objs"])
+        for r in functional_violations(df, ["born_in"]).collect()
+    ]
+    assert got == [("e2", "born_in", 2)]
