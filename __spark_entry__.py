@@ -1208,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
+        # ---- window boundary (key 50: 48 never-checked + 2 re-checked) ----
         "conj_filter": _q_conj_filter,
         "anti_join": _q_anti_join,
         "project_datefmt": _q_project_datefmt,
@@ -1231,7 +1232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": _q_dedup_lines,
         "pack_sequences": _q_pack_sequences,
         "token_stats": _q_token_stats,
-        # ---- window boundary (key 50) ------------------------------------
         "bm25": _q_bm25,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,

@@ -281,3 +281,33 @@ def test_lm_score_matches_reference(spark, docs):
     for d in want:
         assert got[d][0] == want[d][0]
         assert got[d][1] == pytest.approx(want[d][1], abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# dictionary encoding: for EVERY value set, ids are a dense permutation
+# equal to the (bucket, value) sort order — the invariant the B-bucket
+# prefix-sum construction must preserve regardless of bucket skew
+# ---------------------------------------------------------------------------
+@settings(max_examples=12, deadline=None)
+@given(
+    st.sets(st.text(alphabet="abcXYZ09/_:", min_size=0, max_size=12), max_size=40),
+    st.sampled_from([1, 2, 7, 64]),
+)
+def test_dictionary_encode_dense_sorted_property(spark, values, buckets):
+    import hashlib
+
+    from pg_iui_ner_api_spark.operators.encoding import dictionary_encode
+
+    df = spark.createDataFrame(
+        [(v,) for v in values] or [(None,)], schema="s string"
+    )
+    got = {
+        r["value"]: r["id"]
+        for r in dictionary_encode(df, "s", buckets=buckets).collect()
+    }
+
+    def h64(x):
+        return int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+
+    order = sorted(values, key=lambda v: (h64(v) % buckets, v))
+    assert got == {v: i for i, v in enumerate(order)}
