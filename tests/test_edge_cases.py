@@ -107,3 +107,81 @@ def test_pipeline_on_handcrafted_micro_corpus(spark):
     triples = {(r["subj"], r["pred"], r["obj"]) for r in res["edges"].collect()}
     assert ("PER:marie_curie", "works_for", "ORG:acme") in triples
     assert ("ORG:acme", "located_in", "LOC:paris") in triples
+
+
+# ---------------------------------------------------------------------------
+# degenerate inputs for the late-r4 operators
+# ---------------------------------------------------------------------------
+def test_sssp_unreachable_and_isolated_source(spark):
+    from pg_iui_ner_api_spark.operators import graph as G
+
+    # 1->2 only; 3->4 is a separate component: unreachable nodes are
+    # simply absent, never NULL-distance rows
+    e = spark.createDataFrame([(1, 2, 5), (3, 4, 1)], ["src", "dst", "w"])
+    got = {r["node"]: r["dist"] for r in G.sssp(e, source=1, rounds=3).collect()}
+    assert got == {1: 0, 2: 5}
+    # source with no outgoing edges: the walk stays put
+    got2 = {r["node"]: r["dist"] for r in G.sssp(e, source=4, rounds=2).collect()}
+    assert got2 == {4: 0}
+
+
+def test_transitive_closure_empty_and_single_edge(spark):
+    from pg_iui_ner_api_spark.operators import graph as G
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in G.transitive_closure(e, max_depth=4).collect()
+    }
+    assert got == {(1, 2): 1}
+    empty = e.where("src < 0")
+    assert G.transitive_closure(empty, max_depth=3).count() == 0
+
+
+def test_fuse_triples_empty_and_single_row(spark):
+    from pg_iui_ner_api_spark.operators.fusion import fuse_triples
+
+    df = spark.createDataFrame(
+        [("a", "p", "b", 0.3, "d1")], ["subj", "pred", "obj", "score", "doc_id"]
+    )
+    row = fuse_triples(df).collect()[0]
+    assert row["n_mentions"] == 1 and row["n_docs"] == 1
+    assert row["noisy_or"] == pytest.approx(0.3, abs=1e-12)
+    assert fuse_triples(df.where("score < 0")).count() == 0
+
+
+def test_align_text_to_media_media_only_and_empty(spark):
+    from pg_iui_ner_api_spark.operators import media as M
+
+    rows = [("a", 0, "image", "m1", 0), ("a", 1, "audio", "m2", 5)]
+    df = spark.createDataFrame(
+        rows, schema=["doc_id", "span_idx", "kind", "media_ref", "offset"]
+    )
+    # media-only doc: no text rows survive
+    assert M.align_text_to_media(df).count() == 0
+    assert M.align_text_to_media(df.where("offset < 0")).count() == 0
+
+
+def test_dictionary_encode_all_null_column(spark):
+    from pg_iui_ner_api_spark.operators.encoding import dictionary_encode
+
+    df = spark.createDataFrame([(None,), (None,)], schema="s string")
+    assert dictionary_encode(df, "s").count() == 0
+
+
+def test_key_skew_fewer_keys_than_topn(spark):
+    from pg_iui_ner_api_spark.operators.analytics import key_skew
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], schema=["k"])
+    rows = key_skew(df, "k", top_n=10).orderBy("rank").collect()
+    assert [(r["key"], r["rank"]) for r in rows] == [("a", 1), ("b", 2)]
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0)
+
+
+def test_scd2_single_event_per_key(spark):
+    from pg_iui_ner_api_spark.operators.analytics import scd2_build
+
+    df = spark.createDataFrame([("u1", 1, "x")], schema=["k", "ts", "v"])
+    rows = scd2_build(df, "k", "ts", ["v"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["valid_from"] == 1 and rows[0]["valid_to"] is None
