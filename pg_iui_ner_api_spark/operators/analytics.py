@@ -559,10 +559,14 @@ def key_skew(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
     dictionary encoding's B-row offsets table. ``share`` divides two
     exact ints in one IEEE op (total is a bounded driver scalar).
     """
-    counts = df.groupBy(F.col(key).alias("key")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    # one corpus scan: counts are checkpointed so the total and the
+    # top-N both read the narrow per-key table, never the corpus twice
+    counts = (
+        df.groupBy(F.col(key).alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
-    total = df.count()
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
     top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_n)
     w = Window.orderBy(F.col("cnt").desc(), F.col("key"))
     return top.select(
