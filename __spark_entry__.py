@@ -784,6 +784,17 @@ def _q_scd2(spark, sf):
     return A.scd2_build(_t(spark, sf, "events"), "user_id", "ts", ["event_type"])
 
 
+def _q_interval_active(spark, sf):
+    """Sweep-line interval coverage (operators/analytics.py::
+    interval_coverage) over event-derived intervals — the global
+    running sum computed WITHOUT a single-partition window."""
+    ev = _t(spark, sf, "events").select(
+        F.col("ts").alias("s"),
+        F.expr("timestampadd(SECOND, 60 * (event_id % 120) + 60, ts)").alias("e"),
+    )
+    return A.interval_coverage(ev, "s", "e")
+
+
 def _q_zorder(spark, sf):
     """Z-order key (operators/layout.py::zorder_key): the Morton
     interleave is pure long bit algebra, bit-identical in DuckDB."""
@@ -1170,6 +1181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_key": _q_zorder,
         "kg_violations": _q_kg_violations,
         "scd2_dim": _q_scd2,
+        "interval_active": _q_interval_active,
         "graph_degrees": _q_graph_degrees,
         "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
@@ -1208,7 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
-        # ---- window boundary (key 50: 48 never-checked + 2 re-checked) ----
+        # ---- window boundary (key 50: 49 never-checked + 1 re-checked) ----
         "conj_filter": _q_conj_filter,
         "anti_join": _q_anti_join,
         "project_datefmt": _q_project_datefmt,
@@ -2271,6 +2283,18 @@ def oracle_sql() -> dict[str, str]:
                lead(ts) OVER (PARTITION BY user_id
                               ORDER BY ts, event_type) AS valid_to
         FROM c
+    """
+    sql["interval_active"] = """
+        WITH iv AS (
+          SELECT ts AS s,
+                 ts + (60 * (event_id % 120) + 60) * INTERVAL 1 SECOND AS e
+          FROM events
+        ),
+        ev AS (SELECT s AS ts, 1 AS d FROM iv
+               UNION ALL SELECT e, -1 FROM iv),
+        g AS (SELECT ts, CAST(sum(d) AS BIGINT) AS delta FROM ev GROUP BY ts)
+        SELECT ts, CAST(sum(delta) OVER (ORDER BY ts) AS BIGINT) AS n_active
+        FROM g
     """
     _ppr_iters = []
     for i in (1, 2, 3):

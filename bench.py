@@ -273,7 +273,7 @@ def _headline(spark) -> dict[str, float]:
         # taxonomy closure, text->media anchoring, triple fusion
         "graph_jaccard", "graph_sssp", "graph_closure",
         "media_text_anchor", "kg_fuse", "dict_encode", "graph_ppr",
-        "skew_profile", "graph_walks", "zorder_key", "kg_violations", "scd2_dim",
+        "skew_profile", "graph_walks", "zorder_key", "kg_violations", "scd2_dim", "interval_active",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

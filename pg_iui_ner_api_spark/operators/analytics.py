@@ -611,3 +611,50 @@ def scd2_build(
         F.col(ts).alias("valid_from"),
         F.lead(ts).over(w2).alias("valid_to"),
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    start: str,
+    end: str,
+    partitions: int = 64,
+) -> DataFrame:
+    """Sweep-line interval coverage: for every boundary timestamp,
+    how many half-open intervals ``[start, end)`` are active —
+    ``(ts, n_active)``, one row per distinct boundary. Concurrency
+    counting (active sessions over time, overlapping extraction spans)
+    as one pass, no self-join.
+
+    The core is a GLOBAL running sum of +1/-1 deltas — the textbook
+    single-partition-window scale killer — computed distributed:
+    range-partition the (deduped) boundary deltas, running-sum WITHIN
+    each partition, then add the exclusive prefix of per-partition
+    totals (a ``partitions``-row bounded table, broadcast back) — the
+    same B-row offset construction as ``encoding.dictionary_encode``.
+    The result is partition-count independent: range partitioning only
+    decides where each row's prefix is split, never its value.
+    """
+    events = df.select(F.col(start).alias("ts"), F.lit(1).alias("d")).unionAll(
+        df.select(F.col(end).alias("ts"), F.lit(-1).alias("d"))
+    )
+    deltas = (
+        events.groupBy("ts")
+        .agg(F.sum("d").cast("long").alias("delta"))
+        .repartitionByRange(partitions, "ts")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid; consumed by both the run and the offsets
+    )
+    w_in = Window.partitionBy("pid").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = deltas.withColumn("run", F.sum("delta").over(w_in))
+    totals = deltas.groupBy("pid").agg(F.sum("delta").alias("tot"))
+    w_off = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "pid", (F.sum("tot").over(w_off) - F.col("tot")).alias("off")
+    )
+    return run.join(F.broadcast(offsets), "pid").select(
+        "ts", (F.col("run") + F.col("off")).cast("long").alias("n_active")
+    )

@@ -549,3 +549,41 @@ def test_scd2_single_exchange(spark):
     )
     assert plan.count("Exchange") == 1, plan  # both windows share one shuffle
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# sweep-line interval coverage
+# ---------------------------------------------------------------------------
+def _py_coverage(intervals):
+    deltas = {}
+    for s, e in intervals:
+        deltas[s] = deltas.get(s, 0) + 1
+        deltas[e] = deltas.get(e, 0) - 1
+    out, run = {}, 0
+    for t in sorted(deltas):
+        run += deltas[t]
+        out[t] = run
+    return out
+
+
+def test_interval_coverage_matches_sweep(spark):
+    from pg_iui_ner_api_spark.operators.analytics import interval_coverage
+
+    ivals = [(1, 5), (2, 8), (3, 5), (5, 9), (10, 12), (10, 11), (1, 2)]
+    df = spark.createDataFrame(ivals, schema=["s", "e"])
+    got = {r["ts"]: r["n_active"] for r in interval_coverage(df, "s", "e").collect()}
+    assert got == _py_coverage(ivals)
+    # half-open semantics: at ts=5 the two intervals ending there are out
+    assert got[5] == 2  # (2,8) and (5,9)
+    # coverage returns to zero after the last end
+    assert got[max(got)] == 0
+
+
+def test_interval_coverage_partition_count_invariant(spark):
+    from pg_iui_ner_api_spark.operators.analytics import interval_coverage
+
+    ivals = [(i % 17, i % 17 + 1 + i % 5) for i in range(200)]
+    df = spark.createDataFrame(ivals, schema=["s", "e"])
+    a = {r["ts"]: r["n_active"] for r in interval_coverage(df, "s", "e", partitions=2).collect()}
+    b = {r["ts"]: r["n_active"] for r in interval_coverage(df, "s", "e", partitions=37).collect()}
+    assert a == b == _py_coverage(ivals)
