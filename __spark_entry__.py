@@ -1219,8 +1219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": _q_kg_negatives,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
-        "point_lookup": _q_point_lookup,
         # ---- window boundary (key 50: 49 never-checked + 1 re-checked) ----
+        "point_lookup": _q_point_lookup,
         "conj_filter": _q_conj_filter,
         "anti_join": _q_anti_join,
         "project_datefmt": _q_project_datefmt,
@@ -2274,11 +2274,17 @@ def oracle_sql() -> dict[str, str]:
         WITH s AS (
           SELECT user_id, ts, event_type,
                  lag(event_type) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_type) AS prev
+                                       ORDER BY ts, event_type) AS prev,
+                 lag(TRUE) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_type) AS has_prev
           FROM events
         ),
         c AS (SELECT user_id, ts, event_type FROM s
-              WHERE event_type IS DISTINCT FROM prev)
+              -- has_prev distinguishes "first row" (always an episode,
+              -- even with a NULL attr) from "previous attr was NULL",
+              -- matching the operator's struct-null lag semantics
+              WHERE has_prev IS NULL
+                 OR event_type IS DISTINCT FROM prev)
         SELECT user_id, event_type, ts AS valid_from,
                lead(ts) OVER (PARTITION BY user_id
                               ORDER BY ts, event_type) AS valid_to

@@ -241,6 +241,22 @@ def pagerank(
       * N (node count) is a bounded scalar — same class as the
         centroid-stats collect in ``operators/ann.py``.
     """
+    return _pagerank_loop(
+        edges_sym,
+        iters,
+        damping,
+        init=lambda n: F.lit(1.0 / n),
+        tele=lambda n: F.lit((1.0 - damping) / n),
+    )
+
+
+def _pagerank_loop(edges_sym, iters, damping, init, tele) -> DataFrame:
+    """Shared power-iteration body of :func:`pagerank` and
+    :func:`personalized_pagerank`: ``init(n)``/``tele(n)`` produce the
+    initial-rank and teleport Column expressions over the node column
+    (uniform for PageRank, seed-concentrated for PPR); everything else
+    — edge materialization, degree join, per-round rank shuffle and
+    checkpoint — is identical by construction."""
     # The input is usually a DERIVED relation (a co-occurrence self-join),
     # and this operator consumes it twice (degree agg + join) before
     # iterating — checkpoint it once so the expensive upstream runs once.
@@ -258,7 +274,8 @@ def pagerank(
     )
     nodes = linked.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    ranks = nodes.select("node", init(n).alias("pr"))
+    tele_col = tele(n)
     for _ in range(iters):
         contrib = (
             linked.join(ranks, linked.src == ranks.node)
@@ -270,7 +287,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit((1.0 - damping) / n)
+                    tele_col
                     + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
                 ).alias("pr"),
             )
@@ -641,46 +658,24 @@ def personalized_pagerank(
     restart at the SEEDS instead of uniformly, so rank concentrates in
     the seeds' neighborhood (Jeh & Widom 2003).
 
-    Identical iterative shape to :func:`pagerank` — edges pre-joined
-    with out-degree, hash-partitioned once and localCheckpointed; each
-    iteration shuffles only the (node, pr) vector; per-round checkpoint
-    keeps lineage flat. The only change is the teleport vector:
+    Identical iterative shape to :func:`pagerank` (shared
+    :func:`_pagerank_loop`). The only change is the teleport vector:
     ``(1-d)/|seeds|`` on seeds, 0 elsewhere, which is also the initial
     rank (walk starts at the seeds).
     """
     seeds = list(seeds)
-    es = edges_sym.select("src", "dst").localCheckpoint()
-    deg = es.groupBy("src").agg(F.count("*").alias("od"))
-    linked = (
-        es.join(deg, "src")
-        .select("src", "dst", "od")
-        .repartition("src")
-        .localCheckpoint()
-    )
-    nodes = linked.select(F.col("src").alias("node")).distinct()
     is_seed = F.col("node").isin(seeds)
-    init = F.when(is_seed, F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
-    tele = F.when(is_seed, F.lit((1.0 - damping) / len(seeds))).otherwise(
-        F.lit(0.0)
+    return _pagerank_loop(
+        edges_sym,
+        iters,
+        damping,
+        init=lambda n: F.when(is_seed, F.lit(1.0 / len(seeds))).otherwise(
+            F.lit(0.0)
+        ),
+        tele=lambda n: F.when(
+            is_seed, F.lit((1.0 - damping) / len(seeds))
+        ).otherwise(F.lit(0.0)),
     )
-    ranks = nodes.select("node", init.alias("pr"))
-    for _ in range(iters):
-        contrib = (
-            linked.join(ranks, linked.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("od")).alias("m"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                (
-                    tele + F.lit(damping) * F.coalesce(F.col("m"), F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return ranks
 
 
 def random_walks(

@@ -248,23 +248,26 @@ def align_text_to_media(spans: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     is_media = F.col("kind") != "text"
+    # ONE struct-valued window, not two parallel ones: a media span with
+    # a NULL media_ref must still BE the anchor (its ref is simply
+    # unknown) — two independent last(ignorenulls) windows would skip it
+    # in the ref window but not the offset window and stitch together a
+    # (ref, offset) pair from two different media spans.
+    anchor = F.last(
+        F.when(
+            is_media,
+            F.struct(F.col("media_ref").alias("ref"), F.col("offset").alias("off")),
+        ),
+        ignorenulls=True,
+    ).over(w)
     anchored = spans.select(
-        "doc_id",
-        "span_idx",
-        "kind",
-        "offset",
-        F.last(F.when(is_media, F.col("media_ref")), ignorenulls=True)
-        .over(w)
-        .alias("anchor_ref"),
-        F.last(F.when(is_media, F.col("offset")), ignorenulls=True)
-        .over(w)
-        .alias("anchor_offset"),
+        "doc_id", "span_idx", "kind", "offset", anchor.alias("_a")
     )
     return anchored.where(F.col("kind") == "text").select(
         "doc_id",
         "span_idx",
         "offset",
-        "anchor_ref",
-        "anchor_offset",
-        (F.col("offset") - F.col("anchor_offset")).alias("anchor_dist"),
+        F.col("_a.ref").alias("anchor_ref"),
+        F.col("_a.off").alias("anchor_offset"),
+        (F.col("offset") - F.col("_a.off")).alias("anchor_dist"),
     )

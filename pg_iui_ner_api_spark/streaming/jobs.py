@@ -318,14 +318,12 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str, output_dir: str,
     """
     from ..functions.text import fingerprint
 
-    docs = (
-        spark.readStream.schema(
-            "doc_id long, text string, lang string, source string, n_chars long"
-        )
-        .option(*(("maxFilesPerTrigger", str(max_files_per_trigger))
-                  if max_files_per_trigger else ("_ignored", "0")))
-        .parquet(input_dir)
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
     deduped = docs.withColumn("fp", fingerprint(F.col("text"))).dropDuplicates(["fp"])
     writer = (
         deduped.writeStream.format("parquet")
@@ -360,14 +358,12 @@ def stream_fuse_triples(spark: SparkSession, input_dir: str, workdir: str,
       workdir/fuse_partials/batch=<id>/   per-triple partial aggregates
       workdir/fuse_docs/batch=<id>/       per-batch distinct (triple, doc)
     """
-    triples = (
-        spark.readStream.schema(
-            "subj string, pred string, obj string, score double, doc_id string"
-        )
-        .option(*(("maxFilesPerTrigger", str(max_files_per_trigger))
-                  if max_files_per_trigger else ("_ignored", "0")))
-        .parquet(input_dir)
+    reader = spark.readStream.schema(
+        "subj string, pred string, obj string, score double, doc_id string"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    triples = reader.parquet(input_dir)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         s = F.least(F.col("score").cast("double"), F.lit(1.0 - 1e-9))

@@ -587,3 +587,46 @@ def test_interval_coverage_partition_count_invariant(spark):
     a = {r["ts"]: r["n_active"] for r in interval_coverage(df, "s", "e", partitions=2).collect()}
     b = {r["ts"]: r["n_active"] for r in interval_coverage(df, "s", "e", partitions=37).collect()}
     assert a == b == _py_coverage(ivals)
+
+
+def test_scd2_null_first_attr_matches_duckdb_twin(spark):
+    """A key whose chronologically FIRST attr is NULL is a real episode.
+    The operator keeps it via struct-null lag semantics; the DuckDB twin
+    (the scd2_dim oracle shape) needs the has_prev marker to agree —
+    pinned here so the latent divergence can't regress."""
+    duckdb = pytest.importorskip("duckdb")
+
+    rows = [("u1", 1, None), ("u1", 3, "x"), ("u2", 1, "a")]
+    df = spark.createDataFrame(rows, schema="k string, ts long, v string")
+    got = sorted(
+        (
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in A.scd2_build(df, "k", "ts", ["v"]).collect()
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+        WITH s AS (
+          SELECT k, ts, v,
+                 lag(v) OVER (PARTITION BY k ORDER BY ts, v) AS prev,
+                 lag(TRUE) OVER (PARTITION BY k ORDER BY ts, v) AS has_prev
+          FROM t
+        ),
+        c AS (SELECT k, ts, v FROM s
+              WHERE has_prev IS NULL OR v IS DISTINCT FROM prev)
+        SELECT k, v, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY k ORDER BY ts, v) AS valid_to
+        FROM c
+        """
+            ).fetchall(),
+        ),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == exp
+    assert ("u1", None, 1, 3) in got  # the NULL-first episode survives

@@ -172,3 +172,18 @@ def test_align_text_to_media_single_shuffle_no_python(spark):
     assert plan.count("Exchange") == 1  # ONE hash shuffle on doc_id
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_align_text_to_media_null_ref_anchor_stays_consistent(spark):
+    """A media span with a NULL media_ref is still the nearest anchor
+    (unknown ref, its own offset) — the ref and offset must come from
+    the SAME span, never stitched from two different media spans."""
+    rows = [
+        ("a", 0, "image", "m1", 0),
+        ("a", 1, "image", None, 5),   # anchor with unknown ref
+        ("a", 2, "text", None, 9),
+    ]
+    got = M.align_text_to_media(_spans_df(spark, rows)).collect()[0]
+    assert (got["anchor_ref"], got["anchor_offset"], got["anchor_dist"]) == (
+        None, 5, 4,
+    )
