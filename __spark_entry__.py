@@ -814,6 +814,20 @@ def _q_graph_walks(spark, sf):
     )
 
 
+_KCORE_K, _KCORE_ROUNDS = 60, 3
+
+
+def _q_graph_kcore(spark, sf):
+    """Bounded-round k-core peeling (operators/graph.py::kcore) over the
+    capped co-occurrence graph — the dense-community filter; the oracle
+    replays the identical peel rounds."""
+    edges = GR.cooccurrence_edges(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        max_group=_COOCCUR_CAP,
+    )
+    return GR.kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 def _q_graph_ppr(spark, sf):
     """Personalized PageRank (operators/graph.py::personalized_pagerank)
     seeded at node 1 — rank concentrates in the seed's neighborhood.
@@ -1217,9 +1231,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_dropped": _q_link_pred_dropped,
         "chunk_docs": _q_chunk_docs,
         "kg_negatives": _q_kg_negatives,
+        "graph_kcore": _q_graph_kcore,
+        # ---- window boundary: the 50 keys above are exactly the ----------
+        # ---- never-driver-checked set; everything below is green ---------
+        # ---- in CORRECTNESS_r01-r03 ---------------------------------------
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
-        # ---- window boundary (key 50: 49 never-checked + 1 re-checked) ----
         "point_lookup": _q_point_lookup,
         "conj_filter": _q_conj_filter,
         "anti_join": _q_anti_join,
@@ -2301,6 +2318,42 @@ def oracle_sql() -> dict[str, str]:
         g AS (SELECT ts, CAST(sum(d) AS BIGINT) AS delta FROM ev GROUP BY ts)
         SELECT ts, CAST(sum(delta) OVER (ORDER BY ts) AS BIGINT) AS n_active
         FROM g
+    """
+    sql["graph_kcore"] = f"""
+        WITH {_CAPPED_GRAPH},
+        k0 AS (
+          SELECT node FROM (SELECT src AS node FROM edges
+                            UNION ALL SELECT dst AS node FROM edges)
+          GROUP BY node HAVING count(*) >= 60
+        ),
+        e1 AS (
+          SELECT e.src, e.dst FROM edges e
+          JOIN k0 a ON e.src = a.node
+          JOIN k0 b ON e.dst = b.node
+        ),
+        k1 AS (
+          SELECT node FROM (SELECT src AS node FROM e1
+                            UNION ALL SELECT dst AS node FROM e1)
+          GROUP BY node HAVING count(*) >= 60
+        ),
+        e2 AS (
+          SELECT e.src, e.dst FROM e1 e
+          JOIN k1 a ON e.src = a.node
+          JOIN k1 b ON e.dst = b.node
+        ),
+        k2 AS (
+          SELECT node FROM (SELECT src AS node FROM e2
+                            UNION ALL SELECT dst AS node FROM e2)
+          GROUP BY node HAVING count(*) >= 60
+        ),
+        e3 AS (
+          SELECT e.src, e.dst FROM e2 e
+          JOIN k2 a ON e.src = a.node
+          JOIN k2 b ON e.dst = b.node
+        )
+        SELECT node, count(*) AS degree
+        FROM (SELECT src AS node FROM e3 UNION ALL SELECT dst AS node FROM e3)
+        GROUP BY node
     """
     _ppr_iters = []
     for i in (1, 2, 3):

@@ -748,3 +748,40 @@ def random_walks(
         )
         cur = stepped
     return out
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    materialize: bool = True,
+) -> DataFrame:
+    """Bounded-round k-core peeling over a canonical (src<dst) edge
+    list: ``rounds`` rounds of "drop every node with degree < k, keep
+    only edges between survivors", returning the surviving nodes with
+    their degree INSIDE the surviving subgraph — ``(node, degree)``.
+
+    Equal to the true k-core (the maximal subgraph of minimum degree
+    >= k — the standard dense-community filter before clustering a
+    noisy co-occurrence KG) whenever ``rounds`` >= the peeling depth;
+    same bounded-iteration contract as :func:`sssp` — the caller
+    asserts convergence by checking one extra round changes nothing.
+
+    Scale shape: each round is one degree aggregation (narrow,
+    partial-aggregable) + two semi-join-shaped hash joins of the edge
+    list against the survivor node set; the edge list shrinks
+    monotonically and is localCheckpointed per round so lineage stays
+    flat. Nothing ever leaves (node-id, count) width.
+    """
+    e = edges.select("src", "dst").distinct()
+    if materialize:
+        e = e.localCheckpoint()
+    for _ in range(rounds):
+        keep = degrees(e).where(F.col("degree") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return degrees(e)

@@ -604,3 +604,47 @@ def test_random_walks_are_paths_and_deterministic(spark):
         walk_len=4, walks_per_node=1,
     ).collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+def _py_kcore(pairs, k, rounds):
+    edges = {tuple(sorted(p)) for p in pairs}
+    for _ in range(rounds):
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def test_kcore_matches_peeling_oracle(spark):
+    # EDGES: two triangles sharing an edge + a tail; the 2-core is the
+    # 4-clique-ish block {1,2,3,4}, and the tail peels off in 2 rounds
+    for rounds in (1, 2, 4):
+        got = {
+            r["node"]: r["degree"]
+            for r in G.kcore(_edges_df(spark, EDGES), k=2, rounds=rounds).collect()
+        }
+        assert got == _py_kcore(EDGES, 2, rounds), rounds
+
+
+def test_kcore_converged_is_true_core(spark):
+    got4 = {
+        r["node"]: r["degree"]
+        for r in G.kcore(_edges_df(spark, EDGES), k=2, rounds=4).collect()
+    }
+    got5 = {
+        r["node"]: r["degree"]
+        for r in G.kcore(_edges_df(spark, EDGES), k=2, rounds=5).collect()
+    }
+    assert got4 == got5 == {1: 2, 2: 3, 3: 3, 4: 2}
+    # a 3-core demands the dense middle only; the whole graph dissolves
+    assert G.kcore(_edges_df(spark, EDGES), k=3, rounds=5).count() == 0
