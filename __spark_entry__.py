@@ -461,6 +461,17 @@ def _q_jaccard_verified(spark, sf):
     )
 
 
+def _q_setsim_join(spark, sf):
+    """Prefix-filtered exact set-similarity self-join (AllPairs/PPJoin
+    shape, operators/similarity.py::setsim_self_join): recall-1.0 exact
+    Jaccard with neither ngram_jaccard's df_cap nor the LSH path's
+    band-miss. Shingle mode (n=3) so all three algorithms solve the
+    SAME semantics against independent oracles."""
+    from pg_iui_ner_api_spark.operators.similarity import setsim_self_join
+
+    return setsim_self_join(_t(spark, sf, "documents"), threshold=0.2, n=3)
+
+
 def _q_minhash_sig(spark, sf):
     sigs = D.minhash_signatures(_t(spark, sf, "documents"), num_hashes=8)
     return sigs.select(
@@ -1235,6 +1246,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- window boundary: the 50 keys above are exactly the ----------
         # ---- never-driver-checked set; everything below is green ---------
         # ---- in CORRECTNESS_r01-r03 ---------------------------------------
+        # -- (b0) NEW in late-r4, oracle-backed but past the 50-key window:
+        #         pytest checks these against DuckDB (test_setsim etc.);
+        #         hoist into section (a) at the next reorder ---------------
+        "setsim_join": _q_setsim_join,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1764,6 +1779,21 @@ def oracle_sql() -> dict[str, str]:
         f"WITH s AS (SELECT doc_id, lang, {', '.join(marker_cases)} FROM documents) "
         f"SELECT doc_id, lang, {pred_expr} AS pred_lang FROM s"
     )
+    # setsim_join: brute-force theta-join oracle over the SAME distinct
+    # 3-gram shingle sets — deliberately a different algorithm than the
+    # engine's prefix-filter join (recall evidence, not tautology)
+    sql["setsim_join"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_SHINGLES.format(x='text')} AS shs FROM documents
+        ),
+        p AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 len(list_intersect(a.shs, b.shs)) AS c,
+                 len(a.shs) AS la, len(b.shs) AS lb
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        SELECT da, db, round(c / (la + lb - c)::DOUBLE, 6) AS jaccard
+        FROM p WHERE c / (la + lb - c)::DOUBLE >= 0.2
+    """
     sql["ngram_jaccard"] = f"""
         WITH sh AS (
           SELECT doc_id, unnest({_SHINGLES.format(x='text')}) AS sh FROM documents

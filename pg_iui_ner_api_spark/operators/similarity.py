@@ -170,3 +170,114 @@ def blocked_pair_edges(df: DataFrame, block_col: str, id_col: str,
         .select(F.col("a.b").alias("block"), F.col("a.id").alias("ida"), F.col("b.id").alias("idb"))
     )
     return pairs, dropped
+
+
+def setsim_self_join(docs: DataFrame, threshold: float = 0.5,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int | None = None) -> DataFrame:
+    """Exact set-similarity self-join via PREFIX FILTERING — the
+    AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08). Returns every pair (da < db) whose item-SET Jaccard is
+    >= threshold, with the exact value. Items are whitespace tokens
+    (``n=None``) or distinct word n-gram shingles (``n`` set — same
+    shingle semantics as ``dedup.shingle_table``, so with shingles
+    this is ``ngram_jaccard_pairs`` re-solved with recall 1.0 and NO
+    df_cap: prefix filtering bounds the candidate join by rarity
+    instead of dropping hub shingles, and unlike the banded-LSH path
+    (``dedup.jaccard_verified_pairs``) no true pair can be missed).
+
+    Scale shape (the reason this beats a doc x doc theta-join at
+    100 TB):
+
+      * a global token order puts the RAREST tokens first
+        (df asc, token-hash asc); each doc keeps only its first
+        ``|T| - ceil(t*|T|) + 1`` tokens under that order. Any pair
+        with Jaccard >= t must share at least one token in BOTH
+        prefixes (prefix-filter theorem), so the candidate join is an
+        equi-join on low-df tokens — candidate count is bounded by
+        sum_tok df_prefix(tok)^2 where df_prefix counts PREFIX
+        occurrences only; the frequent tokens that make the naive
+        token join quadratic never enter a prefix unless a doc is
+        almost all hub tokens.
+      * the length filter ``t*|A| <= |B| <= |A|/t`` is applied INSIDE
+        the join condition (Jaccard >= t forces size ratio >= t), so
+        mismatched-size candidates never materialize.
+      * verification joins candidates back to the token table on each
+        side (cost |candidates| x tokens/doc) — exact counts, no df^2
+        term over the full corpus, no silent caps.
+
+    Shuffles: token df (agg on token), per-doc order rebuild (agg on
+    doc), candidate equi-join (on prefix token), verify joins (on doc
+    id). Token strings ride only the df agg and the prefix join;
+    verification joins carry (doc_id, 60-bit token hash) pairs.
+    """
+    from ..functions.text import normalize_ws, portable_hash64, tokens
+
+    if n is None:
+        items = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(tokens(normalize_ws(F.col(text_col))))
+            ).alias("tok"),
+        )
+    else:
+        from .dedup import shingle_table
+
+        items = shingle_table(docs, n, id_col, text_col).withColumnRenamed(
+            "sh", "tok"
+        )
+    # item table is consumed 4x (df, order rebuild, both verify sides):
+    # hash each item ONCE here so downstream shuffles carry 8-byte
+    # hashes, and checkpoint so the tokenize expressions run once
+    tok = items.withColumn("h", portable_hash64(F.col("tok"))).localCheckpoint()
+
+    # global item order = (df asc, hash asc): rarest first; the hash
+    # tie-break keeps it total WITHOUT carrying item strings through the
+    # order-rebuild shuffle (structs here are 16 bytes, never text)
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ord"))
+    )
+    sz = F.size("ord")
+    plen = (sz - F.ceil(F.lit(threshold) * sz).cast("int") + F.lit(1))
+    pref = ordered.select(
+        "doc_id",
+        sz.alias("sz"),
+        F.explode(
+            F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["h"])
+        ).alias("h"),
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    t = F.lit(float(threshold))
+    cands = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: Jaccard >= t  =>  t <= min(sz)/max(sz)
+            & (F.col("b.sz") >= t * F.col("a.sz"))
+            & (F.col("a.sz") >= t * F.col("b.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.sz").alias("sza"),
+            F.col("b.sz").alias("szb"),
+        )
+        .distinct()
+    )
+    hs = tok.select("doc_id", "h")
+    inter = (
+        cands.join(hs.withColumnsRenamed({"doc_id": "da"}), "da")
+        .join(hs.withColumnsRenamed({"doc_id": "db"}), ["db", "h"])
+        .groupBy("da", "db", "sza", "szb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))
+    # filter on the RAW ratio (matches the oracle's WHERE); round only
+    # for output — same borderline contract as ngram_jaccard_pairs
+    return inter.where(raw >= threshold).select(
+        "da", "db", F.round(raw, 6).alias("jaccard")
+    )

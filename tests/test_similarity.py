@@ -87,3 +87,96 @@ def test_edit_distance_pairs_rejects_deeper_radius(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         edit_distance_pairs(df, df, "s", "s", "id", "id", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity self-join (AllPairs/PPJoin shape)
+# ---------------------------------------------------------------------------
+def _brute_jaccard(rows, threshold, n=None):
+    """Independent per-pair brute force over python sets."""
+    import itertools
+    import re
+
+    def items(text):
+        toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+        if n is None:
+            return set(toks)
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: items(t) for i, t in rows}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= threshold:
+            out[(a, b)] = round(inter / union, 6)
+    return out
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_setsim_token_mode_exact_vs_brute_force(spark):
+    from pg_iui_ner_api_spark.operators.similarity import setsim_self_join
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox leaps over the lazy dog"),
+        (3, "a completely different sentence with other words"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "quick brown fox dog"),                            # subset of 1
+        (6, "  The   QUICK brown fox jumps over the lazy dog"),  # ws/case
+        (7, "singleton"),
+    ]
+    got = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in setsim_self_join(_docs(spark, rows), threshold=0.5).collect()
+    }
+    assert got == _brute_jaccard(rows, 0.5)
+
+
+def test_setsim_shingle_mode_matches_ngram_jaccard_semantics(spark):
+    """Same semantics, three independent algorithms: prefix-filter join
+    == df-capped shingle self-join == python brute force."""
+    from pg_iui_ner_api_spark.operators.dedup import ngram_jaccard_pairs
+    from pg_iui_ner_api_spark.operators.similarity import setsim_self_join
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3, "one two three four five six seven eight nine"),
+        (4, "one two three four five six seven eight nine"),
+        (5, "short doc"),
+        (6, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = _docs(spark, rows)
+    pf = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in setsim_self_join(df, threshold=0.3, n=3).collect()
+    }
+    ng = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, n=3, threshold=0.3).collect()
+    }
+    assert pf == ng == _brute_jaccard(rows, 0.3, n=3)
+
+
+def test_setsim_recall_is_total_under_adversarial_frequencies(spark):
+    """Hub-token-heavy corpus: every token of some docs is frequent, so
+    prefixes are all hub tokens — the prefix-filter theorem must still
+    find every qualifying pair (no df_cap, no silent drop)."""
+    from pg_iui_ner_api_spark.operators.similarity import setsim_self_join
+
+    common = "x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    rows = [(i, common) for i in range(1, 21)]  # 20 identical hub docs
+    rows += [(100, common + " rare100"), (101, common + " rare101")]
+    got = {
+        (r["da"], r["db"]): r["jaccard"]
+        for r in setsim_self_join(_docs(spark, rows), threshold=0.8).collect()
+    }
+    assert got == _brute_jaccard(rows, 0.8)
+    # the 20 identical docs alone contribute C(20,2)=190 pairs at 1.0
+    assert sum(1 for v in got.values() if v == 1.0) >= 190
