@@ -472,6 +472,18 @@ def _q_setsim_join(spark, sf):
     return setsim_self_join(_t(spark, sf, "documents"), threshold=0.2, n=3)
 
 
+def _q_priority_sample(spark, sf):
+    """Deterministic weighted sampling without replacement (priority
+    sampling, operators/packing.py::priority_sample): weight = n_chars+1,
+    u = seeded md5 uniform, sample = top-k of w/u. Every arithmetic step
+    is exactly-rounded IEEE, so the DuckDB twin reproduces the selection
+    bit-for-bit."""
+    from pg_iui_ner_api_spark.operators.packing import priority_sample
+
+    d = _t(spark, sf, "documents").withColumn("w", F.col("n_chars") + F.lit(1))
+    return priority_sample(d, "w", k=100, seed="s0")
+
+
 def _q_minhash_sig(spark, sf):
     sigs = D.minhash_signatures(_t(spark, sf, "documents"), num_hashes=8)
     return sigs.select(
@@ -1250,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #         pytest checks these against DuckDB (test_setsim etc.);
         #         hoist into section (a) at the next reorder ---------------
         "setsim_join": _q_setsim_join,
+        "priority_sample": _q_priority_sample,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1779,6 +1792,19 @@ def oracle_sql() -> dict[str, str]:
         f"WITH s AS (SELECT doc_id, lang, {', '.join(marker_cases)} FROM documents) "
         f"SELECT doc_id, lang, {pred_expr} AS pred_lang FROM s"
     )
+    # priority_sample: identical formula, ORDER BY the RAW priority
+    # (round only in the projection) — selection must agree bit-for-bit
+    _PRH = _H.format(x="'s0|' || CAST(doc_id AS VARCHAR)")
+    sql["priority_sample"] = f"""
+        WITH p AS (
+          SELECT doc_id, (n_chars + 1)::DOUBLE AS weight,
+                 (n_chars + 1)::DOUBLE /
+                   (({_PRH} + 1)::DOUBLE / 1152921504606846976.0) AS pr
+          FROM documents WHERE (n_chars + 1)::DOUBLE > 0
+        )
+        SELECT doc_id, weight, round(pr, 6) AS priority
+        FROM p ORDER BY pr DESC, doc_id LIMIT 100
+    """
     # setsim_join: brute-force theta-join oracle over the SAME distinct
     # 3-gram shingle sets — deliberately a different algorithm than the
     # engine's prefix-filter join (recall evidence, not tautology)

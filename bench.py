@@ -274,8 +274,9 @@ def _headline(spark) -> dict[str, float]:
         "graph_jaccard", "graph_sssp", "graph_closure",
         "media_text_anchor", "kg_fuse", "dict_encode", "graph_ppr",
         "skew_profile", "graph_walks", "zorder_key", "kg_violations", "scd2_dim", "interval_active",
-        # late-r4: prefix-filtered exact set-similarity join
-        "setsim_join",
+        # late-r4: prefix-filtered exact set-similarity join +
+        # deterministic weighted priority sampling
+        "setsim_join", "priority_sample",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

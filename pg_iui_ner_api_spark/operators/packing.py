@@ -207,3 +207,51 @@ def chunk_documents(docs: DataFrame, size: int = 128, overlap: int = 32,
         (F.col("c.tok_end") - F.col("c.tok_start")).alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def priority_sample(docs: DataFrame, weight_col: str, k: int = 100,
+                    seed: str = "s0", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via priority
+    sampling (Duffield, Lund & Thorup, JACM 54(6), 2007): every row
+    gets priority ``w / u`` with ``u`` a seeded-hash uniform in (0,1],
+    and the sample is the k highest priorities. Returns
+    ``(doc_id, weight, priority)``, priority rounded only for output —
+    selection compares the raw value.
+
+    Why this formulation and not rand()-based sampleBy/thresholding:
+
+      * pure function of (seed, id): reproducible across reruns,
+        engines, partitionings, and appends — new rows compete for
+        slots but never RESHUFFLE the randomness of existing rows
+        (same append-stability argument as ``shuffle_corpus``).
+      * exactly-k without replacement in ONE pass: no rejection loop,
+        no per-stratum bookkeeping; Horvitz-Thompson weight estimation
+        uses min(1, w/tau) with tau = the (k+1)-th priority.
+      * every arithmetic step (int->double conversion, the two IEEE
+        divisions) is exactly-rounded and engine-identical, so the
+        DuckDB oracle reproduces the selection bit-for-bit — no
+        float-fuzz tolerance hiding selection drift.
+
+    Scale shape: priorities are computed in-row (one md5 per row, no
+    shuffle); the global top-k is TakeOrdered — per-partition heaps of
+    k, then a k x n_partitions driver merge. No global sort, no window.
+    Rows with null or nonpositive weight are excluded (u in (0,1]
+    keeps w/u finite; a zero weight can never be sampled anyway).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(1152921504606846976.0)  # 2^60
+    w = F.col(weight_col).cast("double")
+    pr = w / u
+    return (
+        docs.where(w > 0)
+        .select(F.col(id_col).alias("doc_id"), w.alias("weight"), pr.alias("_pr"))
+        .orderBy(F.desc("_pr"), "doc_id")
+        .limit(k)
+        .select("doc_id", "weight", F.round(F.col("_pr"), 6).alias("priority"))
+    )

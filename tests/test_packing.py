@@ -235,3 +235,72 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([("d", "a b")], "doc_id string, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, size=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# priority_sample: deterministic weighted sampling without replacement
+# ---------------------------------------------------------------------------
+def _py_priority(seed, doc_id, weight):
+    """Independent python reference of the (seed, id) -> priority map."""
+    h = int(hashlib.md5(f"{seed}|{doc_id}".encode()).hexdigest()[:15], 16)
+    u = float(h + 1) / 1152921504606846976.0
+    return float(weight) / u
+
+
+def test_priority_sample_matches_python_reference(spark):
+    from pg_iui_ner_api_spark.operators.packing import priority_sample
+
+    rows = [(i, float(10 + (i * 7) % 90)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = priority_sample(df, "w", k=25, seed="sX").collect()
+    assert len(got) == 25
+    want = sorted(
+        ((_py_priority("sX", i, w), i, w) for i, w in rows), reverse=True
+    )[:25]
+    assert [(r["doc_id"], r["weight"]) for r in got] == [
+        (i, w) for _, i, w in want
+    ]
+    for r in got:
+        assert r["priority"] == round(_py_priority("sX", r["doc_id"], r["weight"]), 6)
+
+
+def test_priority_sample_is_append_stable_and_partition_invariant(spark):
+    from pg_iui_ner_api_spark.operators.packing import priority_sample
+
+    rows = [(i, 1.0 + i % 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    base = [(r["doc_id"], r["priority"]) for r in priority_sample(df, "w", k=10).collect()]
+    # partitioning must not change the selection
+    re = [(r["doc_id"], r["priority"])
+          for r in priority_sample(df.repartition(7), "w", k=10).collect()]
+    assert base == re
+    # appending rows never reshuffles existing priorities: the union's
+    # top-k equals the top-k of (old priorities + new priorities)
+    extra = [(1000 + i, 50.0) for i in range(5)]
+    df2 = spark.createDataFrame(rows + extra, "doc_id long, w double")
+    got2 = {r["doc_id"]: r["priority"] for r in priority_sample(df2, "w", k=10).collect()}
+    for did, pr in base:
+        if did in got2:
+            assert got2[did] == pr
+
+
+def test_priority_sample_drops_nonpositive_and_null_weights(spark):
+    from pg_iui_ner_api_spark.operators.packing import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+        "doc_id long, w double",
+    )
+    got = {r["doc_id"] for r in priority_sample(df, "w", k=10).collect()}
+    assert got == {1, 5}
+
+
+def test_priority_sample_favors_heavy_weights(spark):
+    """Statistical sanity (deterministic given the seed): with one row
+    1000x heavier than 999 others, it must be sampled at k=50."""
+    from pg_iui_ner_api_spark.operators.packing import priority_sample
+
+    rows = [(i, 1.0) for i in range(999)] + [(999, 1000.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {r["doc_id"] for r in priority_sample(df, "w", k=50).collect()}
+    assert 999 in got
