@@ -851,6 +851,36 @@ def _q_graph_kcore(spark, sf):
     return GR.kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
+def _seq_edges(spark, sf):
+    """DIRECTED part-sequence graph: edge a->b when part b follows part
+    a within an order (consecutive l_linenumber), deterministically
+    sparsified with an integer hash to the interesting SCC regime
+    (m/n ~ 1.3: a full sequence graph at sf0.01 is one giant SCC)."""
+    l = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    a, b = l.alias("a"), l.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("b.l_linenumber") == F.col("a.l_linenumber") + 1),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .where(
+            (F.col("src") != F.col("dst"))
+            & (((F.col("src") * 31 + F.col("dst")) % 12) == 0)
+        )
+        .distinct()
+    )
+
+
+def _q_graph_scc(spark, sf):
+    """EXACT strongly connected components (operators/graph.py::
+    strongly_connected_components — forward-backward coloring with
+    pointer-doubling, directed twin of graph_components) vs a DuckDB
+    recursive-closure mutual-reachability oracle."""
+    return GR.strongly_connected_components(_seq_edges(spark, sf), max_peel_rounds=32)
+
+
 def _q_graph_ppr(spark, sf):
     """Personalized PageRank (operators/graph.py::personalized_pagerank)
     seeded at node 1 — rank concentrates in the seed's neighborhood.
@@ -1263,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #         hoist into section (a) at the next reorder ---------------
         "setsim_join": _q_setsim_join,
         "priority_sample": _q_priority_sample,
+        "graph_scc": _q_graph_scc,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -2374,6 +2405,31 @@ def oracle_sql() -> dict[str, str]:
         g AS (SELECT ts, CAST(sum(d) AS BIGINT) AS delta FROM ev GROUP BY ts)
         SELECT ts, CAST(sum(delta) OVER (ORDER BY ts) AS BIGINT) AS n_active
         FROM g
+    """
+    # graph_scc: mutual reachability over the recursive closure of the
+    # hash-sparsified directed part-sequence graph — a deliberately
+    # different algorithm (full closure) than the engine's FW-BW coloring
+    sql["graph_scc"] = """
+        WITH RECURSIVE e AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_partkey <> b.l_partkey
+            AND (a.l_partkey * 31 + b.l_partkey) % 12 = 0
+        ),
+        r(s, d) AS (
+          SELECT src, dst FROM e
+          UNION
+          SELECT r.s, e.dst FROM r JOIN e ON r.d = e.src
+        ),
+        v AS (SELECT src AS v FROM e UNION SELECT dst FROM e)
+        SELECT v.v AS node,
+               least(min(CASE WHEN r2.s IS NOT NULL THEN r1.s END), v.v) AS scc_id
+        FROM v
+        LEFT JOIN r r1 ON r1.d = v.v
+        LEFT JOIN r r2 ON r2.s = v.v AND r2.d = r1.s
+        GROUP BY v.v
     """
     sql["graph_kcore"] = f"""
         WITH {_CAPPED_GRAPH},

@@ -785,3 +785,175 @@ def kcore(
             .localCheckpoint(eager=False)
         )
     return degrees(e)
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (directed)
+# ---------------------------------------------------------------------------
+def strongly_connected_components(
+    edges: DataFrame,
+    max_peel_rounds: int = 16,
+    max_prop_rounds: int = 64,
+) -> DataFrame:
+    """EXACT strongly connected components of a DIRECTED edge list
+    ``(src, dst)`` -> ``(node, scc_id)`` with ``scc_id`` = min node id
+    of the component. The directed twin of ``components.
+    connected_components`` — cycles of is_a/part_of/cites edges are how
+    contradictory KG assertions manifest, and collapsing each cycle
+    cluster to one canonical node (condensation) is the standard cure.
+
+    Algorithm: forward-backward COLORING with peeling (Orzan 2004; the
+    FW-BW-coloring scheme of Slota/Rajamanickam/Madduri 2014, chosen
+    over Tarjan — inherently sequential stack DFS — for shuffle-round
+    parallelism):
+
+      round: (0) TRIM — iteratively drop nodes lacking in- or
+      out-edges (singleton SCCs by definition); sparse graphs lose
+      most nodes here and the expensive phases see only the cyclic
+      core; (1) forward min-label propagation to fixpoint, with a
+      pointer-doubling shortcut per step (color(v) <- color(color(v)))
+      so a diameter-D class converges in O(log D) joins, not O(D);
+      (2) every color class's root r (color(r) = r) backward-BFSes
+      WITHIN its class; nodes reached are exactly SCC(r) — color(u)=r
+      proves r->u, in-class backward reachability proves u->r;
+      (3) extracted nodes leave the graph; repeat on the remainder.
+      Every class root is extracted each round, so rounds <= the
+      longest root-chain; ``max_peel_rounds`` is an operational bound
+      (RuntimeError on overrun — semantics are exact, never truncated
+      silently).
+
+    Scale shape: every shuffle carries (node-id, color) pairs — two
+    longs; the edge list is localCheckpointed once per peel round and
+    only SHRINKS; convergence checks are counts over the narrow color
+    table. No Python, no collect of anything graph-sized.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint()
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    out: DataFrame | None = None
+    n_edges = e.count()
+    for _ in range(max_peel_rounds):
+        # (0) TRIM to fixpoint: a node with no in-edges (or no
+        # out-edges) is a singleton SCC; dropping them cascades down
+        # dangling chains. On sparse graphs this removes the vast
+        # majority of nodes before any coloring happens (sf0.01
+        # part-sequence graph: 1817 -> 240 nodes), so the iterative
+        # FW-BW phases run on the small cyclic core only. Trimmed
+        # nodes are assigned scc_id = self at the very end.
+        while n_edges:
+            survivors = (
+                e.select(F.col("src").alias("node"))
+                .intersect(e.select(F.col("dst").alias("node")))
+            )
+            e2 = (
+                e.join(survivors.withColumnRenamed("node", "src"), "src")
+                .join(survivors.withColumnRenamed("node", "dst"), "dst")
+                .select("src", "dst")
+                # lazy: materializes inside the count below — one job
+                # per trim round, not two
+                .localCheckpoint(eager=False)
+            )
+            n2 = e2.count()
+            e, converged = e2, n2 == n_edges
+            n_edges = n2
+            if converged:
+                break
+        if not n_edges:
+            break
+        remaining = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # (1) forward min-label propagation with pointer doubling
+        colors = remaining.select("node", F.col("node").alias("color")).localCheckpoint()
+
+        def _prop_step(c):
+            relax = (
+                e.join(c.withColumnsRenamed({"node": "src", "color": "cand"}), "src")
+                .select(F.col("dst").alias("node"), "cand")
+            )
+            stepped = (
+                c.unionByName(relax.withColumnRenamed("cand", "color"))
+                .groupBy("node")
+                .agg(F.min("color").alias("color"))
+            )
+            # shortcut: my color's color also reaches me (min-labels
+            # compose transitively), halving remaining propagation depth
+            return stepped.join(
+                stepped.select(
+                    F.col("node").alias("color"), F.col("color").alias("c2")
+                ),
+                "color",
+            ).select("node", F.least("color", "c2").alias("color"))
+
+        for _ in range(max_prop_rounds):
+            # two relax+shortcut steps per convergence check: the check
+            # is a driver action, and round-trip latency dominates on
+            # the (tiny after trim) cyclic core
+            shortcut = _prop_step(_prop_step(colors)).localCheckpoint(eager=False)
+            unchanged = (
+                shortcut.join(colors.withColumnRenamed("color", "old"), "node")
+                .where(F.col("color") != F.col("old"))
+                .isEmpty()
+            )
+            colors = shortcut
+            if unchanged:
+                break
+        else:
+            raise RuntimeError(
+                f"scc: forward coloring did not converge in {max_prop_rounds} rounds"
+            )
+        # (2) backward reachability to each class root, within the class
+        marked = colors.where(F.col("node") == F.col("color")).localCheckpoint()
+        n_marked = marked.count()
+
+        def _back_step(m):
+            preds = (
+                e.join(m.withColumnsRenamed({"node": "dst", "color": "scc"}), "dst")
+                .select(F.col("src").alias("node"), F.col("scc").alias("color"))
+                # in-class only: the predecessor must carry the same color
+                .join(colors, ["node", "color"])
+            )
+            return m.unionByName(preds).distinct()
+
+        for _ in range(max_prop_rounds):
+            grown = _back_step(_back_step(marked)).localCheckpoint(eager=False)
+            n2 = grown.count()
+            marked, done = grown, n2 == n_marked
+            n_marked = n2
+            if done:
+                break
+        else:
+            raise RuntimeError(
+                f"scc: backward sweep did not converge in {max_prop_rounds} rounds"
+            )
+        scc_rows = marked.withColumnRenamed("color", "scc_id")
+        out = scc_rows if out is None else out.unionByName(scc_rows).localCheckpoint()
+        keep = remaining.join(marked.select("node"), "node", "left_anti")
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src")
+            .join(keep.withColumnRenamed("node", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+        n_edges = e.count()
+    else:
+        if n_edges:
+            raise RuntimeError(
+                f"scc: peeling did not finish in {max_peel_rounds} rounds"
+            )
+    # every node never extracted by a FW-BW round was trimmed away (or
+    # the input had no cycles at all): each is its own SCC
+    if out is None:
+        return all_nodes.select("node", F.col("node").alias("scc_id"))
+    singles = all_nodes.join(out.select("node"), "node", "left_anti")
+    return out.unionByName(
+        singles.select("node", F.col("node").alias("scc_id"))
+    )

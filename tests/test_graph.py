@@ -648,3 +648,129 @@ def test_kcore_converged_is_true_core(spark):
     assert got4 == got5 == {1: 2, 2: 3, 3: 3, 4: 2}
     # a 3-core demands the dense middle only; the whole graph dissolves
     assert G.kcore(_edges_df(spark, EDGES), k=3, rounds=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components (FW-BW coloring with trim + peeling)
+# ---------------------------------------------------------------------------
+def _tarjan_scc(edges):
+    """Independent reference: iterative Tarjan."""
+    adj = {}
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index, low, onstack = {}, {}, set()
+    stack, comps = [], []
+    counter = [0]
+
+    def strong(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                c = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    c.append(w)
+                    if w == v:
+                        break
+                comps.append(c)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strong(v)
+    # drop nodes that only appear in self-loops? keep semantics: the
+    # operator's universe is non-self-loop edge endpoints
+    uni = {x for a, b in edges if a != b for x in (a, b)}
+    return sorted((v, min(c)) for c in comps for v in c if v in uni)
+
+
+def test_scc_hand_graph(spark):
+    from pg_iui_ner_api_spark.operators.graph import strongly_connected_components
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4), (3, 6), (7, 7)]
+    got = sorted(
+        tuple(r)
+        for r in strongly_connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    )
+    # {1,2,3} cycle, {4,5} cycle, 6 singleton; 7 only self-loops (excluded)
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)]
+
+
+def test_scc_matches_tarjan_on_random_graphs(spark):
+    import random
+
+    from pg_iui_ner_api_spark.operators.graph import strongly_connected_components
+
+    for seed, n, m in ((7, 60, 90), (13, 40, 44), (99, 30, 70)):
+        random.seed(seed)
+        edges = sorted({(random.randrange(n), random.randrange(n)) for _ in range(m)})
+        edges = [(a, b) for a, b in edges if a != b]
+        got = sorted(
+            tuple(r)
+            for r in strongly_connected_components(
+                spark.createDataFrame(edges, "src long, dst long"),
+                max_peel_rounds=32,
+            ).collect()
+        )
+        assert got == _tarjan_scc(edges), f"seed={seed}"
+
+
+def test_scc_dag_is_all_singletons(spark):
+    from pg_iui_ner_api_spark.operators.graph import strongly_connected_components
+
+    dag = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    got = sorted(
+        tuple(r)
+        for r in strongly_connected_components(
+            spark.createDataFrame(dag, "src long, dst long")
+        ).collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 3), (4, 4)]
+
+
+def test_scc_raises_on_peel_round_overrun(spark):
+    import pytest
+
+    from pg_iui_ner_api_spark.operators.graph import strongly_connected_components
+
+    # two SCCs in a root chain: {1,2} -> {3,4}; with trim unable to
+    # remove anything and only 1 peel round allowed for 2 chained
+    # classes... a single round extracts BOTH classes (each color class
+    # is processed in parallel), so build a chain of 3 classes where the
+    # middle one is re-colored only after the first is removed.
+    edges = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5), (5, 6), (6, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    full = sorted(
+        tuple(r) for r in strongly_connected_components(df, max_peel_rounds=32).collect()
+    )
+    assert full == [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5), (6, 5)]
+    with pytest.raises(RuntimeError, match="peeling"):
+        strongly_connected_components(df, max_peel_rounds=0)
