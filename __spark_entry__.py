@@ -472,6 +472,21 @@ def _q_setsim_join(spark, sf):
     return setsim_self_join(_t(spark, sf, "documents"), threshold=0.2, n=3)
 
 
+def _q_snm_pairs(spark, sf):
+    """Sorted-neighborhood blocking (operators/similarity.py::
+    sorted_neighborhood_pairs) keyed by the first 32 chars of the
+    normalized text — the classic ER candidate generator next to LSH
+    banding and prefix filtering. Global positions built without a
+    global window (range partitions + broadcast offsets)."""
+    from pg_iui_ner_api_spark.functions.text import normalize_ws
+    from pg_iui_ner_api_spark.operators.similarity import sorted_neighborhood_pairs
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.substring(normalize_ws(F.col("text")), 1, 32).alias("k")
+    )
+    return sorted_neighborhood_pairs(d, "k", "doc_id", window=4)
+
+
 def _q_priority_sample(spark, sf):
     """Deterministic weighted sampling without replacement (priority
     sampling, operators/packing.py::priority_sample): weight = n_chars+1,
@@ -1294,6 +1309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setsim_join": _q_setsim_join,
         "priority_sample": _q_priority_sample,
         "graph_scc": _q_graph_scc,
+        "snm_pairs": _q_snm_pairs,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1823,6 +1839,19 @@ def oracle_sql() -> dict[str, str]:
         f"WITH s AS (SELECT doc_id, lang, {', '.join(marker_cases)} FROM documents) "
         f"SELECT doc_id, lang, {pred_expr} AS pred_lang FROM s"
     )
+    # snm_pairs: plain window row_number self-join — the single-node
+    # form the distributed range-partition + offsets construction equals
+    sql["snm_pairs"] = f"""
+        WITH r AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY k, doc_id) - 1 AS pos
+          FROM (SELECT doc_id, substr({_NORM.format(x='text')}, 1, 32) AS k
+                FROM documents)
+          WHERE k IS NOT NULL
+        )
+        SELECT a.doc_id AS ida, b.doc_id AS idb, b.pos - a.pos AS gap
+        FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 4
+    """
     # priority_sample: identical formula, ORDER BY the RAW priority
     # (round only in the projection) — selection must agree bit-for-bit
     _PRH = _H.format(x="'s0|' || CAST(doc_id AS VARCHAR)")

@@ -180,3 +180,58 @@ def test_setsim_recall_is_total_under_adversarial_frequencies(spark):
     assert got == _brute_jaccard(rows, 0.8)
     # the 20 identical docs alone contribute C(20,2)=190 pairs at 1.0
     assert sum(1 for v in got.values() if v == 1.0) >= 190
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+def _snm_brute(rows, window):
+    order = sorted((k, i) for i, k in rows if k is not None)
+    out = []
+    for a in range(len(order)):
+        for b in range(a + 1, min(a + window + 1, len(order))):
+            out.append((order[a][1], order[b][1], b - a))
+    return sorted(out)
+
+
+def test_snm_pairs_match_brute_force(spark):
+    from pg_iui_ner_api_spark.operators.similarity import sorted_neighborhood_pairs
+
+    rows = [(i, f"key{(i * 37) % 50:03d}") for i in range(200)] + [(900, None)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = sorted(
+        (r["ida"], r["idb"], r["gap"])
+        for r in sorted_neighborhood_pairs(df, "k", "doc_id", window=4).collect()
+    )
+    assert got == _snm_brute(rows, 4)
+    assert len(got) > 0
+
+
+def test_snm_pairs_partitioning_invariant(spark):
+    from pg_iui_ner_api_spark.operators.similarity import sorted_neighborhood_pairs
+
+    rows = [(i, f"z{(i * 13) % 37:02d}") for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    a = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(df, "k", "doc_id", window=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(
+            df.repartition(11), "k", "doc_id", window=3, partitions=5
+        ).collect()
+    )
+    assert a == b == _snm_brute(rows, 3)
+
+
+def test_snm_window_one_is_adjacent_only(spark):
+    from pg_iui_ner_api_spark.operators.similarity import sorted_neighborhood_pairs
+
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    df = spark.createDataFrame(rows, "doc_id long, k string")
+    got = sorted(
+        tuple(r)
+        for r in sorted_neighborhood_pairs(df, "k", "doc_id", window=1).collect()
+    )
+    assert got == [(1, 2, 1), (2, 3, 1)]
