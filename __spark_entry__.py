@@ -487,6 +487,24 @@ def _q_snm_pairs(spark, sf):
     return sorted_neighborhood_pairs(d, "k", "doc_id", window=4)
 
 
+def _q_bloom_semi(spark, sf):
+    """Bloom runtime-filtered semi-join (operators/runtime_filter.py::
+    bloom_semi_join): keep lineitem rows whose part key appears in a
+    filtered dimension. The bitmap is a fixed-size distributed bit_or
+    aggregate embedded as a plan literal, so the fact side is filtered
+    map-side BEFORE the join's Exchange; false positives are removed by
+    the exact semi-join, so the oracle is the plain IN-subquery."""
+    from pg_iui_ner_api_spark.operators.runtime_filter import bloom_semi_join
+
+    fact = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    keys = _t(spark, sf, "part").where(F.col("p_size") <= 5).select("p_partkey")
+    return bloom_semi_join(
+        fact, keys, "l_partkey", "p_partkey", m_bits=1 << 17, k_hashes=5
+    )
+
+
 def _q_priority_sample(spark, sf):
     """Deterministic weighted sampling without replacement (priority
     sampling, operators/packing.py::priority_sample): weight = n_chars+1,
@@ -1310,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "graph_scc": _q_graph_scc,
         "snm_pairs": _q_snm_pairs,
+        "bloom_semi": _q_bloom_semi,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1864,6 +1883,12 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, weight, round(pr, 6) AS priority
         FROM p ORDER BY pr DESC, doc_id LIMIT 100
+    """
+    # bloom_semi: the bloom stage only prunes, never changes the answer,
+    # so the oracle is the exact semi-join it accelerates
+    sql["bloom_semi"] = """
+        SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
     """
     # setsim_join: brute-force theta-join oracle over the SAME distinct
     # 3-gram shingle sets — deliberately a different algorithm than the
