@@ -505,6 +505,58 @@ def _q_bloom_semi(spark, sf):
     )
 
 
+def _q_fs_em(spark, sf):
+    """Fellegi-Sunter probabilistic record-linkage scoring
+    (operators/record_linkage.py::fellegi_sunter_em): EM-fit m/u/lambda
+    over sorted-neighborhood candidate pairs of documents, three binary
+    agreement fields (lang, source, length-within-20), then emit the
+    classic log2 likelihood-ratio match weight + posterior. The oracle
+    is the same EM unrolled as chained DuckDB CTEs."""
+    from pg_iui_ner_api_spark.functions.text import normalize_ws
+    from pg_iui_ner_api_spark.operators.record_linkage import fellegi_sunter_em
+    from pg_iui_ner_api_spark.operators.similarity import sorted_neighborhood_pairs
+
+    d = _t(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id", F.substring(normalize_ws(F.col("text")), 1, 32).alias("k")
+    )
+    pairs = sorted_neighborhood_pairs(keyed, "k", "doc_id", window=4)
+    attrs = d.select("doc_id", "lang", "source", "n_chars")
+    g = (
+        pairs.join(
+            attrs.select(
+                F.col("doc_id").alias("ida"),
+                F.col("lang").alias("_la"),
+                F.col("source").alias("_sa"),
+                F.col("n_chars").alias("_na"),
+            ),
+            "ida",
+        )
+        .join(
+            attrs.select(
+                F.col("doc_id").alias("idb"),
+                F.col("lang").alias("_lb"),
+                F.col("source").alias("_sb"),
+                F.col("n_chars").alias("_nb"),
+            ),
+            "idb",
+        )
+        .select(
+            "ida",
+            "idb",
+            F.when(F.col("_la") == F.col("_lb"), 1).otherwise(0).alias("a_lang"),
+            F.when(F.col("_sa") == F.col("_sb"), 1).otherwise(0).alias("a_src"),
+            F.when(F.abs(F.col("_na") - F.col("_nb")) <= 20, 1)
+            .otherwise(0)
+            .alias("a_len"),
+        )
+    )
+    scored, _params = fellegi_sunter_em(
+        g, ["a_lang", "a_src", "a_len"], iters=3
+    )
+    return scored
+
+
 def _q_priority_sample(spark, sf):
     """Deterministic weighted sampling without replacement (priority
     sampling, operators/packing.py::priority_sample): weight = n_chars+1,
@@ -1329,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_scc": _q_graph_scc,
         "snm_pairs": _q_snm_pairs,
         "bloom_semi": _q_bloom_semi,
+        "fs_em": _q_fs_em,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -1883,6 +1936,80 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, weight, round(pr, 6) AS priority
         FROM p ORDER BY pr DESC, doc_id LIMIT 100
+    """
+    # fs_em: Fellegi-Sunter EM unrolled as chained CTEs — params start
+    # at the engine's clamped inits, each round recomputes the posterior
+    # against the previous params row (carried on every pair row) and
+    # re-estimates lam/m_k/u_k with the same COALESCE/NULLIF zero-
+    # denominator guards and [1e-06, 0.999999] clamps as the operator.
+    _fs_fields = [
+        ("a_lang", "da.lang = db.lang"),
+        ("a_src", "da.source = db.source"),
+        ("a_len", "abs(da.n_chars - db.n_chars) <= 20"),
+    ]
+
+    def _fs_lik(p: str) -> tuple[str, str]:
+        lm, lu = f"{p}.lam", f"(1 - {p}.lam)"
+        for k, (a, _) in enumerate(_fs_fields):
+            lm += f" * (CASE WHEN {a} = 1 THEN {p}.m{k} ELSE 1 - {p}.m{k} END)"
+            lu += f" * (CASE WHEN {a} = 1 THEN {p}.u{k} ELSE 1 - {p}.u{k} END)"
+        return lm, lu
+
+    _fs_cl = "LEAST(GREATEST({x}, 1e-06), 0.999999)"
+    _fs_cte = f"""
+        WITH r AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY k, doc_id) - 1 AS pos
+          FROM (SELECT doc_id, substr({_NORM.format(x='text')}, 1, 32) AS k
+                FROM documents)
+          WHERE k IS NOT NULL
+        ),
+        pr AS (
+          SELECT a.doc_id AS ida, b.doc_id AS idb
+          FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 4
+        ),
+        g AS (
+          SELECT pr.ida, pr.idb,
+                 {', '.join(f"CASE WHEN {cond} THEN 1 ELSE 0 END AS {a}" for a, cond in _fs_fields)}
+          FROM pr JOIN documents da ON pr.ida = da.doc_id
+                  JOIN documents db ON pr.idb = db.doc_id
+        ),
+        p0 AS (SELECT 0.5::DOUBLE AS lam,
+                      {', '.join(f'0.9::DOUBLE AS m{k}, 0.1::DOUBLE AS u{k}' for k in range(len(_fs_fields)))})"""
+    for t in range(1, 4):
+        lm, lu = _fs_lik(f"p{t-1}")
+        carry = ", ".join(
+            f"p{t-1}.m{k} AS qm{k}, p{t-1}.u{k} AS qu{k}"
+            for k in range(len(_fs_fields))
+        )
+        _fs_cte += f""",
+        e{t} AS (
+          SELECT g.*, {carry},
+                 ({lm}) AS likm, ({lu}) AS liku
+          FROM g CROSS JOIN p{t-1}
+        ),
+        p{t} AS (
+          SELECT {_fs_cl.format(x='sum(likm/(likm+liku)) / count(*)')} AS lam,
+                 {', '.join(
+                     _fs_cl.format(x=f'COALESCE(sum(likm/(likm+liku) * {a}) / NULLIF(sum(likm/(likm+liku)), 0), any_value(qm{k}))')
+                     + f' AS m{k}, '
+                     + _fs_cl.format(x=f'COALESCE(sum((1 - likm/(likm+liku)) * {a}) / NULLIF(count(*) - sum(likm/(likm+liku)), 0), any_value(qu{k}))')
+                     + f' AS u{k}'
+                     for k, (a, _) in enumerate(_fs_fields))}
+          FROM e{t}
+        )"""
+    _fm, _fu = _fs_lik("p3")
+    _fw = " + ".join(
+        f"(CASE WHEN {a} = 1 THEN log2(p3.m{k} / p3.u{k}) "
+        f"ELSE log2((1 - p3.m{k}) / (1 - p3.u{k})) END)"
+        for k, (a, _) in enumerate(_fs_fields)
+    )
+    sql["fs_em"] = f"""{_fs_cte}
+        SELECT ida, idb,
+               {', '.join(a for a, _ in _fs_fields)},
+               round({_fw}, 6) AS match_weight,
+               round(({_fm}) / (({_fm}) + ({_fu})), 6) AS posterior
+        FROM g CROSS JOIN p3
     """
     # bloom_semi: the bloom stage only prunes, never changes the answer,
     # so the oracle is the exact semi-join it accelerates

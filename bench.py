@@ -275,8 +275,8 @@ def _headline(spark) -> dict[str, float]:
         "media_text_anchor", "kg_fuse", "dict_encode", "graph_ppr",
         "skew_profile", "graph_walks", "zorder_key", "kg_violations", "scd2_dim", "interval_active",
         # late-r4: prefix-filtered exact set-similarity join +
-        # deterministic weighted priority sampling
-        "setsim_join", "priority_sample",
+        # deterministic weighted priority sampling + bloom semi-join
+        "setsim_join", "priority_sample", "bloom_semi",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the
