@@ -557,6 +557,42 @@ def _q_fs_em(spark, sf):
     return scored
 
 
+def _q_bin_pack(spark, sf):
+    """Compaction planning (operators/compaction.py::plan_compaction):
+    pack documents into ~2000-char bins per language — the small-files
+    rewrite planner (Iceberg rewrite_data_files / Delta OPTIMIZE shape).
+    Exclusive-cumsum integer-DIV bin ids: bounded overflow, exact past
+    2^53, partitioning-independent. 500-char docs against a 2000 target
+    exercise multi-file bins; oversize flags files >= target."""
+    from pg_iui_ner_api_spark.operators.compaction import plan_compaction
+
+    return plan_compaction(
+        _t(spark, sf, "documents"),
+        group_cols=["lang"],
+        file_col="doc_id",
+        size_col="n_chars",
+        target=2000,
+    )
+
+
+def _q_bin_pack_manifest(spark, sf):
+    """Per-bin rollup of the compaction plan: n_files/total_bytes/
+    has_oversize — the operational surface a rewrite job consumes."""
+    from pg_iui_ner_api_spark.operators.compaction import (
+        compaction_manifest,
+        plan_compaction,
+    )
+
+    plan = plan_compaction(
+        _t(spark, sf, "documents"),
+        group_cols=["lang"],
+        file_col="doc_id",
+        size_col="n_chars",
+        target=2000,
+    )
+    return compaction_manifest(plan, ["lang"], "n_chars")
+
+
 def _q_priority_sample(spark, sf):
     """Deterministic weighted sampling without replacement (priority
     sampling, operators/packing.py::priority_sample): weight = n_chars+1,
@@ -1382,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _q_snm_pairs,
         "bloom_semi": _q_bloom_semi,
         "fs_em": _q_fs_em,
+        "bin_pack": _q_bin_pack,
+        "bin_pack_manifest": _q_bin_pack_manifest,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -2010,6 +2048,33 @@ def oracle_sql() -> dict[str, str]:
                round({_fw}, 6) AS match_weight,
                round(({_fm}) / (({_fm}) + ({_fu})), 6) AS posterior
         FROM g CROSS JOIN p3
+    """
+    # bin_pack: exclusive-cumsum integer-DIV bin assignment — exact
+    # integer arithmetic, so the window twin hashes identically
+    sql["bin_pack"] = """
+        SELECT lang, doc_id, n_chars,
+               COALESCE(sum(n_chars) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // 2000 AS bin,
+               n_chars >= 2000 AS oversize
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars >= 0
+    """
+    sql["bin_pack_manifest"] = """
+        WITH p AS (
+          SELECT lang, doc_id, n_chars,
+                 COALESCE(sum(n_chars) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // 2000 AS bin,
+                 n_chars >= 2000 AS oversize
+          FROM documents
+          WHERE n_chars IS NOT NULL AND n_chars >= 0
+        )
+        SELECT lang, bin, count(*) AS n_files, sum(n_chars) AS total_bytes,
+               max(oversize) AS has_oversize
+        FROM p GROUP BY lang, bin
     """
     # bloom_semi: the bloom stage only prunes, never changes the answer,
     # so the oracle is the exact semi-join it accelerates
