@@ -685,6 +685,23 @@ def _q_ann_topk(spark, sf):
     return ANN.brute_force_topk(e, q, k=10)
 
 
+def _q_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining (operators/ann.py::
+    hard_negatives), exact all-pairs form: per anchor the top-5
+    highest-cosine vectors with a DIFFERENT label."""
+    return ANN.hard_negatives(_t(spark, sf, "embeddings"), k=5)
+
+
+def _q_hard_negatives_ivf(spark, sf):
+    """IVF-bucketed scale path of hard-negative mining: map-only cell
+    assignment, anchors compete only against same-cell candidates (one
+    equi-join on cell). Deterministic seed centroids, so the DuckDB twin
+    reproduces the approximation exactly."""
+    return ANN.hard_negatives(
+        _t(spark, sf, "embeddings"), k=5, ncells=8, dim=64
+    )
+
+
 def _q_ann_ivf_trained(spark, sf):  # rows-only: approximate by construction
     """IVF with spherical-k-means-trained centroids (FAISS-style train
     step as distributed DataFrame aggregation)."""
@@ -1420,6 +1437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em": _q_fs_em,
         "bin_pack": _q_bin_pack,
         "bin_pack_manifest": _q_bin_pack_manifest,
+        "hard_negatives": _q_hard_negatives,
+        "hard_negatives_ivf": _q_hard_negatives_ivf,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -2323,6 +2342,46 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY cos DESC, vec_id ASC) AS rank
           FROM scored)
         WHERE rank <= 10
+    """
+    # hard negatives: exact all-pairs twin (different-label filter in
+    # the join), then the IVF variant reusing the same inlined seed
+    # centroids as ann_ivf so the approximation reproduces exactly
+    sql["hard_negatives"] = f"""
+        WITH scored AS (
+          SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                 b.vec_id AS neg_id, b.label AS neg_label,
+                 round({_cos}, 6) AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.vec_id <> b.vec_id AND a.label <> b.label
+        )
+        SELECT anchor_id, anchor_label, neg_id, neg_label, cos,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cos DESC, neg_id ASC) AS rank FROM scored)
+        WHERE rank <= 5
+    """
+    sql["hard_negatives_ivf"] = f"""
+        WITH cents(cell, cent) AS (VALUES {_cent_vals}),
+        assigned AS (
+          SELECT vec_id, embedding, label, cell FROM (
+            SELECT e.vec_id, e.embedding, e.label, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_dot_ec} DESC, c.cell ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1
+        ),
+        scored AS (
+          SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                 b.vec_id AS neg_id, b.label AS neg_label,
+                 round({_cos}, 6) AS cos
+          FROM assigned a JOIN assigned b USING (cell)
+          WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+        )
+        SELECT anchor_id, anchor_label, neg_id, neg_label, cos,
+               CAST(rank AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                ORDER BY cos DESC, neg_id ASC) AS rank FROM scored)
+        WHERE rank <= 5
     """
     # media geometry twins: the fake decode is md5(payload)-driven
     # (operators/media.py:_fake_decode), payload = UTF-8 of media_ref —

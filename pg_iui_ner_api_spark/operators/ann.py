@@ -212,3 +212,63 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos", "rank")
     )
+
+
+def hard_negatives(vectors: DataFrame, k: int = 5, ncells: int = 0,
+                   dim: int | None = None, id_col: str = "vec_id",
+                   emb_col: str = "embedding", label_col: str = "label",
+                   centroids: list[tuple[int, list[float]]] | None = None
+                   ) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the top-k vectors
+    with the HIGHEST cosine but a DIFFERENT label — the training pairs
+    that teach an embedding model the decision boundary (the corpus-
+    scale form of in-batch negative selection).
+
+    ``ncells=0`` is the exact all-pairs form: quadratic, the oracle
+    surface for validation-sized corpora (the same contract as
+    ``brute_force_topk``). ``ncells>0`` is the IVF scale path: every
+    vector is cell-assigned map-only (``_argmax_cell`` folded literal,
+    zero shuffle) and anchors compete only against same-cell
+    candidates, so the self-join is ONE equi-join on the cell id —
+    approximate by construction (a cross-cell near-neighbor is missed;
+    recall vs exact is measured in tests), with per-cell candidate
+    volume bounded by the cell population instead of n^2.
+
+    Output: (anchor_id, anchor_label, neg_id, neg_label, cos, rank),
+    rank 1 = hardest negative, ties broken by ascending neg_id.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sel = [
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).alias("emb"),
+        F.col(label_col).alias("label"),
+    ]
+    if ncells:
+        if dim is None:
+            raise ValueError("dim is required when ncells > 0")
+        cents = centroids if centroids is not None else _centroids(dim, ncells)
+        v = spread(vectors).select(*sel, _argmax_cell(cents, emb_col).alias("cell"))
+        join_on = [F.col("a.cell") == F.col("b.cell")]
+    else:
+        v = spread(vectors).select(*sel)
+        join_on = []
+    a = v.alias("a")
+    b = v.alias("b")
+    cond = (F.col("a.vec_id") != F.col("b.vec_id")) & (
+        F.col("a.label") != F.col("b.label")
+    )
+    for j in join_on:
+        cond = j & cond
+    pairs = (a.join(b, cond) if ncells else a.join(F.broadcast(b), cond)).select(
+        F.col("a.vec_id").alias("anchor_id"),
+        F.col("a.label").alias("anchor_label"),
+        F.col("b.vec_id").alias("neg_id"),
+        F.col("b.label").alias("neg_label"),
+        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("neg_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
