@@ -818,6 +818,15 @@ def _docs_with_media(spark, sf):
     )
 
 
+def _q_media_frame_plan(spark, sf):
+    """Oracle-checked frame-sampling plan (operators/media.py::
+    frame_sample_plan): which frame indices a video/audio decode would
+    materialize — every 8th frame, pure column algebra over the
+    md5-deterministic n_frames geometry."""
+    feats = M.extract_media_features(_docs_with_media(spark, sf))
+    return M.frame_sample_plan(feats, every_n=8)
+
+
 def _q_media_geometry(spark, sf):
     """Oracle-checked media decode geometry over table-derived spans."""
     return M.extract_media_features(_docs_with_media(spark, sf)).select(
@@ -1484,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cooccur": _q_graph_cooccur,
         "media_geometry": _q_media_geometry,
         "media_resize_geom": _q_media_resize_geom,
+        "media_frame_plan": _q_media_frame_plan,
         # -- (c) rows-only (no SQL oracle; golden-hash pinned in
         #        tests/test_golden_queries.py) ------------------------------
         "ann_ivf_trained": _q_ann_ivf_trained,
@@ -2415,6 +2425,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(greatest(1, round(height * least(1.0,
                     224.0 / greatest(width, height)))) AS INT) AS out_height
         FROM geo
+    """
+    # frame-sample plan twin: every 8th frame index of non-image spans,
+    # over the same md5-deterministic geometry
+    sql["media_frame_plan"] = f"""
+        {_MEDIA_GEO}
+        SELECT doc_id, span_idx, media_ref,
+               list_filter(range(0, n_frames), i -> i % 8 = 0)
+                 AS sampled_frames
+        FROM geo WHERE kind <> 'image'
     """
     # closed-form twin of the 5-span interleaved sequence _anchor_spans
     # builds per doc: text@0 has no media before it, text@10 ties with

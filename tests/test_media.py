@@ -187,3 +187,21 @@ def test_align_text_to_media_null_ref_anchor_stays_consistent(spark):
     assert (got["anchor_ref"], got["anchor_offset"], got["anchor_dist"]) == (
         None, 5, 4,
     )
+
+
+def test_frame_sample_plan(spark, docs):
+    """Every 8th frame index, images excluded, n_frames=1 -> [0], and
+    the plan stays pure column algebra (no Python beyond the feature
+    UDF upstream)."""
+    feats = M.extract_media_features(docs)
+    plan = M.frame_sample_plan(feats, every_n=8)
+    got = {(r["doc_id"], r["span_idx"]): r["sampled_frames"] for r in plan.collect()}
+    ref = {
+        (r["doc_id"], r["span_idx"]): r["n_frames"]
+        for r in feats.collect()
+        if r["kind"] != "image"
+    }
+    assert set(got) == set(ref)
+    for k, frames in got.items():
+        assert frames == list(range(0, ref[k], 8))
+        assert frames[0] == 0  # a decode always materializes frame 0
