@@ -557,6 +557,25 @@ def _q_fs_em(spark, sf):
     return scored
 
 
+def _q_interpolate(spark, sf):
+    """Linear gap interpolation on the daily-resampled per-user series
+    (operators/analytics.py::interpolate_linear) — the companion to
+    resample's staircase ffill for rate-like series."""
+    from pg_iui_ner_api_spark.operators.analytics import interpolate_linear
+
+    return interpolate_linear(_t(spark, sf, "events"), 86400)
+
+
+def _q_rolling_stats(spark, sf):
+    """Trailing 1-hour RANGE-frame statistics + z-score per event
+    (operators/analytics.py::rolling_range_stats) — the batch form of
+    the streaming anomaly-detection baseline; the current second's
+    peers are excluded so an event never smooths itself."""
+    from pg_iui_ner_api_spark.operators.analytics import rolling_range_stats
+
+    return rolling_range_stats(_t(spark, sf, "events"), 3600)
+
+
 def _q_bin_pack(spark, sf):
     """Compaction planning (operators/compaction.py::plan_compaction):
     pack documents into ~2000-char bins per language — the small-files
@@ -1448,6 +1467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_pack_manifest": _q_bin_pack_manifest,
         "hard_negatives": _q_hard_negatives,
         "hard_negatives_ivf": _q_hard_negatives_ivf,
+        "interpolate": _q_interpolate,
+        "rolling_stats": _q_rolling_stats,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -3091,6 +3112,71 @@ def oracle_sql() -> dict[str, str]:
                b.v IS NULL AS filled
         FROM grid g LEFT JOIN binned b
           ON b.user_id = g.user_id AND b.bin = g.bin
+    """
+    # interpolate: resample's grid/last-per-bin CTEs + the four
+    # IGNORE NULLS neighbor windows feeding the in-row linear formula
+    sql["interpolate"] = """
+        WITH e AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+                 event_id, value FROM events
+        ),
+        ranked AS (
+          SELECT user_id, CAST(floor(sec / 86400) AS BIGINT) AS bin, value,
+                 row_number() OVER (PARTITION BY user_id, floor(sec / 86400)
+                                    ORDER BY sec DESC, event_id DESC) AS rn
+          FROM e
+        ),
+        binned AS (SELECT user_id, bin, value AS v FROM ranked WHERE rn = 1),
+        span AS (SELECT user_id, min(bin) AS b0, max(bin) AS b1
+                 FROM binned GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bin FROM span),
+        j AS (SELECT g.user_id AS key, g.bin, b.v
+              FROM grid g LEFT JOIN binned b
+                ON b.user_id = g.user_id AND b.bin = g.bin),
+        n AS (
+          SELECT key, bin, v,
+                 last_value(v IGNORE NULLS) OVER wp AS pv,
+                 last_value(CASE WHEN v IS NOT NULL THEN bin END IGNORE NULLS)
+                   OVER wp AS pt,
+                 first_value(v IGNORE NULLS) OVER wn AS nv,
+                 first_value(CASE WHEN v IS NOT NULL THEN bin END IGNORE NULLS)
+                   OVER wn AS nt
+          FROM j
+          WINDOW wp AS (PARTITION BY key ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY key ORDER BY bin
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT key, bin,
+               round(CASE WHEN v IS NOT NULL THEN v
+                     ELSE pv + (nv - pv) * (bin - pt) / (nt - pt) END, 6)
+                 AS value,
+               v IS NULL AS interpolated
+        FROM n
+    """
+    # rolling_stats: trailing 1h RANGE frame excluding the current
+    # second's peers; round only in the outer select so the z-score
+    # divides the unrounded baseline
+    sql["rolling_stats"] = """
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+        ),
+        s AS (
+          SELECT user_id, event_id, value,
+                 count(value) OVER wr AS n_prev,
+                 avg(value) OVER wr AS mean_prev,
+                 stddev_samp(value) OVER wr AS std_prev
+          FROM e
+          WINDOW wr AS (PARTITION BY user_id ORDER BY sec
+                        RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id, round(value, 6) AS value, n_prev,
+               round(mean_prev, 6) AS mean_prev,
+               round(std_prev, 6) AS std_prev,
+               round(CASE WHEN std_prev > 0
+                     THEN (value - mean_prev) / std_prev END, 6) AS zscore
+        FROM s
     """
     sql["histogram"] = """
         SELECT event_type,

@@ -658,3 +658,107 @@ def interval_coverage(
     return run.join(F.broadcast(offsets), "pid").select(
         "ts", (F.col("run") + F.col("off")).cast("long").alias("n_active")
     )
+
+
+def interpolate_linear(
+    events: DataFrame,
+    interval_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key downsample to fixed bins with LINEAR interpolation of
+    interior gaps — the companion to ``resample_ffill`` for series
+    where a staircase fill distorts (sensor readings, rates):
+
+        v(bin) = v_prev + (v_next - v_prev) * (bin - t_prev)
+                                              / (t_next - t_prev)
+
+    Bins before a key's first observation or after its last stay the
+    observed NULL-free span by construction (the grid spans min..max
+    observed bin), so every emitted bin either carries an observation
+    or sits strictly between two and interpolates; ``interpolated``
+    flags the synthesized rows.
+
+    Plan: identical shape to ``resample_ffill`` — one groupBy to the
+    per-bin last value, an in-row ``sequence`` explode for the dense
+    grid, one co-keyed left join, then ONE window pass computing the
+    four IGNORE NULLS neighbor columns (prev/next value and bin) that
+    feed the in-row interpolation formula. Shuffles carry
+    (key, bin, value) only.
+    """
+    b = int(interval_seconds)
+    sec = _epoch(F.col(ts_col))
+    binned = events.groupBy(
+        F.col(key_col).alias("key"), F.floor(sec / b).alias("bin")
+    ).agg(
+        F.max_by(F.col(value_col), F.struct(sec, F.col(tiebreak))).alias("_v")
+    )
+    grid = (
+        binned.groupBy("key")
+        .agg(F.min("bin").alias("b0"), F.max("bin").alias("b1"))
+        .select("key", F.explode(F.sequence("b0", "b1")).alias("bin"))
+    )
+    wp = Window.partitionBy("key").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("key").orderBy("bin").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    v = F.col("_v").cast("double")
+    obs_bin = F.when(F.col("_v").isNotNull(), F.col("bin"))
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pt = F.last(obs_bin, ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wn)
+    nt = F.first(obs_bin, ignorenulls=True).over(wn)
+    interp = pv + (nv - pv) * (F.col("bin") - pt) / (nt - pt)
+    return grid.join(binned, ["key", "bin"], "left").select(
+        "key",
+        "bin",
+        F.round(F.when(v.isNotNull(), v).otherwise(interp), 6).alias(value_col),
+        F.col("_v").isNull().alias("interpolated"),
+    )
+
+
+def rolling_range_stats(
+    events: DataFrame,
+    window_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Trailing TIME-window statistics per event — count/mean/stddev of
+    the values in the preceding ``window_seconds`` (current second's
+    peers EXCLUDED via the ``RANGE ... AND 1 PRECEDING`` frame, so an
+    event never smooths itself into its own baseline) plus the z-score
+    of the current value against that trailing baseline — the streaming
+    anomaly-detection primitive, computed batch-side.
+
+    One window shuffle on the key; RANGE frames over the integer epoch
+    second keep the whole computation inside whole-stage codegen
+    (row-based frames can't express "last hour" when event spacing is
+    irregular).
+    """
+    w = int(window_seconds)
+    sec = _epoch(F.col(ts_col))
+    wr = (
+        Window.partitionBy(key_col)
+        .orderBy(sec.alias("_sec"))
+        .rangeBetween(-w, -1)
+    )
+    v = F.col(value_col)
+    mean_prev = F.avg(v).over(wr)
+    std_prev = F.stddev_samp(v).over(wr)
+    return events.select(
+        key_col,
+        tiebreak,
+        F.round(v, 6).alias("value"),
+        F.count(v).over(wr).alias("n_prev"),
+        F.round(mean_prev, 6).alias("mean_prev"),
+        F.round(std_prev, 6).alias("std_prev"),
+        F.round(
+            F.when(std_prev > 0, (v - mean_prev) / std_prev), 6
+        ).alias("zscore"),
+    )
