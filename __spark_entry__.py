@@ -948,6 +948,16 @@ def _q_graph_khop(spark, sf):
     return GR.khop(GR.symmetrize(_part_edges(spark, sf)), seeds=[1], k=2)
 
 
+def _q_graph_anf(spark, sf):
+    """Neighborhood function / ANF (operators/graph.py::
+    neighborhood_function): per node, |B(node, r)| for r = 0..2 over the
+    part co-occurrence graph — all nodes simultaneously via distributed
+    bitmap OR rounds (exact mode; the HyperBall register swap is the
+    documented scale path). Integer counts, so the recursive-closure
+    DuckDB twin hashes exactly."""
+    return GR.neighborhood_function(GR.symmetrize(_part_edges(spark, sf)), h=2)
+
+
 def _q_graph_pagerank(spark, sf):
     pr = GR.pagerank(GR.symmetrize(_part_edges(spark, sf)), iters=3)
     # round(6) on both sides: sum-reduction order may differ per engine
@@ -1418,6 +1428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_degrees": _q_graph_degrees,
         "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
+        "graph_anf": _q_graph_anf,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
         "graph_lpa": _q_graph_lpa,
@@ -2654,6 +2665,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, 0 AS dist FROM d0
         UNION ALL SELECT node, 1 AS dist FROM d1
         UNION ALL SELECT node, 2 AS dist FROM d2
+    """
+    # graph_anf: bounded-depth recursive closure -> min distance per
+    # (node, other) pair -> cumulative reach per radius. Integer counts
+    # hash exactly against the engine's bitmap rounds.
+    sql["graph_anf"] = f"""
+        WITH RECURSIVE {_GEDGES},
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        rec(node, other, d) AS (
+          SELECT node, node, 0 FROM nodes
+          UNION
+          SELECT r.node, s.dst, r.d + 1
+          FROM rec r JOIN sym s ON s.src = r.other
+          WHERE r.d < 2
+        ),
+        pairs AS (SELECT node, other, min(d) AS md FROM rec GROUP BY 1, 2)
+        SELECT p.node, CAST(hs.h AS INT) AS h, count(*) AS reach
+        FROM pairs p CROSS JOIN (SELECT unnest(range(0, 3)) AS h) hs
+        WHERE p.md <= hs.h
+        GROUP BY p.node, hs.h
     """
     # 3 unrolled PageRank iterations; float ops in the exact same order
     # as operators/graph.py::pagerank (cast-to-double before every op)

@@ -957,3 +957,122 @@ def strongly_connected_components(
     return out.unionByName(
         singles.select("node", F.col("node").alias("scc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood function (ANF / HyperBall)
+# ---------------------------------------------------------------------------
+def neighborhood_function(
+    edges_sym: DataFrame, h: int, exact_max_nodes: int = 1_000_000
+) -> DataFrame:
+    """Per-node neighborhood function (Palmer et al. KDD'02 ANF; Boldi
+    & Vigna's HyperBall): ``(node, h, reach)`` where ``reach`` =
+    |B(node, r)|, the number of nodes within distance r, for r = 0..h,
+    computed for ALL nodes simultaneously over a SYMMETRIC edge list —
+    the primitive behind effective-diameter and centrality-by-reach
+    queries that per-seed BFS cannot answer at n-node scale.
+
+    Exact mode: every node carries a bitmap over a dense node index
+    (``encoding.dictionary_encode`` — no global window). Per round,
+    each node ORs its neighbors' bitmaps into its own:
+
+      * msgs = edges ⋈ state on src — edges are materialized once and
+        never shuffle (the pagerank discipline); only the state rides;
+      * bitmaps posexplode to (node, word, bits), ZERO words dropped
+        map-side (sparse early rounds cost almost nothing), then one
+        partial-aggregable ``bit_or`` groupBy on (node, word) — hub-
+        safe because the key includes the word index;
+      * the ≤ n/64 word rows per node reassemble via map_from_entries.
+
+    Counts are exact integers (bit_count), so the DuckDB recursive-
+    closure twin hashes identically — no float wobble anywhere.
+
+    SCALE NOTE: the exact bitmap is Θ(n/64) words per node — right for
+    validation corpora and as the oracle surface. At 10^9+ nodes you
+    swap the bitmap for constant-size Flajolet-Martin/HLL registers and
+    keep THIS exact dataflow (that swap IS HyperBall); the operator
+    refuses loudly past ``exact_max_nodes`` instead of OOMing an
+    executor mid-round.
+    """
+    if h < 0:
+        raise ValueError("h must be >= 0")
+    from .encoding import dictionary_encode
+
+    idx = dictionary_encode(edges_sym.select("src"), "src").select(
+        F.col("value").alias("orig"), F.col("id").alias("node")
+    )
+    n = idx.count()  # bounded: metadata-size scalar, gates the mode
+    if n == 0:
+        return edges_sym.sparkSession.createDataFrame(
+            [], "node long, h int, reach long"
+        )
+    if n > exact_max_nodes:
+        raise ValueError(
+            f"exact bitmap mode caps at {exact_max_nodes} nodes (got {n}); "
+            "swap in sketch registers for larger graphs"
+        )
+    W = (n + 63) // 64
+    idx = F.broadcast(idx.localCheckpoint())
+    e = (
+        edges_sym.join(idx, edges_sym.src == idx.orig)
+        .select(F.col("node").alias("s"), F.col("dst").alias("_d"))
+        .join(idx, F.col("_d") == idx.orig)
+        .select("s", F.col("node").alias("d"))
+        .localCheckpoint()
+    )
+    own_bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(node % 64 AS INT))")
+    state = idx.select(
+        "node",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(W - 1)),
+            lambda w: F.when(
+                w == (F.col("node") / 64).cast("int"), own_bit
+            ).otherwise(F.lit(0).cast("long")),
+        ).alias("words"),
+    ).localCheckpoint()
+
+    def _reach(st: DataFrame, r: int) -> DataFrame:
+        return st.select(
+            "node",
+            F.lit(r).cast("int").alias("h"),
+            F.aggregate(
+                F.col("words"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.bit_count(x).cast("long"),
+            ).alias("reach"),
+        )
+
+    out = _reach(state, 0)
+    for r in range(1, h + 1):
+        msgs = e.join(state, e.s == state.node).select(
+            F.col("d").alias("node"), "words"
+        )
+        exploded = (
+            state.unionByName(msgs)
+            .select("node", F.posexplode("words").alias("w", "bits"))
+            .where(F.col("bits") != 0)
+        )
+        words = exploded.groupBy("node", "w").agg(F.bit_or("bits").alias("bits"))
+        state = (
+            words.groupBy("node")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("w", "bits"))
+                ).alias("m")
+            )
+            .select(
+                "node",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(W - 1)),
+                    lambda i: F.coalesce(
+                        F.element_at(F.col("m"), i), F.lit(0).cast("long")
+                    ),
+                ).alias("words"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(_reach(state, r))
+    return (
+        out.join(idx, "node")
+        .select(F.col("orig").alias("node"), "h", "reach")
+    )
