@@ -76,6 +76,33 @@ def stream_windowed_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def stream_sliding_event_stats(events: DataFrame, window: str = "1 hour",
+                               slide: str = "15 minutes",
+                               watermark: str = "2 hours") -> DataFrame:
+    """Event-time SLIDING window stats with late-data watermark — the
+    overlapping-window companion to the tumbling counts above (a rate
+    monitor wants "last hour, every 15 minutes", not hour-aligned
+    buckets). Each event lands in window/slide overlapping panes;
+    Spark's window() generator expands the panes IN-ROW, so the only
+    shuffle is the pane-keyed aggregation, and the watermark bounds
+    state to the panes still open. Emits once per closed pane
+    (append mode), so downstream sinks see each pane exactly once."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type", "n", "avg_value", "max_value",
+        )
+    )
+
+
 SESSION_OUT = ("user_id long, session_id long, n_events long, "
                "t_start timestamp, t_end timestamp")
 _SESSION_STATE = "session_id long, n_events long, t_start double, t_end double"
@@ -213,6 +240,27 @@ def run_windowed_event_counts(spark: SparkSession, input_dir: str, output_dir: s
     counts = stream_windowed_event_counts(ev)
     return (
         counts.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_sliding_event_stats(spark: SparkSession, input_dir: str, output_dir: str,
+                            checkpoint_dir: str, window: str = "1 hour",
+                            slide: str = "15 minutes"):
+    """File-source streaming variant of the sliding-window stats."""
+    ev = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ).parquet(input_dir)
+    )
+    stats = stream_sliding_event_stats(ev, window=window, slide=slide)
+    return (
+        stats.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
