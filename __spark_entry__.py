@@ -576,6 +576,20 @@ def _q_rolling_stats(spark, sf):
     return rolling_range_stats(_t(spark, sf, "events"), 3600)
 
 
+def _q_er_clusters(spark, sf):
+    """End-to-end probabilistic entity resolution: SNM blocking ->
+    FS-EM scoring (_q_fs_em) -> posterior >= 0.3 -> transitive clusters
+    (operators/record_linkage.py::resolve_clusters); cluster_id = min
+    doc_id, keep marks representatives — the ER twin of fuzzy_dedup."""
+    from pg_iui_ner_api_spark.operators.record_linkage import resolve_clusters
+
+    scored = _q_fs_em(spark, sf)
+    return resolve_clusters(
+        _t(spark, sf, "documents"), scored, "ida", "idb", "doc_id",
+        min_posterior=0.3,
+    )
+
+
 def _q_bin_pack(spark, sf):
     """Compaction planning (operators/compaction.py::plan_compaction):
     pack documents into ~2000-char bins per language — the small-files
@@ -1474,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_pairs": _q_snm_pairs,
         "bloom_semi": _q_bloom_semi,
         "fs_em": _q_fs_em,
+        "er_clusters": _q_er_clusters,
         "bin_pack": _q_bin_pack,
         "bin_pack_manifest": _q_bin_pack_manifest,
         "hard_negatives": _q_hard_negatives,
@@ -2055,8 +2070,10 @@ def oracle_sql() -> dict[str, str]:
         return lm, lu
 
     _fs_cl = "LEAST(GREATEST({x}, 1e-06), 0.999999)"
+    # the chain is WITH-less so fs_em prepends WITH and er_clusters
+    # prepends WITH RECURSIVE (its closure CTE needs the keyword)
     _fs_cte = f"""
-        WITH r AS (
+        r AS (
           SELECT doc_id,
                  row_number() OVER (ORDER BY k, doc_id) - 1 AS pos
           FROM (SELECT doc_id, substr({_NORM.format(x='text')}, 1, 32) AS k
@@ -2103,12 +2120,38 @@ def oracle_sql() -> dict[str, str]:
         f"ELSE log2((1 - p3.m{k}) / (1 - p3.u{k})) END)"
         for k, (a, _) in enumerate(_fs_fields)
     )
-    sql["fs_em"] = f"""{_fs_cte}
+    sql["fs_em"] = f"""WITH {_fs_cte}
         SELECT ida, idb,
                {', '.join(a for a, _ in _fs_fields)},
                round({_fw}, 6) AS match_weight,
                round(({_fm}) / (({_fm}) + ({_fu})), 6) AS posterior
         FROM g CROSS JOIN p3
+    """
+    # er_clusters: the full ER pipeline — SNM blocking -> FS-EM scoring
+    # -> posterior >= 0.3 -> transitive closure, cluster = min doc_id
+    # (the fuzzy_dedup closure idiom over FS-surviving pairs)
+    sql["er_clusters"] = f"""WITH RECURSIVE {_fs_cte},
+        scored AS (
+          SELECT ida, idb,
+                 round(({_fm}) / (({_fm}) + ({_fu})), 6) AS posterior
+          FROM g CROSS JOIN p3
+        ),
+        cands AS (SELECT ida, idb FROM scored WHERE posterior >= 0.3),
+        eedges AS (
+          SELECT ida AS u, idb AS v FROM cands
+          UNION SELECT idb AS u, ida AS v FROM cands
+        ),
+        reach AS (
+          SELECT DISTINCT u AS node, u AS rr FROM eedges
+          UNION
+          SELECT reach.node, eedges.v AS rr
+          FROM reach JOIN eedges ON reach.rr = eedges.u
+        ),
+        comp AS (SELECT node, min(rr) AS cluster FROM reach GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(comp.cluster, d.doc_id) AS cluster_id,
+               coalesce(comp.cluster, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
     """
     # bin_pack: exclusive-cumsum integer-DIV bin assignment — exact
     # integer arithmetic, so the window twin hashes identically
@@ -3191,6 +3234,7 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (
           SELECT user_id, event_id, value,
                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+          WHERE ts IS NOT NULL
         ),
         s AS (
           SELECT user_id, event_id, value,

@@ -743,6 +743,10 @@ def rolling_range_stats(
     """
     w = int(window_seconds)
     sec = _epoch(F.col(ts_col))
+    # A NULL timestamp has no place on a time axis — and engines
+    # disagree on how NULL order keys join RANGE frames (the asof_join
+    # null-ts rule): drop, mirrored by the oracle's WHERE ts IS NOT NULL.
+    events = events.where(F.col(ts_col).isNotNull())
     wr = (
         Window.partitionBy(key_col)
         .orderBy(sec.alias("_sec"))

@@ -128,3 +128,28 @@ def fellegi_sunter_em(
         "match_weight", F.round(weight, 6)
     ).withColumn("posterior", F.round(pm / (pm + pu), 6))
     return scored, {"m": m, "u": u, "lam": lam, "n_pairs": n_pairs}
+
+
+def resolve_clusters(
+    records: DataFrame,
+    scored_pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    id_col: str,
+    min_posterior: float = 0.5,
+) -> DataFrame:
+    """Entity resolution, end to end: threshold FS-scored pairs at
+    ``min_posterior`` and collapse the surviving match graph into
+    transitive clusters (A≈B, B≈C must merge even when A,C were never a
+    candidate pair). Returns one row per record:
+    ``(id, cluster_id, keep)`` with cluster_id = min id of the record's
+    cluster (itself when unmatched) — the same contract as
+    ``dedup.fuzzy_dedup``, whose cluster machinery (pair graph orders of
+    magnitude smaller than the corpus; ids-only shuffles) this reuses.
+    """
+    from .dedup import _cluster_keep
+
+    pairs = scored_pairs.where(
+        F.col("posterior") >= float(min_posterior)
+    ).select(a_col, b_col)
+    return _cluster_keep(records, pairs, a_col, b_col, id_col)

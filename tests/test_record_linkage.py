@@ -159,3 +159,32 @@ def test_scoring_plan_is_jvm_only(spark, planted):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "Exchange" not in plan
+
+
+def test_resolve_clusters_transitive(spark):
+    """A≈B and B≈C at high posterior must land in ONE cluster even
+    though (A,C) was never a candidate pair; low-posterior pairs must
+    not merge; unmatched records keep themselves."""
+    from pg_iui_ner_api_spark.operators.record_linkage import resolve_clusters
+
+    records = spark.createDataFrame(
+        [(i,) for i in range(7)], "rid long"
+    )
+    scored = spark.createDataFrame(
+        [
+            (0, 1, 0.95),
+            (1, 2, 0.90),   # chain 0-1-2
+            (3, 4, 0.10),   # below threshold: no merge
+            (5, 6, 0.75),
+        ],
+        "ida long, idb long, posterior double",
+    )
+    got = {
+        r["rid"]: (r["cluster_id"], r["keep"])
+        for r in resolve_clusters(
+            records, scored, "ida", "idb", "rid", min_posterior=0.5
+        ).collect()
+    }
+    assert got[0] == (0, True) and got[1] == (0, False) and got[2] == (0, False)
+    assert got[3] == (3, True) and got[4] == (4, True)
+    assert got[5] == (5, True) and got[6] == (5, False)
