@@ -590,6 +590,33 @@ def _q_er_clusters(spark, sf):
     )
 
 
+def _q_temperature_mix(spark, sf):
+    """Temperature-based source rebalancing (operators/packing.py::
+    temperature_mix), alpha=0.5: keep_frac = sqrt(n_min)/sqrt(n_s) —
+    correctly-rounded IEEE on both engines, so keep decisions hash
+    bit-for-bit."""
+    from pg_iui_ner_api_spark.operators.packing import temperature_mix
+
+    return temperature_mix(_t(spark, sf, "documents")).select(
+        "doc_id", "source", "keep_frac", "keep"
+    )
+
+
+def _q_salted_join(spark, sf):
+    """Explicit skew-salted equi-join (operators/skew.py::salted_join):
+    lineitem x orders spread across 8 salt sub-keys. The salt only moves
+    rows between shuffle partitions, so the oracle is the plain join."""
+    from pg_iui_ner_api_spark.operators.skew import salted_join
+
+    li = _t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_partkey", "l_quantity"
+    )
+    od = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_custkey", "o_totalprice"
+    )
+    return salted_join(li, od, ["okey"], salt=8, disambig="l_partkey")
+
+
 def _q_bin_pack(spark, sf):
     """Compaction planning (operators/compaction.py::plan_compaction):
     pack documents into ~2000-char bins per language — the small-files
@@ -1489,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi": _q_bloom_semi,
         "fs_em": _q_fs_em,
         "er_clusters": _q_er_clusters,
+        "temperature_mix": _q_temperature_mix,
+        "salted_join": _q_salted_join,
         "bin_pack": _q_bin_pack,
         "bin_pack_manifest": _q_bin_pack_manifest,
         "hard_negatives": _q_hard_negatives,
@@ -2152,6 +2181,27 @@ def oracle_sql() -> dict[str, str]:
                coalesce(comp.cluster, d.doc_id) AS cluster_id,
                coalesce(comp.cluster, d.doc_id) = d.doc_id AS keep
         FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    """
+    # temperature_mix: sqrt(n_min)/sqrt(n_s) fractions (correctly-
+    # rounded IEEE both engines) + the priority_sample md5 uniform
+    _MIXH = _H.format(x="'mix0|' || CAST(doc_id AS VARCHAR)")
+    sql["temperature_mix"] = f"""
+        WITH c AS (SELECT source AS s, count(*) AS n FROM documents
+                   WHERE source IS NOT NULL GROUP BY 1),
+        f AS (SELECT s, sqrt((SELECT min(n) FROM c)::DOUBLE)
+                         / sqrt(n::DOUBLE) AS frac
+              FROM c)
+        SELECT d.doc_id, d.source, f.frac AS keep_frac,
+               coalesce((({_MIXH} + 1)::DOUBLE / 1152921504606846976.0)
+                        < f.frac, FALSE) AS keep
+        FROM documents d LEFT JOIN f ON d.source = f.s
+    """
+    # salted_join: salt only moves rows between partitions — the oracle
+    # is the plain equi-join
+    sql["salted_join"] = """
+        SELECT l.l_orderkey AS okey, l.l_partkey, l.l_quantity,
+               o.o_custkey, o.o_totalprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     """
     # bin_pack: exclusive-cumsum integer-DIV bin assignment — exact
     # integer arithmetic, so the window twin hashes identically

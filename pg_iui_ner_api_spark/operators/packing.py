@@ -255,3 +255,83 @@ def priority_sample(docs: DataFrame, weight_col: str, k: int = 100,
         .limit(k)
         .select("doc_id", "weight", F.round(F.col("_pr"), 6).alias("priority"))
     )
+
+
+def temperature_mix(docs: DataFrame, source_col: str = "source",
+                    alpha: float = 0.5, seed: str = "mix0",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual/multi-
+    source LM mixing rule (XLM-R / mT5 shape): target share of source s
+    is proportional to n_s^alpha, realized by DOWNSAMPLING ONLY (no
+    replication), so
+
+        keep_frac(s) = n_s^(alpha-1) / max_t n_t^(alpha-1)
+
+    — the smallest source keeps 100% and every larger source trims
+    toward the flattened target distribution (alpha=1 keeps everything;
+    alpha=0 equalizes expected counts).
+
+    Keep decision: seeded md5 uniform u(id) < keep_frac(s) — a pure
+    function of (seed, id), reproducible across engines, partitionings,
+    and appends (the ``priority_sample`` argument: new docs never
+    reshuffle the randomness of existing ones).
+
+    Exactness: with the default alpha=0.5 the fraction is computed as
+    sqrt(n_min)/sqrt(n_s) — two correctly-rounded IEEE sqrts and one
+    division — so the DuckDB twin reproduces every keep decision
+    bit-for-bit. Other alphas route through pow(), whose last ulp can
+    differ across libms; boundary flips are ~2^-45 probable per row.
+
+    Scale shape: ONE count aggregation (the only shuffle), a driver
+    collect bounded by the number of SOURCES (the linking.py bounded-dim
+    contract), fractions folded into a broadcast VALUES dim, and a
+    map-side join + in-row hash compare. Docs with a NULL source are
+    emitted with keep=false (they have no place in a source mix).
+    Returns every doc with (keep_frac, keep); ``where(keep)`` is the
+    mixed corpus.
+    """
+    import math
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    from ..synth import local_dim_df
+
+    counts = (
+        docs.where(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("_src"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    spark = docs.sparkSession
+    if not counts:
+        return docs.select(
+            "*",
+            F.lit(None).cast("double").alias("keep_frac"),
+            F.lit(False).alias("keep"),
+        )
+    if alpha == 0.5:
+        n_min = min(r["n"] for r in counts)
+        fracs = [
+            (r["_src"], math.sqrt(n_min) / math.sqrt(r["n"])) for r in counts
+        ]
+    else:
+        rs = {r["_src"]: r["n"] ** (alpha - 1.0) for r in counts}
+        top = max(rs.values())
+        fracs = [(s, v / top) for s, v in rs.items()]
+    dim = F.broadcast(local_dim_df(spark, fracs, ["_src", "_frac"]))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(1152921504606846976.0)  # 2^60
+    return (
+        docs.join(dim, docs[source_col] == dim._src, "left")
+        .select(
+            *docs.columns,
+            F.col("_frac").alias("keep_frac"),
+            F.coalesce(u < F.col("_frac"), F.lit(False)).alias("keep"),
+        )
+    )
