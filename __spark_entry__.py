@@ -617,6 +617,30 @@ def _q_salted_join(spark, sf):
     return salted_join(li, od, ["okey"], salt=8, disambig="l_partkey")
 
 
+def _q_snapshot_diff(spark, sf):
+    """CDC between two table snapshots (sources/registry.py::
+    snapshot_diff): v2 derives from documents deterministically
+    (delete doc_id%7==0, bump n_chars on doc_id%5==0, insert 20 new
+    ids), so DuckDB replays the same diff. One full outer join on the
+    key; null-safe in-row change classification."""
+    from pg_iui_ner_api_spark.sources.registry import snapshot_diff
+
+    d = _t(spark, sf, "documents").select("doc_id", "lang", "source", "n_chars")
+    v2 = d.where(F.col("doc_id") % 7 != 0).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 5 == 0, F.col("n_chars") + 1).otherwise(
+            F.col("n_chars")
+        ),
+    )
+    ins = d.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "lang",
+        F.lit("new").alias("source"),
+        "n_chars",
+    )
+    return snapshot_diff(d, v2.unionByName(ins), ["doc_id"])
+
+
 def _q_bin_pack(spark, sf):
     """Compaction planning (operators/compaction.py::plan_compaction):
     pack documents into ~2000-char bins per language — the small-files
@@ -1518,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_clusters": _q_er_clusters,
         "temperature_mix": _q_temperature_mix,
         "salted_join": _q_salted_join,
+        "snapshot_diff": _q_snapshot_diff,
         "bin_pack": _q_bin_pack,
         "bin_pack_manifest": _q_bin_pack_manifest,
         "hard_negatives": _q_hard_negatives,
@@ -2195,6 +2220,43 @@ def oracle_sql() -> dict[str, str]:
                coalesce((({_MIXH} + 1)::DOUBLE / 1152921504606846976.0)
                         < f.frac, FALSE) AS keep
         FROM documents d LEFT JOIN f ON d.source = f.s
+    """
+    # snapshot_diff: same deterministic v2 derivation + full outer join
+    # with IS DISTINCT FROM (the null-safe twin of eqNullSafe)
+    sql["snapshot_diff"] = """
+        WITH v1 AS (SELECT doc_id, lang, source, n_chars FROM documents),
+        v2 AS (
+          SELECT doc_id, lang, source,
+                 CASE WHEN doc_id % 5 = 0 THEN n_chars + 1
+                      ELSE n_chars END AS n_chars
+          FROM documents WHERE doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 100000, lang, 'new', n_chars
+          FROM documents WHERE doc_id < 20
+        ),
+        j AS (
+          SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                 a.doc_id IS NOT NULL AS in_old,
+                 b.doc_id IS NOT NULL AS in_new,
+                 a.lang AS lang_old, a.source AS source_old,
+                 a.n_chars AS n_chars_old,
+                 b.lang AS lang_new, b.source AS source_new,
+                 b.n_chars AS n_chars_new
+          FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+        ),
+        c AS (
+          SELECT doc_id,
+                 CASE WHEN NOT in_old THEN 'insert'
+                      WHEN NOT in_new THEN 'delete'
+                      WHEN lang_old IS DISTINCT FROM lang_new
+                        OR source_old IS DISTINCT FROM source_new
+                        OR n_chars_old IS DISTINCT FROM n_chars_new
+                        THEN 'update' END AS op,
+                 lang_old, source_old, n_chars_old,
+                 lang_new, source_new, n_chars_new
+          FROM j
+        )
+        SELECT * FROM c WHERE op IS NOT NULL
     """
     # salted_join: salt only moves rows between partitions — the oracle
     # is the plain equi-join

@@ -292,3 +292,56 @@ def reconcile_dead_processes(reg: ParquetRegistry, live: DataFrame) -> DataFrame
     if dead_keys:
         reg.delete(F.col("pid").isin(dead_keys))
     return dead
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Change-data capture between two snapshots of the same table:
+    one row per changed key with ``op`` in {insert, delete, update}
+    (unchanged keys are omitted). ``compare_cols`` defaults to every
+    non-key column present on BOTH sides; comparison is null-safe
+    (NULL == NULL is unchanged, NULL vs value is an update).
+
+    Composes with this module's time travel: ``snapshot_diff(
+    reg.read(version=a), reg.read(version=b), keys)`` is the CDC feed
+    between two committed versions — what an incremental downstream
+    consumer replays instead of re-reading the table (the Iceberg
+    changelog / Delta CDF shape).
+
+    Scale: ONE full outer join on the key (both sides shuffle once);
+    change classification is in-row null checks + null-safe equality,
+    so the plan is join + project, no second pass.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns
+            if c in set(new.columns) and c not in set(key_cols)
+        ]
+    o = old.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in key_cols],
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    op = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    out_cols = [
+        *key_cols,
+        op.alias("op"),
+        *[F.col(f"_o_{c}").alias(f"{c}_old") for c in compare_cols],
+        *[F.col(f"_n_{c}").alias(f"{c}_new") for c in compare_cols],
+    ]
+    return j.select(*out_cols).where(F.col("op").isNotNull())

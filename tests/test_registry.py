@@ -113,3 +113,46 @@ def test_partial_snapshot_is_not_committed(spark, tmp_path):
     reg.update("id", 1, {"v": "a2"})
     assert reg.versions() == [0, 1]
     assert {(r["id"], r["v"]) for r in reg.read(1).collect()} == {(1, "a2")}
+
+
+def test_snapshot_diff_cdc_over_time_travel(spark, tmp_path):
+    """snapshot_diff composed with version time travel is the CDC feed
+    between two committed versions: insert + update + delete all show
+    up with old/new values; unchanged rows are omitted; same-version
+    diff is empty."""
+    from pg_iui_ner_api_spark.sources.registry import ParquetRegistry, snapshot_diff
+
+    reg = ParquetRegistry(spark, str(tmp_path), "cdc", "id long, v string")
+    reg.insert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string"))
+    v1 = reg.versions()[-1]
+    reg.update("id", 2, {"v": "B"})
+    reg.delete(F.col("id") == 3)
+    reg.insert(spark.createDataFrame([(4, "d")], "id long, v string"))
+    v2 = reg.versions()[-1]
+
+    diff = {
+        r["id"]: (r["op"], r["v_old"], r["v_new"])
+        for r in snapshot_diff(reg.read(version=v1), reg.read(version=v2), ["id"]).collect()
+    }
+    assert diff == {
+        2: ("update", "b", "B"),
+        3: ("delete", "c", None),
+        4: ("insert", None, "d"),
+    }
+    assert 1 not in diff  # unchanged rows omitted
+    same = snapshot_diff(reg.read(version=v2), reg.read(version=v2), ["id"])
+    assert same.count() == 0
+
+
+def test_snapshot_diff_null_safe_and_args(spark):
+    from pg_iui_ner_api_spark.sources.registry import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "id long, v string")
+    new = spark.createDataFrame([(1, None), (2, None)], "id long, v string")
+    got = {r["id"]: r["op"] for r in snapshot_diff(old, new, ["id"]).collect()}
+    # NULL == NULL is unchanged; value -> NULL is an update
+    assert got == {2: "update"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        snapshot_diff(old, new, [])
