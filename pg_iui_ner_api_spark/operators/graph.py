@@ -972,27 +972,28 @@ def neighborhood_function(
     the primitive behind effective-diameter and centrality-by-reach
     queries that per-seed BFS cannot answer at n-node scale.
 
-    Exact mode: every node carries a bitmap over a dense node index
-    (``encoding.dictionary_encode`` — no global window). Per round,
-    each node ORs its neighbors' bitmaps into its own:
+    Exact mode over a dense node index (``encoding.dictionary_encode``
+    — no global window): every node's reachability set is a bitmap,
+    stored SPARSELY as (node, word, bits) rows — only nonzero words
+    exist, so round r costs O(frontier mass), not O(n^2/64), until the
+    balls saturate. Per round, each node ORs its neighbors' bitmaps in:
 
       * msgs = edges ⋈ state on src — edges are materialized once and
-        never shuffle (the pagerank discipline); only the state rides;
-      * bitmaps posexplode to (node, word, bits), ZERO words dropped
-        map-side (sparse early rounds cost almost nothing), then one
-        partial-aggregable ``bit_or`` groupBy on (node, word) — hub-
-        safe because the key includes the word index;
-      * the ≤ n/64 word rows per node reassemble via map_from_entries.
+        never shuffle (the pagerank discipline); only word-rows ride;
+      * ONE partial-aggregable ``bit_or`` groupBy on (node, word) —
+        hub-safe because the key includes the word index — IS the new
+        state; no array reassembly, no second shuffle;
+      * per-round localCheckpoint keeps the iterative lineage flat.
 
-    Counts are exact integers (bit_count), so the DuckDB recursive-
-    closure twin hashes identically — no float wobble anywhere.
+    Counts are exact integers (sum of bit_count per node), so the
+    DuckDB recursive-closure twin hashes identically — no float wobble.
 
-    SCALE NOTE: the exact bitmap is Θ(n/64) words per node — right for
-    validation corpora and as the oracle surface. At 10^9+ nodes you
-    swap the bitmap for constant-size Flajolet-Martin/HLL registers and
-    keep THIS exact dataflow (that swap IS HyperBall); the operator
-    refuses loudly past ``exact_max_nodes`` instead of OOMing an
-    executor mid-round.
+    SCALE NOTE: the exact representation is Θ(reachable-set/64) words
+    per node — right for validation corpora and as the oracle surface.
+    At 10^9+ nodes you swap the word-rows for constant-size
+    Flajolet-Martin/HLL registers and keep THIS exact dataflow (that
+    swap IS HyperBall); the operator refuses loudly past
+    ``exact_max_nodes`` instead of OOMing an executor mid-round.
     """
     if h < 0:
         raise ValueError("h must be >= 0")
@@ -1011,7 +1012,6 @@ def neighborhood_function(
             f"exact bitmap mode caps at {exact_max_nodes} nodes (got {n}); "
             "swap in sketch registers for larger graphs"
         )
-    W = (n + 63) // 64
     idx = F.broadcast(idx.localCheckpoint())
     e = (
         edges_sym.join(idx, edges_sym.src == idx.orig)
@@ -1020,55 +1020,30 @@ def neighborhood_function(
         .select("s", F.col("node").alias("d"))
         .localCheckpoint()
     )
-    own_bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(node % 64 AS INT))")
+    # sparse state: one (node, w, bits) row per NONZERO bitmap word
     state = idx.select(
         "node",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(W - 1)),
-            lambda w: F.when(
-                w == (F.col("node") / 64).cast("int"), own_bit
-            ).otherwise(F.lit(0).cast("long")),
-        ).alias("words"),
+        (F.col("node") / 64).cast("int").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(node % 64 AS INT))").alias(
+            "bits"
+        ),
     ).localCheckpoint()
 
     def _reach(st: DataFrame, r: int) -> DataFrame:
-        return st.select(
-            "node",
+        return st.groupBy("node").agg(
             F.lit(r).cast("int").alias("h"),
-            F.aggregate(
-                F.col("words"),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + F.bit_count(x).cast("long"),
-            ).alias("reach"),
+            F.sum(F.bit_count("bits").cast("long")).alias("reach"),
         )
 
     out = _reach(state, 0)
     for r in range(1, h + 1):
         msgs = e.join(state, e.s == state.node).select(
-            F.col("d").alias("node"), "words"
+            F.col("d").alias("node"), "w", "bits"
         )
-        exploded = (
-            state.unionByName(msgs)
-            .select("node", F.posexplode("words").alias("w", "bits"))
-            .where(F.col("bits") != 0)
-        )
-        words = exploded.groupBy("node", "w").agg(F.bit_or("bits").alias("bits"))
         state = (
-            words.groupBy("node")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("w", "bits"))
-                ).alias("m")
-            )
-            .select(
-                "node",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(W - 1)),
-                    lambda i: F.coalesce(
-                        F.element_at(F.col("m"), i), F.lit(0).cast("long")
-                    ),
-                ).alias("words"),
-            )
+            state.unionByName(msgs)
+            .groupBy("node", "w")
+            .agg(F.bit_or("bits").alias("bits"))
             .localCheckpoint()
         )
         out = out.unionByName(_reach(state, r))
