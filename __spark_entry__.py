@@ -557,6 +557,15 @@ def _q_fs_em(spark, sf):
     return scored
 
 
+def _q_cohort_retention(spark, sf):
+    """Daily cohort retention matrix (operators/analytics.py::
+    cohort_retention): cohort = first active day per user; cell =
+    distinct users active offset days later. All integers."""
+    from pg_iui_ner_api_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_t(spark, sf, "events"), 86400)
+
+
 def _q_interpolate(spark, sf):
     """Linear gap interpolation on the daily-resampled per-user series
     (operators/analytics.py::interpolate_linear) — the companion to
@@ -1021,6 +1030,14 @@ def _q_graph_anf(spark, sf):
     documented scale path). Integer counts, so the recursive-closure
     DuckDB twin hashes exactly."""
     return GR.neighborhood_function(GR.symmetrize(_part_edges(spark, sf)), h=2)
+
+
+def _q_graph_harmonic(spark, sf):
+    """Truncated harmonic centrality at h=2 (operators/graph.py::
+    harmonic_centrality) — ball growths from the ANF pass, each
+    distance-r node contributing 1/r. With h=2 every term is an exact
+    half, so the hash is bit-exact."""
+    return GR.harmonic_centrality(GR.symmetrize(_part_edges(spark, sf)), h=2)
 
 
 def _q_graph_pagerank(spark, sf):
@@ -1494,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pmi": _q_graph_pmi,
         "graph_khop": _q_graph_khop,
         "graph_anf": _q_graph_anf,
+        "graph_harmonic": _q_graph_harmonic,
         "graph_pagerank": _q_graph_pagerank,
         "graph_triangles": _q_graph_triangles,
         "graph_lpa": _q_graph_lpa,
@@ -1549,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_ivf": _q_hard_negatives_ivf,
         "interpolate": _q_interpolate,
         "rolling_stats": _q_rolling_stats,
+        "cohort_retention": _q_cohort_retention,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -2839,6 +2858,38 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs p CROSS JOIN (SELECT unnest(range(0, 3)) AS h) hs
         WHERE p.md <= hs.h
         GROUP BY p.node, hs.h
+    """
+    # graph_harmonic: grouped count(md)/md over the same bounded-depth
+    # closure (h=2 -> every term an exact half: bit-exact)
+    sql["graph_harmonic"] = f"""
+        WITH RECURSIVE {_GEDGES},
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        rec(node, other, d) AS (
+          SELECT node, node, 0 FROM nodes
+          UNION
+          SELECT r.node, s.dst, r.d + 1
+          FROM rec r JOIN sym s ON s.src = r.other
+          WHERE r.d < 2
+        ),
+        pairs AS (SELECT node, other, min(d) AS md FROM rec GROUP BY 1, 2),
+        cnt AS (SELECT node, md, count(*) AS c FROM pairs
+                WHERE md >= 1 GROUP BY 1, 2)
+        SELECT node, round(sum(c::DOUBLE / md::DOUBLE), 6) AS harmonic
+        FROM cnt GROUP BY node
+    """
+    # cohort_retention: all-integer cohort matrix
+    sql["cohort_retention"] = """
+        WITH b AS (
+          SELECT DISTINCT user_id AS key,
+                 CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400)
+                      AS BIGINT) AS bin
+          FROM events WHERE ts IS NOT NULL
+        ),
+        f AS (SELECT key, min(bin) AS cohort FROM b GROUP BY key)
+        SELECT f.cohort, b.bin - f.cohort AS offset_bins,
+               count(DISTINCT b.key) AS n_keys
+        FROM b JOIN f ON b.key = f.key
+        GROUP BY 1, 2
     """
     # 3 unrolled PageRank iterations; float ops in the exact same order
     # as operators/graph.py::pagerank (cast-to-double before every op)

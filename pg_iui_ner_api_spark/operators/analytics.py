@@ -766,3 +766,38 @@ def rolling_range_stats(
             F.when(std_prev > 0, (v - mean_prev) / std_prev), 6
         ).alias("zscore"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    interval_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix — the classic activation analysis: each
+    key's cohort is its FIRST active bin; cell (cohort, offset) counts
+    the distinct keys of that cohort active ``offset`` bins later.
+    ``offset`` 0 is the cohort size, so retention rate is
+    n_keys / n_keys(offset=0) downstream.
+
+    Plan: distinct (key, bin) — one shuffle doing the heavy dedup with
+    map-side partials; per-key min(bin) — a narrow aggregate reusing
+    the same key partitioning; join back on the key; one count-distinct
+    aggregate on (cohort, offset). All integers: hashes exactly.
+    NULL timestamps have no place on a time axis and are dropped.
+    """
+    b = int(interval_seconds)
+    bins = (
+        events.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.floor(_epoch(F.col(ts_col)) / b).alias("bin"),
+        )
+        .distinct()
+    )
+    first = bins.groupBy("key").agg(F.min("bin").alias("cohort"))
+    return (
+        bins.join(first, "key")
+        .groupBy("cohort", (F.col("bin") - F.col("cohort")).alias("offset_bins"))
+        .agg(F.count_distinct("key").alias("n_keys"))
+    )

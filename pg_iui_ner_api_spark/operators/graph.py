@@ -1051,3 +1051,35 @@ def neighborhood_function(
         out.join(idx, "node")
         .select(F.col("orig").alias("node"), "h", "reach")
     )
+
+
+def harmonic_centrality(
+    edges_sym: DataFrame, h: int, exact_max_nodes: int = 1_000_000
+) -> DataFrame:
+    """Truncated harmonic centrality: C_h(v) = sum over u within
+    distance h of 1/d(u,v) — the centrality-by-reach ranking (Boldi &
+    Vigna's preferred centrality, computed by the same HyperBall pass).
+    Derived entirely from :func:`neighborhood_function`'s cumulative
+    reaches: the r-th ball growth (reach_r - reach_{r-1}) counts the
+    nodes at EXACTLY distance r, each contributing 1/r.
+
+    Same scale contract as neighborhood_function (one extra narrow
+    window + aggregate over the n x (h+1) reach rows). With small h the
+    per-node sum has h terms of integer/r, so the DuckDB twin (grouped
+    count(md)/md in the same r order) reproduces it exactly.
+    """
+    if h < 1:
+        raise ValueError("h must be >= 1")
+    nf = neighborhood_function(edges_sym, h, exact_max_nodes)
+    w = Window.partitionBy("node").orderBy("h")
+    delta = F.col("reach") - F.lag("reach", 1).over(w)
+    per_r = nf.withColumn("_d", delta).where(F.col("h") >= 1)
+    return (
+        per_r.groupBy("node")
+        .agg(
+            F.round(
+                F.sum(F.col("_d").cast("double") / F.col("h").cast("double")),
+                6,
+            ).alias("harmonic")
+        )
+    )

@@ -88,3 +88,40 @@ def test_partitioning_invariance(spark):
     a = _collect(neighborhood_function(symmetrize(df.repartition(1)), h=2))
     b = _collect(neighborhood_function(symmetrize(df.repartition(11, "dst")), h=2))
     assert a == b
+
+
+def test_harmonic_centrality_path(spark):
+    from pg_iui_ner_api_spark.operators.graph import harmonic_centrality
+
+    # path 0-1-2-3-4, h=2: centrality = (#dist1)/1 + (#dist2)/2
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(_sym(spark, [(i, i + 1) for i in range(4)]), h=2).collect()
+    }
+    assert got == {0: 1.5, 1: 2.5, 2: 3.0, 3: 2.5, 4: 1.5}
+    with pytest.raises(ValueError):
+        harmonic_centrality(_sym(spark, [(0, 1)]), h=0)
+
+
+def test_harmonic_matches_bfs_reference(spark):
+    from pg_iui_ner_api_spark.operators.graph import harmonic_centrality
+
+    pairs = [(i, (i * i + 3) % 23) for i in range(23) if i != (i * i + 3) % 23]
+    H = 3
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality(_sym(spark, pairs), h=H).collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in adj:
+        dist = {v: 0}
+        frontier = {v}
+        for d in range(1, H + 1):
+            frontier = {u for f in frontier for u in adj[f] if u not in dist}
+            for u in frontier:
+                dist[u] = d
+        want = sum(1.0 / d for d in dist.values() if d >= 1)
+        assert got[v] == pytest.approx(round(want, 6), abs=2e-6)

@@ -130,3 +130,37 @@ def test_plans_jvm_only(spark, series, events):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+def test_cohort_retention(spark):
+    from pg_iui_ner_api_spark.operators.analytics import cohort_retention
+
+    rows = []
+    # users 1,2 start day 0; user 1 returns day 1 and 3; user 2 never;
+    # user 3 starts day 1, returns day 2; null-ts row dropped
+    for eid, (u, day) in enumerate(
+        [(1, 0), (2, 0), (1, 1), (1, 3), (3, 1), (3, 2), (1, 0)]
+    ):
+        rows.append((eid, _ts(day * 86400 + 5), u, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    df = df.unionByName(
+        spark.createDataFrame(
+            [(99, None, 1, 1.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+    )
+    got = {
+        (r["cohort"], r["offset_bins"]): r["n_keys"]
+        for r in cohort_retention(df, 86400).collect()
+    }
+    base = int(_ts(0).timestamp()) // 86400
+    rel = {(c - base, o): n for (c, o), n in got.items()}
+    assert rel == {
+        (0, 0): 2,  # users 1,2 (dup same-day rows collapse)
+        (0, 1): 1,  # user 1
+        (0, 3): 1,  # user 1
+        (1, 0): 1,  # user 3
+        (1, 1): 1,  # user 3
+    }
