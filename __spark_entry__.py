@@ -1176,6 +1176,26 @@ def _q_graph_components(spark, sf):
     return connected_components(e, small_graph_edges=0)
 
 
+def _q_type_inference(spark, sf):
+    """Semi-supervised entity-type inference
+    (operators/graph.py::type_inference): every 10th node of the part
+    graph seeds a deterministic type; two clamped plurality-vote rounds
+    spread types to the seeds' 2-hop neighborhood."""
+    sym = GR.symmetrize(_part_edges(spark, sf))
+    seeds = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % 10 == 0)
+        .select(
+            "node",
+            F.concat(
+                F.lit("T"), (F.col("node") % 3).cast("string")
+            ).alias("etype"),
+        )
+    )
+    return GR.type_inference(sym, seeds, iters=2)
+
+
 def _q_graph_jaccard(spark, sf):
     """Neighborhood-Jaccard link prediction (operators/graph.py::
     jaccard_link) over the capped co-occurrence graph — same hub-cap
@@ -1431,6 +1451,17 @@ def _q_quantiles(spark, sf):
     return A.grouped_quantiles(_t(spark, sf, "events"), "value", ["event_type"])
 
 
+def _q_equidepth_bins(spark, sf):
+    """Exact equal-frequency discretization
+    (operators/analytics.py::equidepth_bins) of order totalprice into 7
+    bins — NTILE(7) OVER (ORDER BY value, id) semantics assembled from
+    per-partition sorts + a broadcast prefix-sum, never a
+    single-partition global window."""
+    return A.equidepth_bins(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderkey", nbins=7
+    )
+
+
 def _q_resample(spark, sf):
     return A.resample_ffill(
         _t(spark, sf, "events"), interval_seconds=86400
@@ -1568,6 +1599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate": _q_interpolate,
         "rolling_stats": _q_rolling_stats,
         "cohort_retention": _q_cohort_retention,
+        "type_inference": _q_type_inference,
+        "equidepth_bins": _q_equidepth_bins,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -2878,6 +2911,14 @@ def oracle_sql() -> dict[str, str]:
         FROM cnt GROUP BY node
     """
     # cohort_retention: all-integer cohort matrix
+    # exact NTILE(7) over (value, id): DuckDB's window IS the spec the
+    # distributed rank-assembly plan must reproduce bit-for-bit
+    sql["equidepth_bins"] = """
+        SELECT o_orderkey AS id, o_totalprice AS value,
+               CAST(ntile(7) OVER (ORDER BY o_totalprice, o_orderkey)
+                    AS INT) AS bin
+        FROM orders WHERE o_totalprice IS NOT NULL
+    """
     sql["cohort_retention"] = """
         WITH b AS (
           SELECT DISTINCT user_id AS key,
@@ -3140,6 +3181,40 @@ def oracle_sql() -> dict[str, str]:
           FROM reach JOIN sym ON reach.r = sym.src
         )
         SELECT node, min(r) AS component FROM reach GROUP BY node
+    """
+    # 2 unrolled clamped plurality-vote rounds; tie-break ORDER BY
+    # c DESC, etype ASC mirrors Spark's min(struct(-c, etype))
+    _ti_iters = []
+    for i in (1, 2):
+        _ti_iters.append(f"""
+        v{i} AS (
+          SELECT s.src, t.etype, count(*) AS c
+          FROM sym s JOIN t{i - 1} t ON s.dst = t.node
+          GROUP BY 1, 2
+        ),
+        t{i} AS (
+          SELECT node, etype FROM seeds
+          UNION ALL
+          SELECT src AS node, etype FROM (
+            SELECT src, etype,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY c DESC, etype ASC) AS rn
+            FROM v{i}
+          ) WHERE rn = 1
+            AND src NOT IN (SELECT node FROM seeds)
+        )""")
+    sql["type_inference"] = f"""
+        WITH {_GEDGES},
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        seeds AS (
+          SELECT node, 'T' || CAST(node % 3 AS VARCHAR) AS etype
+          FROM nodes WHERE node % 10 = 0
+        ),
+        t0 AS (SELECT node, etype FROM seeds),
+        {','.join(_ti_iters)}
+        SELECT t2.node, t2.etype,
+               (seeds.node IS NOT NULL) AS is_seed
+        FROM t2 LEFT JOIN seeds ON t2.node = seeds.node
     """
     # repetition profile (top-2-gram + duplicate-token fractions); gram
     # hashing is the same md5 formula so counts agree bucket-for-bucket

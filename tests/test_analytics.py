@@ -630,3 +630,75 @@ def test_scd2_null_first_attr_matches_duckdb_twin(spark):
     )
     assert got == exp
     assert ("u1", None, 1, 3) in got  # the NULL-first episode survives
+
+
+# ---------------------------------------------------------------------------
+# equidepth_bins (exact NTILE without a global window)
+# ---------------------------------------------------------------------------
+def _py_ntile(pairs, nbins):
+    """Independent reference: sort + sequential fill (SQL NTILE spec)."""
+    s = sorted(pairs, key=lambda t: (t[1], t[0]))
+    n = len(s)
+    q, rem = divmod(n, nbins)
+    out, r = {}, 0
+    for b in range(1, nbins + 1):
+        for _ in range(q + (1 if b <= rem else 0)):
+            out[s[r][0]] = b
+            r += 1
+    return out
+
+
+def _bins_df(spark, pairs):
+    return spark.createDataFrame(
+        [(i, v) for i, v in pairs], schema="rid long, val double"
+    )
+
+
+def test_equidepth_matches_ntile_oracle(spark):
+    pairs = [(i, float((i * 37) % 101)) for i in range(100)]
+    for nbins in (1, 3, 7):
+        got = {
+            r["id"]: r["bin"]
+            for r in A.equidepth_bins(
+                _bins_df(spark, pairs), "val", "rid", nbins, partitions=4
+            ).collect()
+        }
+        assert got == _py_ntile(pairs, nbins), nbins
+
+
+def test_equidepth_bin_sizes_differ_by_at_most_one(spark):
+    pairs = [(i, float(i % 5)) for i in range(103)]  # heavy value ties
+    rows = A.equidepth_bins(
+        _bins_df(spark, pairs), "val", "rid", 10, partitions=4
+    ).collect()
+    sizes = {}
+    for r in rows:
+        sizes[r["bin"]] = sizes.get(r["bin"], 0) + 1
+    assert sorted(sizes) == list(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # ties on value are broken by id: same-value rows fill bins in id order
+    assert {r["id"]: r["bin"] for r in rows} == _py_ntile(pairs, 10)
+
+
+def test_equidepth_fewer_rows_than_bins(spark):
+    pairs = [(1, 5.0), (2, 1.0), (3, 3.0)]
+    got = {
+        r["id"]: r["bin"]
+        for r in A.equidepth_bins(
+            _bins_df(spark, pairs), "val", "rid", 7, partitions=2
+        ).collect()
+    }
+    # n < nbins: every row its own bucket in value order
+    assert got == {2: 1, 3: 2, 1: 3}
+
+
+def test_equidepth_excludes_nulls_and_rejects_bad_nbins(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 1.0)], schema="rid long, val double"
+    )
+    rows = A.equidepth_bins(df, "val", "rid", 2, partitions=2).collect()
+    assert {r["id"] for r in rows} == {1, 3}
+    with _pytest.raises(ValueError):
+        A.equidepth_bins(df, "val", "rid", 0)

@@ -774,3 +774,108 @@ def test_scc_raises_on_peel_round_overrun(spark):
     assert full == [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5), (6, 5)]
     with pytest.raises(RuntimeError, match="peeling"):
         strongly_connected_components(df, max_peel_rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# semi-supervised type inference (clamped label spreading)
+# ---------------------------------------------------------------------------
+def _py_type_inference(edges, seeds, iters):
+    """Independent reference: dict-based clamped plurality spreading."""
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    typed = dict(seeds)
+    for _ in range(iters):
+        votes = {}
+        for s, d in sym:
+            if d in typed:
+                votes.setdefault(s, {}).setdefault(typed[d], 0)
+                votes[s][typed[d]] += 1
+        new = dict(seeds)
+        for n, v in votes.items():
+            if n not in seeds:
+                new[n] = min(v.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        typed = new
+    return typed
+
+
+def _seeds_df(spark, seeds):
+    return spark.createDataFrame(
+        [(int(n), t) for n, t in seeds.items()], schema=["node", "etype"]
+    )
+
+
+def test_type_inference_matches_python_oracle(spark):
+    seeds = {1: "A", 6: "B"}
+    for iters in (1, 2, 3):
+        got = {
+            r["node"]: r["etype"]
+            for r in G.type_inference(
+                G.symmetrize(_edges_df(spark, EDGES)),
+                _seeds_df(spark, seeds),
+                iters=iters,
+            ).collect()
+        }
+        assert got == _py_type_inference(EDGES, seeds, iters), iters
+
+
+def test_type_inference_seeds_are_clamped(spark):
+    # node 2's neighbors 1,3,4 all carry type A after round 1, but the
+    # seed label Z on node 2 must never change — and is_seed marks it
+    seeds = {1: "A", 3: "A", 4: "A", 2: "Z"}
+    out = {
+        r["node"]: (r["etype"], r["is_seed"])
+        for r in G.type_inference(
+            G.symmetrize(_edges_df(spark, EDGES)),
+            _seeds_df(spark, seeds),
+            iters=2,
+        ).collect()
+    }
+    assert out[2] == ("Z", True)
+    assert out[5][1] is False
+
+
+def test_type_inference_tie_breaks_to_smallest_type(spark):
+    # node 3 sees exactly one A (node 1) and one B (node 2): tie -> "A"
+    seeds = {1: "A", 2: "B"}
+    out = {
+        r["node"]: r["etype"]
+        for r in G.type_inference(
+            G.symmetrize(_edges_df(spark, [(1, 3), (2, 3)])),
+            _seeds_df(spark, seeds),
+            iters=1,
+        ).collect()
+    }
+    assert out[3] == "A"
+
+
+def test_type_inference_unreached_nodes_absent(spark):
+    # 8-9 is a separate component: the wave from seed 1 never arrives
+    edges = EDGES + [(8, 9)]
+    out = G.type_inference(
+        G.symmetrize(_edges_df(spark, edges)),
+        _seeds_df(spark, {1: "A"}),
+        iters=2,
+    )
+    nodes = {r["node"] for r in out.collect()}
+    assert 8 not in nodes and 9 not in nodes
+    # 1 hop from seed 1 reaches 2,3 only; 4 needs the second round
+    one_hop = {
+        r["node"]
+        for r in G.type_inference(
+            G.symmetrize(_edges_df(spark, edges)),
+            _seeds_df(spark, {1: "A"}),
+            iters=1,
+        ).collect()
+    }
+    assert one_hop == {1, 2, 3}
+
+
+def test_type_inference_rejects_bad_iters(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        G.type_inference(
+            _edges_df(spark, EDGES), _seeds_df(spark, {1: "A"}), iters=0
+        )
