@@ -611,6 +611,24 @@ def _q_temperature_mix(spark, sf):
     )
 
 
+def _q_token_budget(spark, sf):
+    """Quality-ranked per-source token-budget selection
+    (operators/packing.py::token_budget_select): src0 capped at 500
+    tokens, src1 zeroed out, every other source gets the 2000 default;
+    quality = n_chars (exact integer rank, no float order wobble)."""
+    from pg_iui_ner_api_spark.operators.packing import token_budget_select
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", "source",
+        token_count(F.col("text")).alias("n_toks"),
+        F.col("n_chars").alias("q"),
+    )
+    return token_budget_select(
+        docs, {"src0": 500, "src1": 0},
+        tokens_col="n_toks", quality_col="q", default_budget=2000,
+    )
+
+
 def _q_salted_join(spark, sf):
     """Explicit skew-salted equi-join (operators/skew.py::salted_join):
     lineitem x orders spread across 8 salt sub-keys. The salt only moves
@@ -1165,6 +1183,17 @@ def _q_graph_lpa(spark, sf):
     )
 
 
+def _q_graph_modularity(spark, sf):
+    """Newman modularity (operators/graph.py::modularity) of the
+    2-round LPA partition over the part co-occurrence graph — the
+    community-quality scorecard; sum(contribution) is Q."""
+    sym = GR.symmetrize(_part_edges(spark, sf))
+    lab = GR.label_propagation(sym, iters=2).select(
+        "node", F.col("lbl").alias("label")
+    )
+    return GR.modularity(_part_edges(spark, sf), lab)
+
+
 def _q_graph_components(spark, sf):
     from pg_iui_ner_api_spark.operators.components import connected_components
 
@@ -1601,6 +1630,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "type_inference": _q_type_inference,
         "equidepth_bins": _q_equidepth_bins,
+        "token_budget": _q_token_budget,
+        "graph_modularity": _q_graph_modularity,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -2272,6 +2303,38 @@ def oracle_sql() -> dict[str, str]:
                coalesce((({_MIXH} + 1)::DOUBLE / 1152921504606846976.0)
                         < f.frac, FALSE) AS keep
         FROM documents d LEFT JOIN f ON d.source = f.s
+    """
+    # token_budget_select twin: the same exclusive-prefix window the
+    # distributed rank assembly must reproduce; integer quality keys so
+    # the order (and therefore every cumsum) is exact cross-engine
+    sql["token_budget"] = f"""
+        WITH d AS (
+          SELECT doc_id AS id, source,
+                 CAST(len({_TOKS.format(x='text')}) AS BIGINT) AS n_tokens,
+                 n_chars AS quality
+          FROM documents
+        ),
+        v AS (SELECT * FROM d WHERE source IS NOT NULL
+                AND n_tokens IS NOT NULL AND n_tokens >= 0),
+        c AS (
+          SELECT id, source, n_tokens, quality,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY quality DESC NULLS LAST, id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS cum_before,
+                 CAST(CASE source WHEN 'src0' THEN 500
+                                  WHEN 'src1' THEN 0
+                                  ELSE 2000 END AS BIGINT) AS budget
+          FROM v
+        )
+        SELECT id, source, n_tokens, quality, cum_before, budget,
+               cum_before < budget AS keep
+        FROM c
+        UNION ALL
+        SELECT id, source, n_tokens, quality,
+               NULL, NULL, FALSE
+        FROM d WHERE source IS NULL OR n_tokens IS NULL OR n_tokens < 0
     """
     # snapshot_diff: same deterministic v2 derivation + full outer join
     # with IS DISTINCT FROM (the null-safe twin of eqNullSafe)
@@ -3161,6 +3224,38 @@ def oracle_sql() -> dict[str, str]:
         l0 AS (SELECT node, node AS lbl FROM nodes),
         {','.join(_lpa_iters)}
         SELECT node, lbl FROM l2
+    """
+    # modularity of the LPA partition: reuses the unrolled LPA chain,
+    # then the per-community-sum form with division/multiply only (no
+    # pow) so the doubles match bit-for-bit before the round(6)
+    sql["graph_modularity"] = f"""
+        WITH {_GEDGES},
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        l0 AS (SELECT node, node AS lbl FROM nodes),
+        {','.join(_lpa_iters)},
+        lab AS (SELECT node, lbl AS label FROM l2),
+        deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY 1),
+        mm AS (SELECT count(*)::DOUBLE AS m FROM edges),
+        intra AS (
+          SELECT la.label, count(*) AS intra_edges
+          FROM edges e
+          JOIN lab la ON e.src = la.node
+          JOIN lab lb ON e.dst = lb.node
+          WHERE la.label = lb.label
+          GROUP BY 1
+        ),
+        ds AS (
+          SELECT label, count(*) AS n_nodes, sum(degree) AS degree_sum
+          FROM deg JOIN lab USING (node) GROUP BY 1
+        )
+        SELECT ds.label, ds.n_nodes,
+               CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+               CAST(ds.degree_sum AS BIGINT) AS degree_sum,
+               round(coalesce(intra.intra_edges, 0)::DOUBLE / mm.m
+                     - (ds.degree_sum::DOUBLE / (2.0 * mm.m))
+                       * (ds.degree_sum::DOUBLE / (2.0 * mm.m)),
+                     6) + 0.0 AS contribution
+        FROM ds LEFT JOIN intra USING (label) CROSS JOIN mm
     """
     # orientation-invariant triangle count: the naive a<b<c three-way
     # join must agree exactly with Spark's degree-oriented wedge plan

@@ -1146,3 +1146,80 @@ def type_inference(
             "node", "etype", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# community quality: Newman modularity
+# ---------------------------------------------------------------------------
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment over a canonical
+    (src<dst, no self-loop) undirected edge list — THE quality score
+    for :func:`label_propagation` / :func:`connected_components`
+    partitions (Newman & Girvan, Phys. Rev. E 69, 2004), in its
+    per-community-sum form:
+
+        Q = sum_c [ L_c / m  -  (D_c / (2m))^2 ]
+
+    where ``L_c`` = intra-community edge count, ``D_c`` = total degree
+    of the community's nodes, ``m`` = total edges. Returns one row per
+    community ``(label, n_nodes, intra_edges, degree_sum,
+    contribution)`` — ``sum(contribution)`` IS Q, and the per-community
+    rows are the drill-down (which communities are dense vs accidental).
+
+    Every node in ``edges`` must appear in ``communities`` (LPA/CC
+    output satisfies this by construction); a missing node raises
+    rather than silently skewing degree sums.
+
+    Scale shape: two narrow hash joins of the edge list against the
+    (node, label) vector — the same key the graph ops already shuffle
+    on — then partial-aggregable per-label sums; m rides in as a
+    1-row broadcast (crossJoin of an aggregate, the bm25 stats shape).
+    Doubles only in the final two-term formula, round(6)-stable.
+    """
+    lab = communities.select("node", "label")
+    deg = degrees(edges)
+    missing = deg.join(lab, "node", "left_anti")
+    if missing.take(1):
+        raise ValueError("communities must label every node in edges")
+    m_df = edges.select(F.count(F.lit(1)).cast("double").alias("m"))
+    intra = (
+        edges.join(lab.select(F.col("node").alias("src"),
+                              F.col("label").alias("_ls")), "src")
+        .join(lab.select(F.col("node").alias("dst"),
+                         F.col("label").alias("_ld")), "dst")
+        .where(F.col("_ls") == F.col("_ld"))
+        .groupBy(F.col("_ls").alias("label"))
+        .agg(F.count(F.lit(1)).alias("intra_edges"))
+    )
+    dsum = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("degree").alias("degree_sum"),
+        )
+    )
+    return (
+        dsum.join(intra, "label", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "label", "n_nodes",
+            F.coalesce("intra_edges", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            # (d/(2m)) squared via plain multiply, not pow(): division
+            # and multiplication are correctly-rounded IEEE in both
+            # engines, libm pow is not
+            F.round(
+                F.coalesce("intra_edges", F.lit(0)).cast("double") / F.col("m")
+                - (
+                    F.col("degree_sum").cast("double")
+                    / (F.lit(2.0) * F.col("m"))
+                )
+                * (
+                    F.col("degree_sum").cast("double")
+                    / (F.lit(2.0) * F.col("m"))
+                ),
+                6,
+            ).alias("contribution"),
+        )
+    )

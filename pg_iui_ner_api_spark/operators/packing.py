@@ -335,3 +335,115 @@ def temperature_mix(docs: DataFrame, source_col: str = "source",
             F.coalesce(u < F.col("_frac"), F.lit(False)).alias("keep"),
         )
     )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budgets: dict[str, int] | None = None,
+    source_col: str = "source",
+    tokens_col: str = "n_tokens",
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    default_budget: int = 0,
+    partitions: int = 64,
+) -> DataFrame:
+    """Quality-ranked selection to a per-source TOKEN budget — the
+    data-mixing step that fills each domain's slice of a training run
+    ("10B tokens of web, 2B of code, best documents first"): within
+    every source, documents are ranked by quality (DESC, ties by id)
+    and kept while the running token total is below the source's
+    budget. The boundary document may overshoot (kept iff its
+    EXCLUSIVE-prefix sum is still under budget) — the same
+    bounded-overflow contract as ``plan_compaction`` — so the budget is
+    always nearly filled and at most one document crosses it.
+
+    ``budgets`` maps source -> token budget; sources absent from the
+    map get ``default_budget``. Rows with a NULL source, or a NULL or
+    negative token count, are emitted with ``keep=false`` and excluded
+    from every cumsum (the corrupt-manifest-row discipline).
+
+    Returns one row per input doc:
+    ``(id, source, n_tokens, quality, cum_before, budget, keep)``.
+
+    Scale shape — the naive form is one window per source, which makes
+    a dominant source (web is ~90% of most corpora) a single hot
+    partition. Instead the per-source running sum is assembled the
+    ``interval_coverage`` way: ``repartitionByRange`` on
+    (source, quality DESC, id) → in-partition exclusive cumsum keyed by
+    (pid, source) (every group bounded by the partition size, however
+    skewed the sources) → broadcast (P × sources)-row exclusive prefix
+    of per-(pid, source) totals. Long arithmetic end to end.
+    """
+    budgets = budgets or {}
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("source"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.col(quality_col).alias("quality"),
+    )
+    ok = (
+        F.col("source").isNotNull()
+        & F.col("n_tokens").isNotNull()
+        & (F.col("n_tokens") >= 0)
+    )
+    # ok is never NULL: the isNotNull conjuncts force FALSE before the
+    # (n_tokens >= 0) term can go NULL, so ~ok is a clean complement
+    invalid = base.where(~ok).select(
+        "id", "source", "n_tokens", "quality",
+        F.lit(None).cast("long").alias("cum_before"),
+        F.lit(None).cast("long").alias("budget"),
+        F.lit(False).alias("keep"),
+    )
+    order = [F.col("quality").desc_nulls_last(), F.col("id").asc()]
+    keyed = (
+        base.where(ok)
+        .repartitionByRange(partitions, F.col("source"), *order)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid; consumed by the run AND the offsets
+    )
+    w_in = Window.partitionBy("pid", "source").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = keyed.withColumn(
+        "cum_in", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)).cast("long")
+    )
+    w_off = Window.partitionBy("source").orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        keyed.groupBy("pid", "source")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .select(
+            "pid", "source",
+            (F.sum("tot").over(w_off) - F.col("tot")).cast("long").alias("off"),
+        )
+    )
+    spark = docs.sparkSession
+    from ..synth import local_dim_df
+
+    if budgets:
+        dim = F.broadcast(
+            local_dim_df(
+                spark,
+                [(s, int(b)) for s, b in sorted(budgets.items())],
+                ["_src", "_budget"],
+            )
+        )
+        budgeted = run.join(F.broadcast(offsets), ["pid", "source"]).join(
+            dim, F.col("source") == F.col("_src"), "left"
+        )
+    else:
+        budgeted = run.join(F.broadcast(offsets), ["pid", "source"]).withColumn(
+            "_budget", F.lit(None).cast("long")
+        )
+    cum = (F.col("cum_in") + F.col("off")).cast("long")
+    budget = F.coalesce(
+        F.col("_budget").cast("long"), F.lit(int(default_budget)).cast("long")
+    )
+    valid_out = budgeted.select(
+        "id", "source", "n_tokens", "quality",
+        cum.alias("cum_before"),
+        budget.alias("budget"),
+        (cum < budget).alias("keep"),
+    )
+    return valid_out.unionByName(invalid)

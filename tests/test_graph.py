@@ -879,3 +879,73 @@ def test_type_inference_rejects_bad_iters(spark):
         G.type_inference(
             _edges_df(spark, EDGES), _seeds_df(spark, {1: "A"}), iters=0
         )
+
+
+# ---------------------------------------------------------------------------
+# Newman modularity
+# ---------------------------------------------------------------------------
+def _py_modularity(edges, labels):
+    m = len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out = {}
+    for lbl in set(labels.values()):
+        nodes = {n for n, l in labels.items() if l == lbl}
+        lc = sum(1 for a, b in edges if a in nodes and b in nodes)
+        dc = sum(deg[n] for n in nodes)
+        out[lbl] = (
+            len(nodes), lc, dc,
+            round(lc / m - (dc / (2.0 * m)) * (dc / (2.0 * m)), 6),
+        )
+    return out
+
+
+def _labels_df(spark, labels):
+    return spark.createDataFrame(
+        [(int(n), int(l)) for n, l in labels.items()], schema=["node", "label"]
+    )
+
+
+def test_modularity_two_triangles(spark):
+    # two triangles joined by one bridge, split at the bridge: the
+    # textbook Q = 2 * (3/7 - (7/14)^2) = 0.357143
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    labels = {1: 10, 2: 10, 3: 10, 4: 20, 5: 20, 6: 20}
+    rows = G.modularity(_edges_df(spark, edges), _labels_df(spark, labels)).collect()
+    got = {r["label"]: (r["n_nodes"], r["intra_edges"], r["degree_sum"],
+                        r["contribution"]) for r in rows}
+    assert got == _py_modularity(edges, labels)
+    assert abs(sum(r["contribution"] for r in rows) - 0.357143) < 1e-6
+
+
+def test_modularity_single_community_is_zero(spark):
+    labels = {n: 1 for e in EDGES for n in e}
+    rows = G.modularity(_edges_df(spark, EDGES), _labels_df(spark, labels)).collect()
+    assert len(rows) == 1 and rows[0]["contribution"] == 0.0
+    assert rows[0]["intra_edges"] == len(EDGES)
+
+
+def test_modularity_matches_python_on_lpa_labels(spark):
+    lpa = {
+        r["node"]: r["lbl"]
+        for r in G.label_propagation(
+            G.symmetrize(_edges_df(spark, EDGES)), iters=2
+        ).collect()
+    }
+    rows = G.modularity(
+        _edges_df(spark, EDGES),
+        _labels_df(spark, lpa),
+    ).collect()
+    got = {r["label"]: (r["n_nodes"], r["intra_edges"], r["degree_sum"],
+                        r["contribution"]) for r in rows}
+    assert got == _py_modularity(EDGES, lpa)
+
+
+def test_modularity_missing_label_raises(spark):
+    import pytest as _pytest
+
+    labels = {1: 1, 2: 1}  # nodes 3..6 unlabeled
+    with _pytest.raises(ValueError):
+        G.modularity(_edges_df(spark, EDGES), _labels_df(spark, labels))

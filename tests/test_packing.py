@@ -304,3 +304,90 @@ def test_priority_sample_favors_heavy_weights(spark):
     df = spark.createDataFrame(rows, "doc_id long, w double")
     got = {r["doc_id"] for r in priority_sample(df, "w", k=50).collect()}
     assert 999 in got
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select (quality-ranked per-source token budgets)
+# ---------------------------------------------------------------------------
+def _py_budget_select(rows, budgets, default):
+    """Independent reference: per-source sort + sequential fill."""
+    out = {}
+    by_src = {}
+    for rid, src, toks, q in rows:
+        if src is None or toks is None or toks < 0:
+            out[rid] = (None, None, False)
+        else:
+            by_src.setdefault(src, []).append((rid, toks, q))
+    for src, items in by_src.items():
+        b = budgets.get(src, default)
+        items.sort(key=lambda t: (-(t[2] if t[2] is not None else float("-inf")), t[0]))
+        cum = 0
+        for rid, toks, q in items:
+            out[rid] = (cum, b, cum < b)
+            cum += toks
+    return out
+
+
+def _budget_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, quality double"
+    )
+
+
+_BUDGET_ROWS = [
+    # web: 6 docs, quality ties at 0.5 broken by id
+    (1, "web", 100, 0.9), (2, "web", 200, 0.5), (3, "web", 150, 0.5),
+    (4, "web", 300, 0.1), (5, "web", 50, 0.8), (6, "web", 75, None),
+    # code: tiny budget
+    (10, "code", 40, 0.7), (11, "code", 40, 0.6),
+    # wiki: not in the budget map -> default
+    (20, "wiki", 10, 0.3), (21, "wiki", 10, 0.2),
+    # invalid rows
+    (30, None, 10, 0.9), (31, "web", None, 0.9), (32, "web", -5, 0.9),
+]
+_BUDGETS = {"web": 400, "code": 50}
+
+
+def test_token_budget_matches_python_oracle(spark):
+    from pg_iui_ner_api_spark.operators.packing import token_budget_select
+
+    exp = _py_budget_select(_BUDGET_ROWS, _BUDGETS, 15)
+    for parts in (2, 7):
+        got = {
+            r["id"]: (r["cum_before"], r["budget"], r["keep"])
+            for r in token_budget_select(
+                _budget_df(spark, _BUDGET_ROWS), _BUDGETS,
+                default_budget=15, partitions=parts,
+            ).collect()
+        }
+        assert got == exp, parts
+    # the boundary doc overshoots but is kept (bounded overflow): web
+    # keeps 1(q.9,100t) + 5(q.8,50t) + 2(q.5,200t cum 150<400)
+    # + 3(q.5,150t cum 350<400) -> 500 tokens against a 400 budget
+    assert got[3][2] is True and got[4][2] is False
+    # NULL quality sorts last but still fills remaining budget if any
+    assert got[6][2] is False
+    # default budget (15) applies to the unmapped wiki source; the
+    # second doc starts at cum 10 < 15 so it's the bounded-overflow doc
+    assert got[20][2] is True and got[21][2] is True
+    # invalid rows surface with keep=false, never vanish
+    assert got[30] == (None, None, False)
+    assert got[31] == (None, None, False)
+    assert got[32] == (None, None, False)
+
+
+def test_token_budget_zero_and_empty_budgets(spark):
+    from pg_iui_ner_api_spark.operators.packing import token_budget_select
+
+    df = _budget_df(spark, [(1, "a", 5, 1.0), (2, "b", 5, 1.0)])
+    got = {
+        r["id"]: r["keep"]
+        for r in token_budget_select(
+            df, {"a": 0}, default_budget=100, partitions=2
+        ).collect()
+    }
+    assert got == {1: False, 2: True}
+    # no budgets at all + default 0: nothing kept, everything reported
+    rows = token_budget_select(df, None, default_budget=0, partitions=2).collect()
+    assert {r["id"]: r["keep"] for r in rows} == {1: False, 2: False}
+    assert all(r["budget"] == 0 for r in rows)
