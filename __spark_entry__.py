@@ -25,9 +25,11 @@ from pg_iui_ner_api_spark.functions.text import (
     spread,
     bpe_ish_piece_count,
     fingerprint,
+    normalize_ws,
     punct_ratio,
     quality_score,
     token_count,
+    tokens,
 )
 from pg_iui_ner_api_spark.operators import (
     analytics as A,
@@ -1543,6 +1545,35 @@ def _q_pivot_seg_prio(spark, sf):
     return A.pivot_counts(j, "c_mktsegment", "o_orderpriority", _PRIORITIES)
 
 
+def _q_heavy_hitters(spark, sf):
+    """Exact corpus heavy hitters (operators/sketches.py::heavy_hitters):
+    tokens with frequency >= 1/200, found via per-partition Misra-Gries
+    candidate summaries + one broadcast verify pass — the output is the
+    exact frequent set, independent of the sketch's internal merge
+    order, so it hash-checks against the brute-force DuckDB twin."""
+    from pg_iui_ner_api_spark.operators.sketches import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf, "documents"), num=1, den=200)
+
+
+def _q_hll_distinct(spark, sf):
+    """Per-source distinct-token HLL sketch (operators/sketches.py::
+    hll_sketch + hll_estimate, p=12): the oracle-checked columns are the
+    exact-integer register aggregates (nnz, zeros, s50 — bit-identical
+    md5-derived registers in both engines) plus the raw estimate, whose
+    ONE float division both engines perform on the same integer. The
+    corrected (linear-counting) estimate is pytest-verified against
+    exact distincts instead (ln() is libm-dependent)."""
+    from pg_iui_ner_api_spark.operators.sketches import (
+        hll_estimate, hll_sketch)
+
+    tok = _t(spark, sf, "documents").select(
+        "source",
+        F.explode(tokens(normalize_ws(F.col("text")))).alias("tok"),
+    )
+    return hll_estimate(hll_sketch(tok, ["source"], "tok", p=12), p=12)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness harness records only the
     # first 50 keys, so (a) keys that have never earned a driver-green
@@ -1632,6 +1663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_bins": _q_equidepth_bins,
         "token_budget": _q_token_budget,
         "graph_modularity": _q_graph_modularity,
+        "heavy_hitters": _q_heavy_hitters,
+        "hll_distinct": _q_hll_distinct,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -3688,5 +3721,41 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                regexp_replace(t2, '{_re_phone}', '<PHONE>', 'g') AS text
         FROM s2
+    """
+    # heavy_hitters twin: brute-force token frequencies — the operator's
+    # Misra-Gries candidate pass is internal; its exact verified output
+    # must equal the full groupBy at frequency >= 1/200 (integer compare)
+    sql["heavy_hitters"] = f"""
+        WITH t AS (SELECT unnest({_TOKS.format(x=_NORM.format(x='text'))}) AS tok
+                   FROM documents),
+        n AS (SELECT count(*) AS total FROM t)
+        SELECT tok, count(*) AS cnt FROM t CROSS JOIN n
+        GROUP BY tok, n.total
+        HAVING count(*) * 200 >= n.total * 1
+    """
+    # hll_distinct twin: identical md5-prefix 60-bit hash -> (idx, rho)
+    # registers (p=12, rho = 49 - bitlen(h >> 12)); the harmonic sum is
+    # exact int64 (every term a left shift), and the raw estimate is one
+    # float division by the same inlined alpha*m^2*2^50 constant.
+    from pg_iui_ner_api_spark.operators.sketches import hll_alpha_m2_scaled
+    _hll_c = hll_alpha_m2_scaled(12)
+    sql["hll_distinct"] = f"""
+        WITH t AS (SELECT source,
+                          unnest({_TOKS.format(x=_NORM.format(x='text'))}) AS tok
+                   FROM documents),
+        h AS (SELECT source, {_H.format(x='tok')} AS h FROM t),
+        r AS (SELECT source, h % 4096 AS idx,
+                     CASE WHEN (h >> 12) = 0 THEN 49
+                          ELSE 49 - length(bin(h >> 12)) END AS rho
+              FROM h),
+        m AS (SELECT source, idx, max(rho) AS rho FROM r GROUP BY source, idx),
+        a AS (SELECT source, count(*) AS nnz,
+                     sum(1::BIGINT << (50 - rho)) AS s_set
+              FROM m GROUP BY source)
+        SELECT source, nnz, 4096 - nnz AS zeros,
+               s_set + (4096 - nnz) * (1::BIGINT << 50) AS s50,
+               round({_hll_c!r} / (s_set + (4096 - nnz) * (1::BIGINT << 50)),
+                     4) AS est
+        FROM a
     """
     return sql
