@@ -202,14 +202,18 @@ def setsim_self_join(docs: DataFrame, threshold: float = 0.5,
       * the length filter ``t*|A| <= |B| <= |A|/t`` is applied INSIDE
         the join condition (Jaccard >= t forces size ratio >= t), so
         mismatched-size candidates never materialize.
-      * verification joins candidates back to the token table on each
-        side (cost |candidates| x tokens/doc) — exact counts, no df^2
-        term over the full corpus, no silent caps.
+      * the PPJoin positional filter prunes candidates inside the join
+        (overlap upper bound from the matched prefix positions vs the
+        pair's required overlap) before they ever materialize;
+      * verification joins candidates to the per-doc sorted hash ARRAY
+        (one row per doc) and intersects in-row — exact counts, no
+        per-token explode, no df^2 term over the full corpus, no
+        silent caps.
 
-    Shuffles: token df (agg on token), per-doc order rebuild (agg on
-    doc), candidate equi-join (on prefix token), verify joins (on doc
-    id). Token strings ride only the df agg and the prefix join;
-    verification joins carry (doc_id, 60-bit token hash) pairs.
+    Shuffles: item df (agg on 60-bit hash), per-doc order rebuild (agg
+    on doc), candidate equi-join (on prefix hash), two verify joins on
+    doc id. Item strings never leave the map side — every shuffle
+    carries 8-byte hashes or per-doc hash arrays.
     """
     from ..functions.text import normalize_ws, portable_hash64, tokens
 
@@ -226,31 +230,50 @@ def setsim_self_join(docs: DataFrame, threshold: float = 0.5,
         items = shingle_table(docs, n, id_col, text_col).withColumnRenamed(
             "sh", "tok"
         )
-    # item table is consumed 4x (df, order rebuild, both verify sides):
-    # hash each item ONCE here so downstream shuffles carry 8-byte
-    # hashes, and checkpoint so the tokenize expressions run once
-    tok = items.withColumn("h", portable_hash64(F.col("tok"))).localCheckpoint()
+    # item table is consumed 2x (df agg, order rebuild): hash each item
+    # ONCE here and drop the string — every downstream shuffle (df agg
+    # included: the 60-bit hash IS the item identity, exactly as in the
+    # MinHash family) carries 8-byte hashes; the checkpoint makes the
+    # tokenize expressions run once
+    tok = items.select(
+        "doc_id", portable_hash64(F.col("tok")).alias("h")
+    ).localCheckpoint()
 
     # global item order = (df asc, hash asc): rarest first; the hash
     # tie-break keeps it total WITHOUT carrying item strings through the
-    # order-rebuild shuffle (structs here are 16 bytes, never text)
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # order-rebuild shuffle (structs here are 16 bytes, never text).
+    # Checkpointed: both the prefix explode and the verification arrays
+    # read it (one row per doc)
+    dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ordered = (
-        tok.join(dfreq, "tok")
+        tok.join(dfreq, "h")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ord"))
-    )
+    ).localCheckpoint()
     sz = F.size("ord")
     plen = (sz - F.ceil(F.lit(threshold) * sz).cast("int") + F.lit(1))
+    # keep each prefix item's POSITION in the sorted order: the PPJoin
+    # positional filter needs it (pos is 1-based within ``ord``)
     pref = ordered.select(
         "doc_id",
         sz.alias("sz"),
-        F.explode(
+        F.posexplode(
             F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["h"])
-        ).alias("h"),
-    )
+        ).alias("pos0", "h"),
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
     a, b = pref.alias("a"), pref.alias("b")
     t = F.lit(float(threshold))
+    # PPJoin positional filter (Xiao et al., WWW'08 §3.2): a shared
+    # prefix item at positions (ia, ib) bounds the overlap by
+    # 1 + min(sza - ia, szb - ib); Jaccard >= t needs overlap >=
+    # t/(1+t) * (sza+szb), so candidates whose bound falls short are
+    # pruned INSIDE the join, before the distinct — at low thresholds
+    # (long prefixes) this is the difference between the candidate set
+    # tracking the true pair count vs tracking sum(df_prefix^2)
+    overlap_ub = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    min_overlap = (t / (F.lit(1.0) + t)) * (F.col("a.sz") + F.col("b.sz"))
     cands = (
         a.join(
             b,
@@ -258,7 +281,8 @@ def setsim_self_join(docs: DataFrame, threshold: float = 0.5,
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: Jaccard >= t  =>  t <= min(sz)/max(sz)
             & (F.col("b.sz") >= t * F.col("a.sz"))
-            & (F.col("a.sz") >= t * F.col("b.sz")),
+            & (F.col("a.sz") >= t * F.col("b.sz"))
+            & (overlap_ub.cast("double") >= min_overlap),
         )
         .select(
             F.col("a.doc_id").alias("da"),
@@ -268,12 +292,30 @@ def setsim_self_join(docs: DataFrame, threshold: float = 0.5,
         )
         .distinct()
     )
-    hs = tok.select("doc_id", "h")
+    # verification: join the candidate pairs back to the per-doc hash
+    # ARRAYS (already built for the prefix) and intersect IN-ROW — no
+    # per-token explode (candidates x tokens/doc rows) and no groupBy;
+    # overlap = |array_intersect| since items are distinct per doc. The
+    # doc-array table is one row per doc, so AQE broadcasts it at small
+    # scale and the verify stage goes fully map-side; at corpus scale it
+    # degrades to two hash joins keyed on doc id — still never a df^2
+    # term, and the arrays ride only the candidate rows
+    harr = ordered.select(
+        "doc_id", F.transform("ord", lambda s: s["h"]).alias("hs")
+    )
     inter = (
-        cands.join(hs.withColumnsRenamed({"doc_id": "da"}), "da")
-        .join(hs.withColumnsRenamed({"doc_id": "db"}), ["db", "h"])
-        .groupBy("da", "db", "sza", "szb")
-        .agg(F.count(F.lit(1)).alias("c"))
+        cands.join(
+            harr.select(F.col("doc_id").alias("da"), F.col("hs").alias("ha")),
+            "da",
+        )
+        .join(
+            harr.select(F.col("doc_id").alias("db"), F.col("hs").alias("hb")),
+            "db",
+        )
+        .select(
+            "da", "db", "sza", "szb",
+            F.size(F.array_intersect("ha", "hb")).alias("c"),
+        )
     )
     raw = F.col("c") / (F.col("sza") + F.col("szb") - F.col("c"))
     # filter on the RAW ratio (matches the oracle's WHERE); round only
