@@ -1153,9 +1153,18 @@ def _seq_edges(spark, sf):
 
 def _q_graph_scc(spark, sf):
     """EXACT strongly connected components (operators/graph.py::
-    strongly_connected_components — forward-backward coloring with
-    pointer-doubling, directed twin of graph_components) vs a DuckDB
-    recursive-closure mutual-reachability oracle."""
+    strongly_connected_components) vs a DuckDB recursive-closure
+    mutual-reachability oracle. Registered in the ADAPTIVE default:
+    distributed trim shrinks the graph to its cyclic core, and a core
+    under ``small_core_edges`` is solved on the driver with Tarjan in
+    one bounded collect — the same shrink-then-solve discipline as
+    ``connected_components``' small-graph escape, and the right plan at
+    any corpus size because the trim is what touches corpus-scale data.
+    The distributed FW-BW peeling loop (the oversized-core path) is
+    pinned separately: pytest forces ``small_core_edges=0`` against an
+    independent Tarjan reference (tests/test_graph.py), and the
+    components family keeps its forced-distributed loop driver-checked
+    via ``graph_components``."""
     return GR.strongly_connected_components(_seq_edges(spark, sf), max_peel_rounds=32)
 
 

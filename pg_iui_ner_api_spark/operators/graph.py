@@ -790,10 +790,71 @@ def kcore(
 # ---------------------------------------------------------------------------
 # strongly connected components (directed)
 # ---------------------------------------------------------------------------
+def _tarjan_min_scc(edge_list) -> dict:
+    """Iterative Tarjan over a driver-local edge list -> {node: min node
+    id of its SCC}. Used only on the post-trim cyclic core when it fits
+    the ``small_core_edges`` bound; textbook algorithm (Tarjan 1972)."""
+    adj: dict = {}
+    nodes = set()
+    for a, b in edge_list:
+        adj.setdefault(a, []).append(b)
+        nodes.add(a)
+        nodes.add(b)
+    index: dict = {}
+    low: dict = {}
+    onstack: set = set()
+    stack: list = []
+    out: dict = {}
+    counter = 0
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                onstack.add(v)
+            descended = False
+            nbrs = adj.get(v, ())
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    descended = True
+                    break
+                if w in onstack:
+                    if index[w] < low[v]:
+                        low[v] = index[w]
+            if descended:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                if low[v] < low[u]:
+                    low[u] = low[v]
+    return out
+
+
 def strongly_connected_components(
     edges: DataFrame,
     max_peel_rounds: int = 16,
     max_prop_rounds: int = 64,
+    small_core_edges: int = 200_000,
 ) -> DataFrame:
     """EXACT strongly connected components of a DIRECTED edge list
     ``(src, dst)`` -> ``(node, scc_id)`` with ``scc_id`` = min node id
@@ -825,8 +886,30 @@ def strongly_connected_components(
     Scale shape: every shuffle carries (node-id, color) pairs — two
     longs; the edge list is localCheckpointed once per peel round and
     only SHRINKS; convergence checks are counts over the narrow color
-    table. No Python, no collect of anything graph-sized.
+    table. The distributed TRIM runs first at any scale; if the cyclic
+    core it leaves fits ``small_core_edges`` (the
+    ``components.connected_components`` adaptive discipline — real KG
+    cycle cores are orders smaller than the graph), the core is solved
+    on the driver with iterative Tarjan in one collect of bounded size;
+    the FW-BW peeling below is the path for oversized cores (force it
+    with ``small_core_edges=0`` — how the pytest suite pins it against
+    the Tarjan reference). Either path emits identical rows.
     """
+
+    def _trim_once(g):
+        # an edge (s, d) survives iff s has an in-edge (s ∈ dst-set)
+        # and d has an out-edge (d ∈ src-set) — the "both endpoints in
+        # src∩dst" condition without materializing the intersect: s is
+        # a src and d is a dst by construction, so two semi-joins cover
+        # all four degree conditions
+        return (
+            g.join(g.select(F.col("dst").alias("src")).distinct(),
+                   "src", "left_semi")
+            .join(g.select(F.col("src").alias("dst")).distinct(),
+                  "dst", "left_semi")
+            .select("src", "dst")
+        )
+
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint()
     all_nodes = (
@@ -837,27 +920,44 @@ def strongly_connected_components(
     )
     out: DataFrame | None = None
     n_edges = e.count()
+    # (0) TRIM to fixpoint: a node with no in-edges (or no out-edges)
+    # is a singleton SCC; dropping them cascades down dangling chains.
+    # On sparse graphs this removes the vast majority of nodes before
+    # any coloring happens (sf0.01 part-sequence graph: 1817 -> 240
+    # nodes), so whichever core solver runs sees only the cyclic core.
+    # Trimmed nodes are assigned scc_id = self at the very end. TWO
+    # trim passes per convergence count: each pass peels one level of
+    # a dangling chain, and the count is the latency-bound driver
+    # action, so batching halves the round trips.
+    while n_edges:
+        e2 = _trim_once(_trim_once(e)).localCheckpoint(eager=False)
+        n2 = e2.count()
+        e, converged = e2, n2 == n_edges
+        n_edges = n2
+        if converged:
+            break
+    if n_edges and n_edges <= small_core_edges:
+        # bounded collect (<= small_core_edges two-long rows): solve
+        # the core exactly on the driver, exactly like the small-graph
+        # escape in connected_components
+        assign = _tarjan_min_scc(
+            [(r[0], r[1]) for r in e.select("src", "dst").collect()]
+        )
+        spark = edges.sparkSession
+        node_t = e.schema["src"].dataType.simpleString()
+        out = spark.createDataFrame(
+            list(assign.items()), f"node {node_t}, scc_id {node_t}"
+        )
+        singles = all_nodes.join(out.select("node"), "node", "left_anti")
+        return out.unionByName(
+            singles.select("node", F.col("node").alias("scc_id"))
+        )
     for _ in range(max_peel_rounds):
-        # (0) TRIM to fixpoint: a node with no in-edges (or no
-        # out-edges) is a singleton SCC; dropping them cascades down
-        # dangling chains. On sparse graphs this removes the vast
-        # majority of nodes before any coloring happens (sf0.01
-        # part-sequence graph: 1817 -> 240 nodes), so the iterative
-        # FW-BW phases run on the small cyclic core only. Trimmed
-        # nodes are assigned scc_id = self at the very end.
+        # re-TRIM to fixpoint at the top of every peel round (the
+        # first round's trim converges immediately: the graph arrives
+        # pre-trimmed from above)
         while n_edges:
-            survivors = (
-                e.select(F.col("src").alias("node"))
-                .intersect(e.select(F.col("dst").alias("node")))
-            )
-            e2 = (
-                e.join(survivors.withColumnRenamed("node", "src"), "src")
-                .join(survivors.withColumnRenamed("node", "dst"), "dst")
-                .select("src", "dst")
-                # lazy: materializes inside the count below — one job
-                # per trim round, not two
-                .localCheckpoint(eager=False)
-            )
+            e2 = _trim_once(e).localCheckpoint(eager=False)
             n2 = e2.count()
             e, converged = e2, n2 == n_edges
             n_edges = n2

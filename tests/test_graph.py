@@ -714,14 +714,19 @@ def test_scc_hand_graph(spark):
     from pg_iui_ner_api_spark.operators.graph import strongly_connected_components
 
     edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4), (3, 6), (7, 7)]
-    got = sorted(
-        tuple(r)
-        for r in strongly_connected_components(
-            spark.createDataFrame(edges, "src long, dst long")
-        ).collect()
-    )
-    # {1,2,3} cycle, {4,5} cycle, 6 singleton; 7 only self-loops (excluded)
-    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # {1,2,3} cycle, {4,5} cycle, 6 singleton; 7 only self-loops
+    # (excluded) — identical rows from BOTH core solvers: the driver
+    # Tarjan escape (default) and the forced distributed FW-BW loop
+    want = [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)]
+    for force in (200_000, 0):
+        got = sorted(
+            tuple(r)
+            for r in strongly_connected_components(
+                df, small_core_edges=force
+            ).collect()
+        )
+        assert got == want, f"small_core_edges={force}"
 
 
 def test_scc_matches_tarjan_on_random_graphs(spark):
@@ -733,11 +738,14 @@ def test_scc_matches_tarjan_on_random_graphs(spark):
         random.seed(seed)
         edges = sorted({(random.randrange(n), random.randrange(n)) for _ in range(m)})
         edges = [(a, b) for a, b in edges if a != b]
+        # small_core_edges=0 forces the distributed FW-BW loop — the
+        # oversized-core path must keep matching the Tarjan reference
         got = sorted(
             tuple(r)
             for r in strongly_connected_components(
                 spark.createDataFrame(edges, "src long, dst long"),
                 max_peel_rounds=32,
+                small_core_edges=0,
             ).collect()
         )
         assert got == _tarjan_scc(edges), f"seed={seed}"
@@ -769,11 +777,13 @@ def test_scc_raises_on_peel_round_overrun(spark):
     edges = [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (4, 5), (5, 6), (6, 5)]
     df = spark.createDataFrame(edges, "src long, dst long")
     full = sorted(
-        tuple(r) for r in strongly_connected_components(df, max_peel_rounds=32).collect()
+        tuple(r) for r in strongly_connected_components(
+            df, max_peel_rounds=32, small_core_edges=0
+        ).collect()
     )
     assert full == [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5), (6, 5)]
     with pytest.raises(RuntimeError, match="peeling"):
-        strongly_connected_components(df, max_peel_rounds=0)
+        strongly_connected_components(df, max_peel_rounds=0, small_core_edges=0)
 
 
 # ---------------------------------------------------------------------------
