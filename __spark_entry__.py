@@ -1044,20 +1044,25 @@ def _q_graph_khop(spark, sf):
 
 def _q_graph_anf(spark, sf):
     """Neighborhood function / ANF (operators/graph.py::
-    neighborhood_function): per node, |B(node, r)| for r = 0..2 over the
-    part co-occurrence graph — all nodes simultaneously via distributed
-    bitmap OR rounds (exact mode; the HyperBall register swap is the
-    documented scale path). Integer counts, so the recursive-closure
-    DuckDB twin hashes exactly."""
-    return GR.neighborhood_function(GR.symmetrize(_part_edges(spark, sf)), h=2)
+    neighborhood_function): per node, |B(node, r)| for r = 0..2 — all
+    nodes simultaneously via distributed bitmap OR rounds (exact mode;
+    the HyperBall register swap is the documented scale path). Integer
+    counts, so the recursive-closure DuckDB twin hashes exactly. Runs
+    over the SPARSE symmetrized sequence graph (m/n ~ 1.3): ball growth
+    is a distance/diameter diagnostic, and on the dense co-occurrence
+    graph (avg degree ~120 at sf0.1) radius-2 balls already cover the
+    graph — degenerate semantics AND an O(n^2/64)-word state; sparse
+    input is both the meaningful and the representative regime."""
+    return GR.neighborhood_function(GR.symmetrize(_seq_edges(spark, sf)), h=2)
 
 
 def _q_graph_harmonic(spark, sf):
     """Truncated harmonic centrality at h=2 (operators/graph.py::
     harmonic_centrality) — ball growths from the ANF pass, each
     distance-r node contributing 1/r. With h=2 every term is an exact
-    half, so the hash is bit-exact."""
-    return GR.harmonic_centrality(GR.symmetrize(_part_edges(spark, sf)), h=2)
+    half, so the hash is bit-exact. Same sparse sequence graph as
+    graph_anf (see its docstring for why not the co-occurrence graph)."""
+    return GR.harmonic_centrality(GR.symmetrize(_seq_edges(spark, sf)), h=2)
 
 
 def _q_graph_pagerank(spark, sf):
@@ -1633,7 +1638,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_seg_prio": _q_pivot_seg_prio,
         "profile": _q_profile,
         "graph_cooccur_capped": _q_graph_cooccur_capped,
-        "graph_cooccur_dropped": _q_graph_cooccur_dropped,
         "quality_model_score": _q_quality_model_score,
         "repeated_spans": _q_repeated_spans,
         "dedup_against": _q_dedup_against,
@@ -1641,14 +1645,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_corpus": _q_shuffle_corpus,
         "dsir_select": _q_dsir_select,
         "link_pred": _q_link_pred,
-        "link_pred_dropped": _q_link_pred_dropped,
         "chunk_docs": _q_chunk_docs,
         "kg_negatives": _q_kg_negatives,
         "graph_kcore": _q_graph_kcore,
         # ---- window boundary: the 50 keys above are exactly the ----------
         # ---- never-driver-checked set; everything below is green ---------
-        # ---- in CORRECTNESS_r01-r03 ---------------------------------------
+        # ---- in CORRECTNESS_r01-r03, or pytest/check_entry-covered -------
         # -- (b0) NEW in late-r4, oracle-backed but past the 50-key window:
+        #    (the two *_dropped companion report keys yield their window
+        #    slots to their primary twins; both pass check_entry locally)
+        "graph_cooccur_dropped": _q_graph_cooccur_dropped,
+        "link_pred_dropped": _q_link_pred_dropped,
         #         pytest checks these against DuckDB (test_setsim etc.);
         #         hoist into section (a) at the next reorder ---------------
         "setsim_join": _q_setsim_join,
@@ -2981,8 +2988,22 @@ def oracle_sql() -> dict[str, str]:
     # graph_anf: bounded-depth recursive closure -> min distance per
     # (node, other) pair -> cumulative reach per radius. Integer counts
     # hash exactly against the engine's bitmap rounds.
+    # ANF/harmonic run on the SPARSE symmetrized sequence graph (the
+    # scc edge rule, both directions) — see _q_graph_anf for why the
+    # dense co-occurrence graph is the wrong regime for ball growth
+    _SEQSYM = """
+        e0 AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+           AND b.l_linenumber = a.l_linenumber + 1
+          WHERE a.l_partkey <> b.l_partkey
+            AND (a.l_partkey * 31 + b.l_partkey) % 12 = 0
+        ),
+        sym AS (SELECT src, dst FROM e0
+                UNION SELECT dst, src FROM e0)"""
     sql["graph_anf"] = f"""
-        WITH RECURSIVE {_GEDGES},
+        WITH RECURSIVE {_SEQSYM},
         nodes AS (SELECT DISTINCT src AS node FROM sym),
         rec(node, other, d) AS (
           SELECT node, node, 0 FROM nodes
@@ -3000,7 +3021,7 @@ def oracle_sql() -> dict[str, str]:
     # graph_harmonic: grouped count(md)/md over the same bounded-depth
     # closure (h=2 -> every term an exact half: bit-exact)
     sql["graph_harmonic"] = f"""
-        WITH RECURSIVE {_GEDGES},
+        WITH RECURSIVE {_SEQSYM},
         nodes AS (SELECT DISTINCT src AS node FROM sym),
         rec(node, other, d) AS (
           SELECT node, node, 0 FROM nodes

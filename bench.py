@@ -277,6 +277,9 @@ def _headline(spark) -> dict[str, float]:
         # late-r4: prefix-filtered exact set-similarity join +
         # deterministic weighted priority sampling + bloom semi-join
         "setsim_join", "priority_sample", "bloom_semi",
+        # late-r4: adaptive SCC, mergeable sketches, ANF over the
+        # sparse sequence graph
+        "graph_scc", "heavy_hitters", "hll_distinct", "graph_anf",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

@@ -137,6 +137,55 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     return comp.union(roots).groupBy("node").agg(F.min("component").alias("component"))
 
 
+def incremental_components(assign: DataFrame, new_edges: DataFrame,
+                           max_iter: int = 25,
+                           small_graph_edges: int = SMALL_GRAPH_EDGES,
+                           ) -> DataFrame:
+    """Fold an edge DELTA into an existing ``(node, component)``
+    assignment without recomputing over the historical edge set — the
+    maintenance primitive for a KG whose entity graph grows by daily
+    increments at 10^12-document scale (recomputing CC over all
+    history per increment is the thing this avoids).
+
+    Two facts make it exact:
+
+    * the assignment is itself a star-compressed, CC-equivalent summary
+      of every historical edge — its rows ARE edges (node -> root), so
+      ``CC(assign-as-edges ∪ delta) == CC(history ∪ delta)``;
+    * only components INCIDENT to the delta can change: rows of
+      untouched components pass through verbatim, and CC runs on the
+      touched star rows + delta only.
+
+    Cost is proportional to |delta| + |touched components|, never
+    |history|: one semi-join restricts the assignment to touched
+    components, one anti-join emits the untouched remainder unchanged,
+    and the solver (the same adaptive ``connected_components``) sees a
+    subgraph whose edge count is touched-members + delta. Component ids
+    stay min-node-id, so a delta that links a smaller id re-labels the
+    merged component exactly as a full recompute would.
+    """
+    delta = (
+        new_edges.select("u", "v").where(F.col("u") != F.col("v"))
+        .distinct().localCheckpoint()
+    )
+    touched_nodes = (
+        delta.select(F.col("u").alias("node"))
+        .unionAll(delta.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    touched_comps = (
+        assign.join(touched_nodes, "node", "left_semi")
+        .select("component").distinct().localCheckpoint()
+    )
+    star = assign.join(touched_comps, "component", "left_semi")
+    sub_edges = star.select(
+        F.col("node").alias("u"), F.col("component").alias("v")
+    ).unionByName(delta)
+    sub = connected_components(sub_edges, max_iter, small_graph_edges)
+    untouched = assign.join(touched_comps, "component", "left_anti")
+    return untouched.unionByName(sub.select("node", "component"))
+
+
 def canonical_components(linked_mentions: DataFrame) -> DataFrame:
     """Mention-level canonicalization -> component per mention.
 

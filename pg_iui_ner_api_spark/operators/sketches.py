@@ -153,6 +153,67 @@ def hll_estimate(sketches: DataFrame, p: int = 12,
     )
 
 
+def hll_union_col(ra: Column, rb: Column) -> Column:
+    """In-row union of two sparse register arrays (register-wise max) —
+    lets set algebra over stored sketch tables run as plain column
+    expressions after a join, with no re-scan of raw data."""
+    ma = F.map_from_entries(ra)
+    mb = F.map_from_entries(rb)
+    merged = F.map_zip_with(
+        ma, mb, lambda _, x, y: F.greatest(F.coalesce(x, F.lit(0)),
+                                           F.coalesce(y, F.lit(0)))
+    )
+    return F.array_sort(
+        F.transform(
+            F.map_entries(merged),
+            lambda e: F.struct(e["key"].alias("idx"), e["value"].alias("rho")),
+        )
+    )
+
+
+def hll_intersect_estimate(joined: DataFrame, ra: str, rb: str,
+                           p: int = 12) -> DataFrame:
+    """Append ``est_a``, ``est_b``, ``est_union``, ``est_intersect`` to
+    a DataFrame holding two sketch columns per row (e.g. the join of
+    two stored sketch tables): inclusion–exclusion over corrected HLL
+    estimates, all in-row — distinct-overlap questions ("how many
+    tokens do these two sources share?") answered from sketch tables
+    alone. Relative error grows as the true intersection shrinks
+    (inclusion–exclusion subtracts two large estimates), which is the
+    documented property of HLL set algebra; the pytest suite pins the
+    sizable-overlap regime."""
+    m = 1 << p
+    c = hll_alpha_m2_scaled(p)
+
+    def est_expr(col_name: str) -> Column:
+        # corrected estimate (raw HLL + linear-counting small-range
+        # branch) of one sparse register column, fully in-row; the
+        # shift amount is the rho field, so the fold uses expr form
+        # (F.shiftleft takes only a literal bit count)
+        zeros = (F.lit(m) - F.size(F.col(col_name))).cast("long")
+        s_set = F.expr(
+            f"aggregate({col_name}, CAST(0 AS BIGINT), "
+            "(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 50 - r.rho))"
+        )
+        s50 = (s_set + zeros * F.lit(1 << _SHIFT_BASE).cast("long")).cast("double")
+        raw = F.lit(c) / s50
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+        return F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw)
+
+    out = joined.withColumn("_u", hll_union_col(F.col(ra), F.col(rb)))
+    ea, eb, eu = est_expr(ra), est_expr(rb), est_expr("_u")
+    return (
+        out.withColumn("est_a", F.round(ea, 4))
+        .withColumn("est_b", F.round(eb, 4))
+        .withColumn("est_union", F.round(eu, 4))
+        .withColumn(
+            "est_intersect",
+            F.round(F.greatest(ea + eb - eu, F.lit(0.0)), 4),
+        )
+        .drop("_u")
+    )
+
+
 # -- exact heavy hitters -----------------------------------------------------
 
 def heavy_hitters(docs: DataFrame, num: int = 1, den: int = 1000,

@@ -172,3 +172,34 @@ def test_hll_build_shuffles_only_registers(spark):
     assert "HashAggregate" in plan[first_exchange:]
     assert "HashAggregate" in plan[:first_exchange] or \
         "partial" in plan[:first_exchange].lower()
+
+
+def test_hll_set_algebra(spark):
+    from pg_iui_ner_api_spark.operators.sketches import (
+        hll_intersect_estimate, hll_union_col)
+
+    # A = 0..7999, B = 4000..13999: |A|=8000, |B|=10000, |A∪B|=14000,
+    # |A∩B|=4000 — the sizable-overlap regime inclusion-exclusion is
+    # specified for
+    df = spark.range(14_000).select(F.col("id").cast("string").alias("v"))
+    a = hll_sketch(
+        df.where(F.col("v").cast("long") < 8000).selectExpr("'k' AS k", "v"),
+        ["k"], "v", p=12,
+    ).withColumnRenamed("regs", "ra")
+    b = hll_sketch(
+        df.where(F.col("v").cast("long") >= 4000).selectExpr("'k' AS k", "v"),
+        ["k"], "v", p=12,
+    ).withColumnRenamed("regs", "rb")
+    r = hll_intersect_estimate(a.join(b, "k"), "ra", "rb", p=12).first()
+    for est, true in ((r.est_a, 8000), (r.est_b, 10000),
+                      (r.est_union, 14000)):
+        assert abs(est - true) / true < 0.05, (est, true)
+    # intersection inherits both estimates' errors: 10% tolerance
+    assert abs(r.est_intersect - 4000) / 4000 < 0.10, r.est_intersect
+
+    # union of sketches == sketch of the union, register-exact
+    direct = hll_sketch(df.selectExpr("'k' AS k", "v"), ["k"], "v",
+                        p=12).first().regs
+    via = a.join(b, "k").select(
+        hll_union_col(F.col("ra"), F.col("rb")).alias("u")).first().u
+    assert [tuple(x) for x in direct] == [tuple(x) for x in via]
