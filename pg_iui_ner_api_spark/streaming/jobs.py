@@ -457,3 +457,68 @@ def compact_fused_triples(spark: SparkSession, workdir: str) -> DataFrame:
         "subj", "pred", "obj", "n_mentions", "n_docs",
         "max_score", "min_score", "noisy_or",
     )
+
+
+def stream_token_counts(spark: SparkSession, input_dir: str, workdir: str,
+                        checkpoint_dir: str, available_now: bool = True,
+                        max_files_per_trigger: int | None = None):
+    """Continuous heavy-hitters feed: the streaming twin of
+    ``operators/sketches.heavy_hitters``.
+
+    Token counts are fully DECOMPOSABLE (sums merge associatively), so
+    each micro-batch writes only its per-token partial counts — one
+    narrow (tok, cnt) row per distinct token in the batch — to an
+    idempotent ``batch=<id>`` overwrite partition, exactly the
+    stream_fuse_triples pattern: the file-source checkpoint + partition
+    overwrite give effective exactly-once, a replayed batch id rewrites
+    its own partition, and the per-batch shuffle is batch-sized, never
+    corpus-sized. Thresholding is deferred to
+    :func:`compact_heavy_hitters`, which merges the partial log and
+    applies the exact integer frequency test — so the streamed result
+    equals the batch operator over the union corpus (pinned by
+    test_streaming).
+
+      workdir/tok_inc/batch=<id>/   per-batch (tok, cnt) partials
+    """
+    from ..functions.text import normalize_ws, tokens
+
+    reader = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    docs = reader.parquet(input_dir)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.select(
+                F.explode(tokens(normalize_ws(F.col("text")))).alias("tok")
+            )
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        counts.write.mode("overwrite").parquet(
+            f"{workdir}/tok_inc/batch={batch_id}")
+
+    writer = (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_heavy_hitters(spark: SparkSession, workdir: str,
+                          num: int = 1, den: int = 1000) -> DataFrame:
+    """Merge the accumulated token-count partials and apply the exact
+    integer frequency test ``cnt * den >= total * num`` — identical
+    output contract to ``operators/sketches.heavy_hitters`` over the
+    union of all streamed batches."""
+    c = spark.read.parquet(f"{workdir}/tok_inc").drop("batch")
+    merged = c.groupBy("tok").agg(F.sum("cnt").alias("cnt"))
+    total = merged.agg(F.sum("cnt").alias("total"))
+    return (
+        merged.join(F.broadcast(total))
+        .where(F.col("cnt") * F.lit(int(den)) >= F.col("total") * F.lit(int(num)))
+        .select("tok", "cnt")
+    )

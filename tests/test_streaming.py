@@ -457,3 +457,70 @@ def test_sliding_event_stats_match_batch(spark, tmp_path, sf_dir):
     # overlap sanity: a single event contributes to window/slide panes,
     # so closed-pane event mass exceeds the closed tumbling-hour mass
     assert len(got) >= len(want)
+
+
+def test_stream_heavy_hitters_matches_batch(spark, tmp_path):
+    """Two appends streamed as separate triggers, then compacted, must
+    equal the batch heavy_hitters operator over the union corpus —
+    token-count partials merge associatively, so the streamed threshold
+    test sees exactly the batch totals."""
+    from pg_iui_ner_api_spark.operators.sketches import heavy_hitters
+    from pg_iui_ner_api_spark.streaming.jobs import (
+        compact_heavy_hitters, stream_token_counts)
+
+    inp = tmp_path / "docs_in"
+    wd = str(tmp_path / "wd")
+    ckpt = str(tmp_path / "ckpt")
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    b1 = [(i, f"alpha alpha beta rare{i}", "en", "s", 20) for i in range(30)]
+    b2 = [(100 + i, f"alpha gamma gamma rare{100+i}", "en", "s", 22)
+          for i in range(30)]
+    spark.createDataFrame(b1, cols).write.mode("append").parquet(str(inp))
+    stream_token_counts(spark, str(inp), wd, ckpt).awaitTermination(120)
+    spark.createDataFrame(b2, cols).write.mode("append").parquet(str(inp))
+    stream_token_counts(spark, str(inp), wd, ckpt).awaitTermination(120)
+
+    got = {(r.tok, r.cnt)
+           for r in compact_heavy_hitters(spark, wd, 1, 10).collect()}
+    union = spark.createDataFrame(b1 + b2, cols)
+    want = {(r.tok, r.cnt) for r in heavy_hitters(union, 1, 10).collect()}
+    assert got == want and got, got
+
+
+def test_stream_heavy_hitters_crash_replay_idempotent(spark, tmp_path):
+    """Replaying a micro-batch whose output landed but whose checkpoint
+    commit did not (newest commits file deleted) must overwrite the
+    batch partition in place — merged counts identical to a clean run."""
+    import glob
+    import os
+
+    from pg_iui_ner_api_spark.streaming.jobs import (
+        compact_heavy_hitters, stream_token_counts)
+
+    inp = tmp_path / "docs_in"
+    wd = str(tmp_path / "wd")
+    ckpt = str(tmp_path / "ckpt")
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [(i, "x y z common", "en", "s", 12) for i in range(20)]
+    spark.createDataFrame(rows, cols).write.mode("append").parquet(str(inp))
+    stream_token_counts(spark, str(inp), wd, ckpt).awaitTermination(120)
+    clean = sorted(
+        tuple(r) for r in compact_heavy_hitters(spark, wd, 1, 10).collect()
+    )
+
+    commits = sorted(
+        f for f in glob.glob(f"{ckpt}/commits/*")
+        if not os.path.basename(f).startswith(".")
+    )
+    os.remove(commits[-1])  # torn trigger: output written, commit lost
+    # drop the local ChecksumFileSystem's shadow .crc too (a real crash
+    # loses both; a stale crc makes the rename-based recommit fail)
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream_token_counts(spark, str(inp), wd, ckpt).awaitTermination(120)
+    replay = sorted(
+        tuple(r) for r in compact_heavy_hitters(spark, wd, 1, 10).collect()
+    )
+    assert replay == clean
