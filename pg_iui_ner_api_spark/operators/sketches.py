@@ -87,6 +87,10 @@ def hll_sketch(df: DataFrame, group_cols: list[str], value_col: str,
     under any partitioning)."""
     m = 1 << p
     h = portable_hash64(F.col(value_col).cast("string"))
+    # NULL values carry no identity: md5(NULL) is NULL and would ride
+    # through as a poisoned (NULL, NULL) register — drop them up front
+    # (COUNT DISTINCT semantics ignore NULLs too)
+    df = df.where(F.col(value_col).isNotNull())
     coords = df.select(
         *[F.col(c) for c in group_cols],
         F.pmod(h, F.lit(m)).cast("int").alias("idx"),
@@ -261,7 +265,9 @@ def heavy_hitters(docs: DataFrame, num: int = 1, den: int = 1000,
         state = None
         n_seen = 0
         for pdf in batches:
-            lists = [x for x in pdf["toks"] if len(x)]
+            # a NULL text arrives as None (tokens(NULL) is NULL, and
+            # Arrow ships it as a null list) — skip, like explode does
+            lists = [x for x in pdf["toks"] if x is not None and len(x)]
             if not lists:
                 continue
             flat = np.concatenate([np.asarray(x, dtype=object) for x in lists])

@@ -203,3 +203,27 @@ def test_hll_set_algebra(spark):
     via = a.join(b, "k").select(
         hll_union_col(F.col("ra"), F.col("rb")).alias("u")).first().u
     assert [tuple(x) for x in direct] == [tuple(x) for x in via]
+
+
+def test_null_inputs(spark):
+    # NULL text rows must be skipped by the sketch pass (not crash the
+    # Arrow boundary) and contribute no tokens to the verify pass
+    docs = spark.createDataFrame(
+        [("d0", "a a b"), ("d1", None), ("d2", "a b c")],
+        "doc_id string, text string",
+    )
+    got = {(r.tok, r.cnt) for r in heavy_hitters(docs, 1, 3).collect()}
+    assert got == {("a", 3), ("b", 2)}
+
+    # NULL values must not poison HLL registers (COUNT DISTINCT ignores
+    # NULLs): estimate over {x, NULL, y} == estimate over {x, y}
+    df = spark.createDataFrame(
+        [("g", "x"), ("g", None), ("g", "y")], "g string, v string"
+    )
+    withnull = hll_estimate(hll_sketch(df, ["g"], "v", p=8), p=8,
+                            corrected=True).first()
+    clean = hll_estimate(
+        hll_sketch(df.where(F.col("v").isNotNull()), ["g"], "v", p=8),
+        p=8, corrected=True,
+    ).first()
+    assert withnull.est == clean.est and withnull.nnz == 2
