@@ -1559,6 +1559,19 @@ def _q_pivot_seg_prio(spark, sf):
     return A.pivot_counts(j, "c_mktsegment", "o_orderpriority", _PRIORITIES)
 
 
+def _q_containment_join(spark, sf):
+    """Asymmetric containment self-join (operators/similarity.py::
+    containment_join): ordered pairs where >= 60% of da's distinct
+    3-gram shingles occur in db — the near-superset/quote-inclusion
+    dedup case Jaccard misses. Exact via the SSJoin containment prefix
+    filter (rarest |A|-ceil(t|A|)+1 items probe the corpus item table)
+    + in-row array-intersect verification, vs the brute-force
+    permutation-pairs DuckDB twin."""
+    from pg_iui_ner_api_spark.operators.similarity import containment_join
+
+    return containment_join(_t(spark, sf, "documents"), threshold=0.6, n=3)
+
+
 def _q_heavy_hitters(spark, sf):
     """Exact corpus heavy hitters (operators/sketches.py::heavy_hitters):
     tokens with frequency >= 1/200, found via per-partition Misra-Gries
@@ -1681,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": _q_graph_modularity,
         "heavy_hitters": _q_heavy_hitters,
         "hll_distinct": _q_hll_distinct,
+        "containment_join": _q_containment_join,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -3751,6 +3765,21 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                regexp_replace(t2, '{_re_phone}', '<PHONE>', 'g') AS text
         FROM s2
+    """
+    # containment twin: brute-force ordered pairs over the same distinct
+    # 3-gram shingle lists (the operator's prefix filter is internal; its
+    # exact verified output must equal the naive permutation join)
+    sql["containment_join"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_SHINGLES.format(x='text')} AS shs FROM documents
+        ),
+        p AS (
+          SELECT a.doc_id AS da, b.doc_id AS db,
+                 len(list_intersect(a.shs, b.shs)) AS c,
+                 len(a.shs) AS la
+          FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+        SELECT da, db, round(c / la::DOUBLE, 6) AS containment
+        FROM p WHERE c / la::DOUBLE >= 0.6
     """
     # heavy_hitters twin: brute-force token frequencies — the operator's
     # Misra-Gries candidate pass is internal; its exact verified output

@@ -172,6 +172,44 @@ def blocked_pair_edges(df: DataFrame, block_col: str, id_col: str,
     return pairs, dropped
 
 
+def _rarity_ordered(docs: DataFrame, id_col: str, text_col: str,
+                    n: int | None) -> DataFrame:
+    """(doc_id, ord: array<struct<df,h>>) — each doc's DISTINCT item
+    hashes sorted rarest-first under the global (df asc, hash asc)
+    order. The shared head of the prefix-filter family
+    (:func:`setsim_self_join`, :func:`containment_join`).
+
+    Items are whitespace tokens (``n=None``) or word n-gram shingles;
+    each item is hashed ONCE (60-bit md5 prefix — the hash IS the item
+    identity, as in MinHash) so the df agg and the order-rebuild
+    shuffle carry 8-byte hashes, never strings. Checkpointed: prefix
+    explodes and verification arrays both read it (one row per doc)."""
+    from ..functions.text import normalize_ws, portable_hash64, tokens
+
+    if n is None:
+        items = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.array_distinct(tokens(normalize_ws(F.col(text_col))))
+            ).alias("tok"),
+        )
+    else:
+        from .dedup import shingle_table
+
+        items = shingle_table(docs, n, id_col, text_col).withColumnRenamed(
+            "sh", "tok"
+        )
+    tok = items.select(
+        "doc_id", portable_hash64(F.col("tok")).alias("h")
+    ).localCheckpoint()
+    dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ord"))
+    ).localCheckpoint()
+
+
 def setsim_self_join(docs: DataFrame, threshold: float = 0.5,
                      id_col: str = "doc_id", text_col: str = "text",
                      n: int | None = None) -> DataFrame:
@@ -215,41 +253,7 @@ def setsim_self_join(docs: DataFrame, threshold: float = 0.5,
     doc id. Item strings never leave the map side — every shuffle
     carries 8-byte hashes or per-doc hash arrays.
     """
-    from ..functions.text import normalize_ws, portable_hash64, tokens
-
-    if n is None:
-        items = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.array_distinct(tokens(normalize_ws(F.col(text_col))))
-            ).alias("tok"),
-        )
-    else:
-        from .dedup import shingle_table
-
-        items = shingle_table(docs, n, id_col, text_col).withColumnRenamed(
-            "sh", "tok"
-        )
-    # item table is consumed 2x (df agg, order rebuild): hash each item
-    # ONCE here and drop the string — every downstream shuffle (df agg
-    # included: the 60-bit hash IS the item identity, exactly as in the
-    # MinHash family) carries 8-byte hashes; the checkpoint makes the
-    # tokenize expressions run once
-    tok = items.select(
-        "doc_id", portable_hash64(F.col("tok")).alias("h")
-    ).localCheckpoint()
-
-    # global item order = (df asc, hash asc): rarest first; the hash
-    # tie-break keeps it total WITHOUT carrying item strings through the
-    # order-rebuild shuffle (structs here are 16 bytes, never text).
-    # Checkpointed: both the prefix explode and the verification arrays
-    # read it (one row per doc)
-    dfreq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ordered = (
-        tok.join(dfreq, "h")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("ord"))
-    ).localCheckpoint()
+    ordered = _rarity_ordered(docs, id_col, text_col, n)
     sz = F.size("ord")
     plen = (sz - F.ceil(F.lit(threshold) * sz).cast("int") + F.lit(1))
     # keep each prefix item's POSITION in the sorted order: the PPJoin
@@ -322,6 +326,94 @@ def setsim_self_join(docs: DataFrame, threshold: float = 0.5,
     # for output — same borderline contract as ngram_jaccard_pairs
     return inter.where(raw >= threshold).select(
         "da", "db", F.round(raw, 6).alias("jaccard")
+    )
+
+
+def containment_join(docs: DataFrame, threshold: float = 0.8,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int | None = 3) -> DataFrame:
+    """Exact ASYMMETRIC containment self-join: every ordered pair
+    (da, db), da != db, where at least ``threshold`` of da's distinct
+    items also occur in db — ``|A ∩ B| / |A| >= t``. The near-superset
+    case Jaccard-threshold dedup structurally misses (a tweet quoted
+    inside an article has tiny Jaccard but containment ~1.0), and the
+    C4/RefinedWeb-style reason to remove contained duplicates.
+
+    Prefix filter for containment (Chaudhuri et al., ICDE'06 SSJoin):
+    overlap >= ceil(t*|A|) forces A's rarest ``|A| - ceil(t*|A|) + 1``
+    items (global df-asc order, the :func:`_rarity_ordered` head) to
+    intersect B's FULL item set — so the candidate join probes A's
+    short rare prefix against the corpus item table. A hub item enters
+    a prefix only if A is almost all hubs; candidate count is
+    sum_item df_prefix(item) * df(item), linear-ish in practice where
+    the naive form is quadratic. The size filter ``|B| >= t*|A|``
+    (overlap <= |B|) rides inside the join. Verification intersects
+    the per-doc hash arrays in-row, exactly as in
+    :func:`setsim_self_join`.
+
+    Output: (da, db, containment) — da is the CONTAINED side; both
+    directions of a mutual near-dup appear as two rows.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    ordered = _rarity_ordered(docs, id_col, text_col, n)
+    sz = F.size("ord")
+    plen = (sz - F.ceil(F.lit(threshold) * sz).cast("int") + F.lit(1))
+    pref = ordered.select(
+        F.col("doc_id").alias("da"),
+        sz.alias("sza"),
+        F.posexplode(
+            F.transform(F.slice("ord", F.lit(1), plen), lambda s: s["h"])
+        ).alias("pa0", "h"),
+    ).withColumn("pa", F.col("pa0") + 1).drop("pa0")
+    full = ordered.select(
+        F.col("doc_id").alias("db"),
+        sz.alias("szb"),
+        F.posexplode(F.transform("ord", lambda s: s["h"])).alias("pb0", "h"),
+    ).withColumn("pb", F.col("pb0") + 1).drop("pb0")
+    t = F.lit(float(threshold))
+    # positional filter (the containment form of PPJoin's): for a true
+    # pair's FIRST shared item (rarity order is global, so everything
+    # before it on either side is unshared), remaining overlap is at
+    # most 1 + min(sza - pa, szb - pb), which must reach t*sza. This is
+    # what keeps the full-side probe linear: hub items sit LAST in the
+    # rarity order (df asc), so a hub match deep in both lists prunes
+    # immediately instead of fanning out df(hub) candidates
+    overlap_ub = F.lit(1) + F.least(
+        F.col("sza") - F.col("pa"), F.col("szb") - F.col("pb")
+    )
+    cands = (
+        pref.join(
+            full,
+            (pref.h == full.h)
+            & (F.col("da") != F.col("db"))
+            # overlap <= |B| and overlap >= t|A|  =>  |B| >= t|A|
+            & (F.col("szb").cast("double") >= t * F.col("sza"))
+            & (overlap_ub.cast("double") >= t * F.col("sza")),
+        )
+        .select("da", "db", "sza")
+        .distinct()
+    )
+    harr = ordered.select(
+        "doc_id", F.transform("ord", lambda s: s["h"]).alias("hs")
+    )
+    inter = (
+        cands.join(
+            harr.select(F.col("doc_id").alias("da"), F.col("hs").alias("ha")),
+            "da",
+        )
+        .join(
+            harr.select(F.col("doc_id").alias("db"), F.col("hs").alias("hb")),
+            "db",
+        )
+        .select(
+            "da", "db", "sza",
+            F.size(F.array_intersect("ha", "hb")).alias("c"),
+        )
+    )
+    raw = F.col("c") / F.col("sza")
+    return inter.where(raw >= threshold).select(
+        "da", "db", F.round(raw, 6).alias("containment")
     )
 
 

@@ -235,3 +235,55 @@ def test_snm_window_one_is_adjacent_only(spark):
         for r in sorted_neighborhood_pairs(df, "k", "doc_id", window=1).collect()
     )
     assert got == [(1, 2, 1), (2, 3, 1)]
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment join (SSJoin containment prefix filter)
+# ---------------------------------------------------------------------------
+def test_containment_hand_case(spark):
+    from pg_iui_ner_api_spark.operators.similarity import containment_join
+
+    docs = spark.createDataFrame(
+        [("d0", "a b c d e f g h"), ("d1", "c d e f"), ("d2", "x y z w q")],
+        "doc_id string, text string",
+    )
+    got = sorted(tuple(r) for r in containment_join(docs, 0.8, n=None).collect())
+    # d1 fully contained in d0; the reverse direction is 4/8 = 0.5 < 0.8
+    assert got == [("d1", "d0", 1.0)]
+
+
+def test_containment_exact_vs_brute_force(spark):
+    import itertools
+    import random
+
+    from pg_iui_ner_api_spark.operators.similarity import containment_join
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(f"d{i}", " ".join(rng.sample(vocab, rng.randrange(3, 15))))
+            for i in range(60)]
+    sets = {i: set(t.split()) for i, t in rows}
+    want = sorted(
+        (a, b, round(len(sets[a] & sets[b]) / len(sets[a]), 6))
+        for a, b in itertools.permutations(sets, 2)
+        if len(sets[a] & sets[b]) / len(sets[a]) >= 0.6
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for reparted in (docs.coalesce(1), docs.repartition(7)):
+        got = sorted(
+            tuple(r)
+            for r in containment_join(reparted, 0.6, n=None).collect()
+        )
+        assert got == want and got
+
+
+def test_containment_bad_threshold(spark):
+    import pytest as _pytest
+
+    from pg_iui_ner_api_spark.operators.similarity import containment_join
+
+    docs = spark.createDataFrame([("d0", "a b")], "doc_id string, text string")
+    with _pytest.raises(ValueError):
+        containment_join(docs, 0.0)
+    with _pytest.raises(ValueError):
+        containment_join(docs, 1.5)
