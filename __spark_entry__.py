@@ -1559,6 +1559,19 @@ def _q_pivot_seg_prio(spark, sf):
     return A.pivot_counts(j, "c_mktsegment", "o_orderpriority", _PRIORITIES)
 
 
+def _q_corr_matrix(spark, sf):
+    """One-pass exact Pearson correlation matrix
+    (operators/analytics.py::corr_matrix) over the four fixed-point
+    lineitem measures: all sufficient statistics in a single
+    groupBy-less agg (one scan, one-row shuffle); integer algebra in
+    decimal(38,0)/HUGEINT, floats only in the final div+sqrt — hashes
+    bit-exactly vs the DuckDB twin."""
+    return A.corr_matrix(
+        _t(spark, sf, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
 def _q_containment_join(spark, sf):
     """Asymmetric containment self-join (operators/similarity.py::
     containment_join): ordered pairs where >= 60% of da's distinct
@@ -1695,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": _q_heavy_hitters,
         "hll_distinct": _q_hll_distinct,
         "containment_join": _q_containment_join,
+        "corr_matrix": _q_corr_matrix,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -3765,6 +3779,46 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                regexp_replace(t2, '{_re_phone}', '<PHONE>', 'g') AS text
         FROM s2
+    """
+    # corr_matrix twin: identical exact-integer sufficient statistics in
+    # HUGEINT; the only floats are the same final cast/sqrt/div
+    sql["corr_matrix"] = """
+        WITH t AS (
+          SELECT CAST(round(l_quantity * 100) AS HUGEINT) AS x0,
+                 CAST(round(l_extendedprice * 100) AS HUGEINT) AS x1,
+                 CAST(round(l_discount * 100) AS HUGEINT) AS x2,
+                 CAST(round(l_tax * 100) AS HUGEINT) AS x3
+          FROM lineitem
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+        ),
+        a AS (
+          SELECT count(*)::HUGEINT AS n,
+                 sum(x0) AS s0, sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+                 sum(x0*x0) AS p00, sum(x0*x1) AS p01, sum(x0*x2) AS p02,
+                 sum(x0*x3) AS p03, sum(x1*x1) AS p11, sum(x1*x2) AS p12,
+                 sum(x1*x3) AS p13, sum(x2*x2) AS p22, sum(x2*x3) AS p23,
+                 sum(x3*x3) AS p33
+          FROM t
+        ),
+        pairs(col_a, col_b, num, va, vb) AS (
+          SELECT 'l_quantity', 'l_extendedprice',
+                 n*p01 - s0*s1, n*p00 - s0*s0, n*p11 - s1*s1 FROM a
+          UNION ALL SELECT 'l_quantity', 'l_discount',
+                 n*p02 - s0*s2, n*p00 - s0*s0, n*p22 - s2*s2 FROM a
+          UNION ALL SELECT 'l_quantity', 'l_tax',
+                 n*p03 - s0*s3, n*p00 - s0*s0, n*p33 - s3*s3 FROM a
+          UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                 n*p12 - s1*s2, n*p11 - s1*s1, n*p22 - s2*s2 FROM a
+          UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                 n*p13 - s1*s3, n*p11 - s1*s1, n*p33 - s3*s3 FROM a
+          UNION ALL SELECT 'l_discount', 'l_tax',
+                 n*p23 - s2*s3, n*p22 - s2*s2, n*p33 - s3*s3 FROM a
+        )
+        SELECT col_a, col_b,
+               round(num::DOUBLE / (sqrt(va::DOUBLE) * sqrt(vb::DOUBLE)),
+                     6) AS corr
+        FROM pairs
     """
     # containment twin: brute-force ordered pairs over the same distinct
     # 3-gram shingle lists (the operator's prefix filter is internal; its

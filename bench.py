@@ -278,8 +278,9 @@ def _headline(spark) -> dict[str, float]:
         # deterministic weighted priority sampling + bloom semi-join
         "setsim_join", "priority_sample", "bloom_semi",
         # late-r4: adaptive SCC, mergeable sketches, ANF over the
-        # sparse sequence graph
+        # sparse sequence graph, one-pass correlation matrix
         "graph_scc", "heavy_hitters", "hll_distinct", "graph_anf",
+        "corr_matrix",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

@@ -878,3 +878,71 @@ def equidepth_bins(
         )
         .select("id", "value", F.expr(bucket_sql).alias("bin"))
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str], scale: int = 100) -> DataFrame:
+    """Exact Pearson correlation matrix over fixed-point numeric columns
+    in ONE aggregation pass -> (col_a, col_b, corr) for every unordered
+    pair (col_a < col_b by position).
+
+    The corpus-profiling primitive ("is token count confounded with
+    quality score?") at its 100 TB shape: every sufficient statistic —
+    n, per-column sums, and the upper-triangle sum of products — is a
+    partial-aggregable aggregate in a SINGLE groupBy-less agg, so the
+    whole matrix costs one scan and a one-row shuffle, never k scans or
+    a per-pair job.
+
+    Hash-exactness discipline: inputs are fixed-point (``scale`` = 100
+    for 2-dp money/ratio columns), so ``round(x * scale)`` is the same
+    exact integer in every engine; sums and products accumulate in
+    decimal(38,0) (DuckDB twin: HUGEINT) — exact integer algebra — and
+    the only floats are the final cast, two correctly-rounded sqrts and
+    one division, identical IEEE ops on identical integers. Pearson is
+    scale-invariant, so the fixed-point scaling cancels exactly.
+
+    Rows with a NULL in ANY of ``cols`` are dropped (row-complete
+    observations — the unambiguous one-pass semantics; pairwise-complete
+    would need per-pair n/sums, which is the same plan with 3x the
+    aggregate count, not a different shuffle shape).
+    """
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs at least two columns")
+    complete = df
+    for c in cols:
+        complete = complete.where(F.col(c).isNotNull())
+    ints = complete.select(
+        *[
+            F.round(F.col(c) * F.lit(int(scale)))
+            .cast("long").cast("decimal(38,0)").alias(f"_x{i}")
+            for i, c in enumerate(cols)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(F.col(f"_x{i}")).alias(f"_s{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(F.col(f"_x{i}") * F.col(f"_x{j}")).alias(f"_p{i}_{j}")
+            )
+    stats = ints.agg(*aggs)
+    n = F.col("_n")
+    pairs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            num = (n * F.col(f"_p{i}_{j}") - F.col(f"_s{i}") * F.col(f"_s{j}"))
+            va = (n * F.col(f"_p{i}_{i}") - F.col(f"_s{i}") * F.col(f"_s{i}"))
+            vb = (n * F.col(f"_p{j}_{j}") - F.col(f"_s{j}") * F.col(f"_s{j}"))
+            pairs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_a"),
+                    F.lit(cols[j]).alias("col_b"),
+                    F.round(
+                        num.cast("double")
+                        / (F.sqrt(va.cast("double")) * F.sqrt(vb.cast("double"))),
+                        6,
+                    ).alias("corr"),
+                )
+            )
+    return stats.select(F.explode(F.array(*pairs)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.corr"
+    )

@@ -702,3 +702,51 @@ def test_equidepth_excludes_nulls_and_rejects_bad_nbins(spark):
     assert {r["id"] for r in rows} == {1, 3}
     with _pytest.raises(ValueError):
         A.equidepth_bins(df, "val", "rid", 0)
+
+
+# ---------------------------------------------------------------------------
+# one-pass exact correlation matrix
+# ---------------------------------------------------------------------------
+def test_corr_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from pg_iui_ner_api_spark.operators.analytics import corr_matrix
+
+    rows = [(float(i % 7), float((i * 3) % 11) / 2, float(50 - i) / 4)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {(r.col_a, r.col_b): r.corr
+           for r in corr_matrix(df, ["a", "b", "c"], scale=100).collect()}
+    m = np.corrcoef(np.round(np.array(rows).T * 100))
+    names = ["a", "b", "c"]
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert abs(got[(names[i], names[j])] - m[i, j]) < 1e-5
+
+
+def test_corr_matrix_null_rows_dropped_and_args(spark):
+    import pytest as _pytest
+
+    from pg_iui_ner_api_spark.operators.analytics import corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (None, 9.0), (3.0, 6.0)],
+        "a double, b double",
+    )
+    # perfectly linear after the null row drops
+    r = corr_matrix(df, ["a", "b"]).first()
+    assert r.corr == 1.0
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["a"])
+
+
+def test_corr_matrix_single_pass_plan(spark):
+    from pg_iui_ner_api_spark.operators.analytics import corr_matrix
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], "a double, b double, c double")
+    plan = corr_matrix(df, ["a", "b", "c"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    # all statistics in one aggregation: exactly one pair of
+    # HashAggregates (partial + final) and no join
+    assert plan.count("Exchange") <= 1
+    assert "Join" not in plan
