@@ -1559,6 +1559,20 @@ def _q_pivot_seg_prio(spark, sf):
     return A.pivot_counts(j, "c_mktsegment", "o_orderpriority", _PRIORITIES)
 
 
+def _q_drift_chisq(spark, sf):
+    """Two-sample chi-square drift profile (operators/analytics.py::
+    drift_chisq): src0 documents vs the rest of the corpus over 12
+    fixed-width n_chars bins — per-bin exact counts + expected counts +
+    chi-square contribution, all divisions on exact integers (no libm),
+    so every row hashes bit-exactly vs the DuckDB twin."""
+    docs = _t(spark, sf, "documents")
+    return A.drift_chisq(
+        docs.where(F.col("source") == "src0"),
+        docs.where(F.col("source") != "src0"),
+        "n_chars", 12, 0.0, 600.0,
+    )
+
+
 def _q_corr_matrix(spark, sf):
     """One-pass exact Pearson correlation matrix
     (operators/analytics.py::corr_matrix) over the four fixed-point
@@ -1709,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": _q_hll_distinct,
         "containment_join": _q_containment_join,
         "corr_matrix": _q_corr_matrix,
+        "drift_chisq": _q_drift_chisq,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -3779,6 +3794,47 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'test' END AS split,
                regexp_replace(t2, '{_re_phone}', '<PHONE>', 'g') AS text
         FROM s2
+    """
+    # drift_chisq twin: identical fixed-width clamped binning and the
+    # same left-associated float expression tree over exact counts
+    sql["drift_chisq"] = """
+        WITH ba AS (
+          SELECT least(greatest(CAST(floor((n_chars - 0.0) / 50.0) AS INT),
+                                0), 11) AS bin, count(*) AS n_a
+          FROM documents WHERE source = 'src0' AND n_chars IS NOT NULL
+          GROUP BY 1
+        ),
+        bb AS (
+          SELECT least(greatest(CAST(floor((n_chars - 0.0) / 50.0) AS INT),
+                                0), 11) AS bin, count(*) AS n_b
+          FROM documents WHERE source <> 'src0' AND n_chars IS NOT NULL
+          GROUP BY 1
+        ),
+        m AS (
+          SELECT COALESCE(ba.bin, bb.bin) AS bin,
+                 COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+          FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin
+        ),
+        t AS (SELECT sum(n_a) AS na_tot, sum(n_b) AS nb_tot FROM m)
+        SELECT bin, n_a, n_b,
+               round(na_tot::DOUBLE * (n_a + n_b)::DOUBLE
+                     / (na_tot + nb_tot)::DOUBLE, 6) AS expected_a,
+               round(nb_tot::DOUBLE * (n_a + n_b)::DOUBLE
+                     / (na_tot + nb_tot)::DOUBLE, 6) AS expected_b,
+               round(
+                 (n_a::DOUBLE - na_tot::DOUBLE * (n_a + n_b)::DOUBLE
+                      / (na_tot + nb_tot)::DOUBLE)
+                 * (n_a::DOUBLE - na_tot::DOUBLE * (n_a + n_b)::DOUBLE
+                      / (na_tot + nb_tot)::DOUBLE)
+                 / (na_tot::DOUBLE * (n_a + n_b)::DOUBLE
+                      / (na_tot + nb_tot)::DOUBLE)
+                 + (n_b::DOUBLE - nb_tot::DOUBLE * (n_a + n_b)::DOUBLE
+                      / (na_tot + nb_tot)::DOUBLE)
+                 * (n_b::DOUBLE - nb_tot::DOUBLE * (n_a + n_b)::DOUBLE
+                      / (na_tot + nb_tot)::DOUBLE)
+                 / (nb_tot::DOUBLE * (n_a + n_b)::DOUBLE
+                      / (na_tot + nb_tot)::DOUBLE), 6) AS contrib
+        FROM m CROSS JOIN t
     """
     # corr_matrix twin: identical exact-integer sufficient statistics in
     # HUGEINT; the only floats are the same final cast/sqrt/div

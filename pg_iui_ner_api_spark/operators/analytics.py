@@ -946,3 +946,60 @@ def corr_matrix(df: DataFrame, cols: list[str], scale: int = 100) -> DataFrame:
     return stats.select(F.explode(F.array(*pairs)).alias("p")).select(
         "p.col_a", "p.col_b", "p.corr"
     )
+
+
+def drift_chisq(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Two-sample chi-square drift profile between two corpus snapshots
+    -> one row per fixed-width bin of ``[lo, hi)``:
+    ``(bin, n_a, n_b, expected_a, expected_b, contrib)``.
+
+    The curation-monitoring primitive ("did this week's crawl shift the
+    length/quality/score distribution?"): both sides histogram with the
+    same partial-aggregable one-shuffle plan as :func:`histogram`, the
+    B-side counts broadcast into a full outer merge on bin, and the
+    classic two-sample statistic's per-bin contribution
+
+        sum over s in {a, b} of (n_s,i - E_s,i)^2 / E_s,i,
+        E_s,i = N_s * (n_a,i + n_b,i) / (N_a + N_b)
+
+    is computed in-row from EXACT integer counts — divisions, squares
+    and one subtraction only, no libm, so every row hashes bit-exactly
+    cross-engine (the chi-square TOTAL is a float sum whose order is
+    engine-dependent; callers sum the contribs, tests pin it). Bins
+    where both sides are empty never appear; out-of-range values clamp
+    into the edge bins (the histogram contract).
+    """
+    ha = histogram(df_a, value_col, [], bins, lo, hi).withColumnRenamed("n", "n_a")
+    hb = histogram(df_b, value_col, [], bins, lo, hi).withColumnRenamed("n", "n_b")
+    merged = (
+        ha.join(hb, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = merged.agg(
+        F.sum("n_a").alias("na_tot"), F.sum("n_b").alias("nb_tot")
+    )
+    j = merged.join(F.broadcast(tot))
+    row = F.col("n_a") + F.col("n_b")
+    grand = F.col("na_tot") + F.col("nb_tot")
+    ea = F.col("na_tot").cast("double") * row.cast("double") / grand.cast("double")
+    eb = F.col("nb_tot").cast("double") * row.cast("double") / grand.cast("double")
+    da = F.col("n_a").cast("double") - ea
+    db_ = F.col("n_b").cast("double") - eb
+    return j.select(
+        "bin", "n_a", "n_b",
+        F.round(ea, 6).alias("expected_a"),
+        F.round(eb, 6).alias("expected_b"),
+        F.round(da * da / ea + db_ * db_ / eb, 6).alias("contrib"),
+    )

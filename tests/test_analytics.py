@@ -750,3 +750,43 @@ def test_corr_matrix_single_pass_plan(spark):
     # HashAggregates (partial + final) and no join
     assert plan.count("Exchange") <= 1
     assert "Join" not in plan
+
+
+def test_drift_chisq_matches_python_reference(spark):
+    import collections
+
+    from pg_iui_ner_api_spark.operators.analytics import drift_chisq
+
+    va = [float((i * 7) % 100) for i in range(300)]
+    vb = [float((i * 7) % 100 + (20 if i % 3 == 0 else 0)) for i in range(240)]
+    a = spark.createDataFrame([(x,) for x in va], "v double")
+    b = spark.createDataFrame([(x,) for x in vb], "v double")
+    rows = drift_chisq(a, b, "v", 5, 0.0, 100.0).collect()
+
+    def binof(x):
+        return min(max(int((x - 0.0) // 20.0), 0), 4)
+
+    ca = collections.Counter(binof(x) for x in va)
+    cb = collections.Counter(binof(x) for x in vb)
+    na, nb = len(va), len(vb)
+    want = 0.0
+    for i in set(ca) | set(cb):
+        r = ca[i] + cb[i]
+        ea, eb = na * r / (na + nb), nb * r / (na + nb)
+        want += (ca[i] - ea) ** 2 / ea + (cb[i] - eb) ** 2 / eb
+    got = sum(r.contrib for r in rows)
+    assert abs(got - want) < 1e-4
+    assert {(r.bin, r.n_a, r.n_b) for r in rows} == {
+        (i, ca.get(i, 0), cb.get(i, 0)) for i in set(ca) | set(cb)
+    }
+
+
+def test_drift_chisq_identical_distributions_near_zero(spark):
+    from pg_iui_ner_api_spark.operators.analytics import drift_chisq
+
+    vals = [(float(i % 50),) for i in range(500)]
+    a = spark.createDataFrame(vals, "v double")
+    b = spark.createDataFrame(vals, "v double")
+    rows = drift_chisq(a, b, "v", 10, 0.0, 50.0).collect()
+    assert all(r.contrib == 0.0 for r in rows)
+    assert len(rows) == 10
