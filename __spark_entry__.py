@@ -391,6 +391,36 @@ def _q_dedup_lines(spark, sf):
     return D.dedup_lines(grp, id_col="gid")
 
 
+def _q_boilerplate(spark, sf):
+    """Cross-doc boilerplate removal (operators/dedup.py::
+    boilerplate_strip): documents are single-line, so wrap each in a
+    per-source header + per-lang footer line — realistic template
+    markup repeated across ~100 docs each — and strip every non-blank
+    line occurring in >= 3 distinct docs. Doc bodies (df 1-2) survive;
+    headers/footers vanish everywhere."""
+    d = _t(spark, sf, "documents")
+    md = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("SRC "), "source"),
+            "text",
+            F.concat(F.lit("LANG "), "lang"),
+        ).alias("text"),
+    )
+    return D.boilerplate_strip(md, min_docs=3)
+
+
+def _q_leak_split(spark, sf):
+    """Leakage-safe train/dev/test split (operators/dedup.py::
+    leakage_safe_split): fuzzy-dedup clusters (same LSH params as the
+    fuzzy_dedup key) hashed as a unit, so near-duplicates can never
+    straddle splits."""
+    return D.leakage_safe_split(
+        _t(spark, sf, "documents"), num_hashes=8, bands=4
+    )
+
+
 _BM25_TERMS = ["merge", "spark", "vector"]
 
 
@@ -1724,6 +1754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_join": _q_containment_join,
         "corr_matrix": _q_corr_matrix,
         "drift_chisq": _q_drift_chisq,
+        "boilerplate": _q_boilerplate,
+        "leak_split": _q_leak_split,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -2583,6 +2615,75 @@ def oracle_sql() -> dict[str, str]:
         SELECT da, db, round(c / (sa.sz + sb.sz - c)::DOUBLE, 6) AS jaccard
         FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
         WHERE c / (sa.sz + sb.sz - c)::DOUBLE >= 0.2
+    """
+    # boilerplate twin: same header/body/footer composition, DISTINCT-doc
+    # line frequency on raw line text (Spark counts on xxhash64 of the
+    # line — flag decisions agree absent a 64-bit collision), NOT-IN
+    # anti-join, same positional rebuild as the dedup_lines twin
+    sql["boilerplate"] = """
+        WITH md AS (
+          SELECT doc_id,
+                 concat_ws(chr(10), 'SRC ' || source, text,
+                           'LANG ' || lang) AS text
+          FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, UNNEST(range(len(ls))) AS pos, UNNEST(ls) AS ln
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM md)
+        ),
+        nb AS (SELECT * FROM lines WHERE length(trim(ln)) > 0),
+        flg AS (
+          SELECT ln FROM (
+            SELECT ln, count(DISTINCT doc_id) AS ndocs FROM nb GROUP BY 1)
+          WHERE ndocs >= 3
+        ),
+        kept AS (
+          SELECT doc_id, pos, ln FROM nb
+          WHERE ln NOT IN (SELECT ln FROM flg)
+          UNION ALL
+          SELECT doc_id, pos, ln FROM lines WHERE length(trim(ln)) = 0
+        ),
+        reb AS (
+          SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+                 count(*) FILTER (WHERE length(trim(ln)) > 0) AS n_kept
+          FROM kept GROUP BY doc_id
+        ),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM nb GROUP BY doc_id)
+        SELECT m.doc_id,
+               coalesce(text_clean, '') AS text_clean,
+               CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(coalesce(n_lines, 0) - coalesce(n_kept, 0) AS BIGINT)
+                 AS n_dropped
+        FROM md m LEFT JOIN reb ON reb.doc_id = m.doc_id
+                  LEFT JOIN tot ON tot.doc_id = m.doc_id
+    """
+    # leak_split twin: the fuzzy_dedup cluster CTE, then dataset_split's
+    # md5-bucket rule applied to cluster_id instead of doc_id
+    sql["leak_split"] = f"""
+        WITH RECURSIVE {_lsh_cands},
+        edges AS (
+          SELECT da AS u, db AS v FROM cands
+          UNION SELECT db AS u, da AS v FROM cands
+        ),
+        reach AS (
+          SELECT DISTINCT u AS node, u AS r FROM edges
+          UNION
+          SELECT reach.node, edges.v AS r
+          FROM reach JOIN edges ON reach.r = edges.u
+        ),
+        comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+        cl AS (
+          SELECT d.doc_id, coalesce(comp.cluster, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+        )
+        SELECT doc_id, cluster_id,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'dev'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, cluster_id,
+                     CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                          1, 15)) AS BIGINT) % 10000 AS b
+              FROM cl)
     """
     # fuzzy_dedup twin: the same LSH candidate pairs, then transitive
     # closure (recursive CTE) for clusters, min doc_id as representative;

@@ -817,3 +817,134 @@ def repeated_spans(
         )
         .select("doc_id", "tok_start", "tok_end", "n_grams")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate removal
+# ---------------------------------------------------------------------------
+def boilerplate_strip(
+    docs: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    sep: str = "\n",
+) -> DataFrame:
+    """Strip *boilerplate* lines — non-blank lines that occur in at
+    least ``min_docs`` DISTINCT documents — from EVERY document (the
+    C4/RefinedWeb template-removal pass: nav bars, cookie banners,
+    license footers repeated across a site's pages). Unlike
+    :func:`dedup_lines` (which keeps the first occurrence), a flagged
+    line is removed everywhere: a line repeated across many pages is
+    template markup, not content, and the first page doesn't get to
+    keep it. ``group_col`` scopes the document-frequency count (e.g.
+    per ``source``/domain — a header is boilerplate *within its site*);
+    ``None`` counts corpus-wide.
+
+    Returns one row per input doc: ``(doc_id, text_clean, n_kept,
+    n_dropped)`` — same contract as :func:`dedup_lines` (blank lines
+    are structural, never counted or stripped).
+
+    Scale shape: the document-frequency count runs entirely on 8-byte
+    ``xxhash64`` line keys — a partial-aggregable distinct + count, so
+    a line occurring 10^9 times collapses map-side; line TEXT never
+    enters that path. The flagged set (distinct boilerplate lines) is
+    tiny by construction, so AQE broadcasts the left_anti probe; the
+    only text-bearing shuffle is the final doc_id-keyed reassembly.
+    An xxhash64 collision could merge two distinct lines' counts
+    (P ~ n^2/2^64 — negligible; flags only, text equality never
+    assumed).
+    """
+    grp = [F.col(group_col)] if group_col else []
+    grp_names = [group_col] if group_col else []
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *grp,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    blank = F.length(F.trim(F.col("line"))) == 0
+    nb = lines.where(~blank).withColumn("h", F.xxhash64("line"))
+    flagged = (
+        nb.select(*grp_names, "h", "doc_id")
+        .distinct()
+        .groupBy(*grp_names, "h")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= min_docs)
+        .select(*grp_names, "h")
+    )
+    kept_nb = nb.join(flagged, [*grp_names, "h"], "left_anti")
+    kept = kept_nb.select("doc_id", "pos", "line").unionByName(
+        lines.where(blank).select("doc_id", "pos", "line")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("text_clean"),
+        F.sum((F.length(F.trim(F.col("line"))) > 0).cast("long")).alias("n_kept"),
+    )
+    totals = nb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("n_lines", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe splits
+# ---------------------------------------------------------------------------
+def leakage_safe_split(
+    docs: DataFrame,
+    train: float = 0.90,
+    dev: float = 0.05,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/dev/test assignment that can never leak a near-duplicate
+    across splits: hash the *near-dup cluster id*, not the doc id, so
+    every member of a fuzzy-dedup cluster lands in the same split.
+    Per-doc hash splits (``split_assign``) contaminate eval sets the
+    moment two near-identical pages hash differently — the GPT-3-era
+    train/test-overlap failure; clustering first closes it by
+    construction.
+
+    Returns ``(doc_id, cluster_id, split)`` for every input doc:
+    ``cluster_id`` = min doc_id of the doc's near-dup cluster (itself
+    when unclustered, via :func:`fuzzy_dedup`'s LSH → connected
+    components), ``split`` = the same deterministic md5-bucket rule as
+    ``dataset_split`` applied to ``cluster_id``. Identity-hashed:
+    stable across reruns, repartitioning, and corpus appends — and the
+    marginal split fractions stay ≈(train, dev, rest) because cluster
+    ids hash uniformly.
+
+    Scale shape: everything heavy is :func:`fuzzy_dedup` (banded LSH,
+    pair graph orders of magnitude smaller than the corpus); the split
+    itself is in-row column algebra on an 8-byte id.
+    """
+    from ..functions.text import dataset_split
+
+    cl = fuzzy_dedup(
+        docs, num_hashes=num_hashes, bands=bands, n=n,
+        threshold=threshold, id_col=id_col, text_col=text_col,
+    )
+    return cl.select(
+        "doc_id",
+        "cluster_id",
+        dataset_split(F.col("cluster_id"), train, dev).alias("split"),
+    )

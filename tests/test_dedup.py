@@ -462,3 +462,122 @@ def test_dedup_against_empty_existing_reduces_to_exact(spark, docs_df):
     via_exact = {(r["keep_id"], r["n_dups"])
                  for r in D.dedup_exact(docs_df).collect()}
     assert via_against == via_exact
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_strip
+# ---------------------------------------------------------------------------
+def test_boilerplate_strip_removes_high_df_lines_everywhere(spark):
+    from pg_iui_ner_api_spark.operators.dedup import boilerplate_strip
+
+    hdr = "COOKIE BANNER"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{hdr}\nunique one\n\nFOOT"),
+            (2, f"{hdr}\nunique two\nFOOT"),
+            (3, f"{hdr}\nunique three\nFOOT"),
+            (4, "no template here\nFOOT"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in boilerplate_strip(docs, min_docs=3).collect()}
+    # hdr (df=3) and FOOT (df=4) stripped from EVERY doc, uniques kept,
+    # blank line preserved as structure
+    assert out[1].text_clean == "unique one\n"
+    assert out[1].n_kept == 1 and out[1].n_dropped == 2
+    assert out[2].text_clean == "unique two"
+    assert out[4].text_clean == "no template here"
+    assert out[4].n_dropped == 1
+
+
+def test_boilerplate_strip_df2_survives_and_group_scoping(spark):
+    from pg_iui_ner_api_spark.operators.dedup import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "twice\nx"),
+            (2, "a", "twice\ny"),
+            (3, "a", "site a nav\nz"),
+            (4, "a", "site a nav\nw"),
+            (5, "b", "site a nav\nv"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    # corpus-wide: 'site a nav' has df=3 -> stripped; 'twice' df=2 kept
+    glob = {r.doc_id: r for r in boilerplate_strip(docs, min_docs=3).collect()}
+    assert glob[1].text_clean == "twice\nx"
+    assert glob[3].text_clean == "z" and glob[5].text_clean == "v"
+    # per-source scoping: within source a df=2, within b df=1 -> all kept
+    scoped = {
+        r.doc_id: r
+        for r in boilerplate_strip(docs, min_docs=3, group_col="source").collect()
+    }
+    assert scoped[3].text_clean == "site a nav\nz"
+    assert scoped[5].text_clean == "site a nav\nv"
+    # repeated occurrences INSIDE one doc count that doc once
+    one = spark.createDataFrame(
+        [(1, "r\nr\nr"), (2, "q")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in
+           boilerplate_strip(one, min_docs=3).collect()}
+    assert got[1].text_clean == "r\nr\nr"  # df=1, not 3
+
+
+def test_boilerplate_strip_all_lines_dropped_doc_survives_empty(spark):
+    from pg_iui_ner_api_spark.operators.dedup import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [(i, "tpl") for i in range(5)], "doc_id long, text string"
+    )
+    rows = boilerplate_strip(docs, min_docs=3).collect()
+    assert len(rows) == 5
+    assert all(r.text_clean == "" and r.n_dropped == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+def test_leakage_safe_split_cluster_members_share_split(spark):
+    from pg_iui_ner_api_spark.operators.dedup import (
+        fuzzy_dedup,
+        leakage_safe_split,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " tail"),           # near-dup of 10
+            (12, base.replace("dog", "cat")),  # near-dup of 10
+            (99, "completely different words about spark shuffles"),
+        ]
+        + [(100 + i, f"filler doc number {i} with its own words {i*7}")
+           for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = leakage_safe_split(docs, num_hashes=8, bands=4).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert len(out) == 34
+    # the near-dup trio shares one cluster_id, hence one split
+    trio = {by_doc[i].cluster_id for i in (10, 11, 12)}
+    assert trio == {10}
+    assert len({by_doc[i].split for i in (10, 11, 12)}) == 1
+    # cluster ids match fuzzy_dedup's (same params), split names valid
+    fd = {r.doc_id: r.cluster_id
+          for r in fuzzy_dedup(docs, num_hashes=8, bands=4).collect()}
+    assert {r.doc_id: r.cluster_id for r in out} == fd
+    assert {r.split for r in out} <= {"train", "dev", "test"}
+
+
+def test_leakage_safe_split_stable_under_append(spark):
+    from pg_iui_ner_api_spark.operators.dedup import leakage_safe_split
+
+    rows = [(i, f"doc {i} words {i * 3} more {i * 11}") for i in range(40)]
+    small = spark.createDataFrame(rows[:20], "doc_id long, text string")
+    big = spark.createDataFrame(rows, "doc_id long, text string")
+    s1 = {r.doc_id: r.split
+          for r in leakage_safe_split(small, num_hashes=8, bands=4).collect()}
+    s2 = {r.doc_id: r.split
+          for r in leakage_safe_split(big, num_hashes=8, bands=4).collect()}
+    # unclustered docs keep their split when the corpus grows
+    assert all(s2[d] == s for d, s in s1.items())
