@@ -44,6 +44,7 @@ from pg_iui_ner_api_spark.operators import (
     pq as PQ,
     similarity as SIM,
 )
+from pg_iui_ner_api_spark.functions.web import canonicalize_url, dedup_by_url
 from pg_iui_ner_api_spark.plans.pipeline import run_kg_pipeline
 from pg_iui_ner_api_spark import synth
 
@@ -419,6 +420,43 @@ def _q_leak_split(spark, sf):
     return D.leakage_safe_split(
         _t(spark, sf, "documents"), num_hashes=8, bands=4
     )
+
+
+def _url_raw_col():
+    """Deterministic messy-URL column derived from doc_id — case-variant
+    scheme/host, default and non-default ports, tracking params, shuffled
+    param order, fragments — so url_canon/url_dedup exercise every
+    normalization rule. Construction mirrored byte-for-byte in the
+    DuckDB oracle."""
+    did = F.col("doc_id")
+    k = (did % 100).cast("string")
+    scheme = (
+        F.when(did % 3 == 0, "HTTP").when(did % 3 == 1, "https").otherwise("http")
+    )
+    host = F.when(did % 2 == 0, "WWW.Example.COM").otherwise("www.example.com")
+    port = F.when(did % 4 == 0, ":80").when(did % 4 == 1, ":443").otherwise("")
+    query = F.when(
+        did % 2 == 0, F.concat(F.lit("?b=2&utm_source=feed&a=1&id="), k)
+    ).otherwise(F.concat(F.lit("?a=1&id="), k, F.lit("&b=2&gclid=x")))
+    frag = F.when(did % 5 == 0, "#sec").otherwise("")
+    return F.concat(scheme, F.lit("://"), host, port, F.lit("/d/"), k, query, frag)
+
+
+def _q_url_canon(spark, sf):
+    """RFC 3986-style URL canonicalization (functions/web.py::
+    canonicalize_url) over messy URLs derived from documents — the
+    web-corpus dedup key. Value-level parity per row."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", canonicalize_url(_url_raw_col()).alias("canonical_url")
+    )
+
+
+def _q_url_dedup(spark, sf):
+    """Exact dedup on the canonical URL (functions/web.py::
+    dedup_by_url): min-doc_id keeper + collapse count per canonical."""
+    d = _t(spark, sf, "documents").select("doc_id", _url_raw_col().alias("url"))
+    return dedup_by_url(d, "url", "doc_id")
 
 
 _BM25_TERMS = ["merge", "spark", "vector"]
@@ -1756,6 +1794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chisq": _q_drift_chisq,
         "boilerplate": _q_boilerplate,
         "leak_split": _q_leak_split,
+        "url_canon": _q_url_canon,
+        "url_dedup": _q_url_dedup,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4027,5 +4067,69 @@ def oracle_sql() -> dict[str, str]:
                round({_hll_c!r} / (s_set + (4096 - nnz) * (1::BIGINT << 50)),
                      4) AS est
         FROM a
+    """
+    # url_canon / url_dedup twins: same messy-URL construction from
+    # doc_id, then the functions/web.py normalization rules re-expressed
+    # in DuckDB (RE2 group extraction + list HOFs — verified to agree
+    # with Java regex semantics on '' for non-matching/optional groups).
+    _url_re = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?(.*))?$"
+    _url_cte = f"""
+        raw AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN 'HTTP'
+                  WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)
+            || '://'
+            || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.Example.COM'
+                     ELSE 'www.example.com' END)
+            || (CASE WHEN doc_id % 4 = 0 THEN ':80'
+                     WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END)
+            || '/d/' || CAST(doc_id % 100 AS VARCHAR)
+            || (CASE WHEN doc_id % 2 = 0
+                     THEN '?b=2&utm_source=feed&a=1&id='
+                          || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE '?a=1&id=' || CAST(doc_id % 100 AS VARCHAR)
+                          || '&b=2&gclid=x' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+          FROM documents
+        ),
+        nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+        g AS (
+          SELECT doc_id,
+            lower(regexp_extract(u, '{_url_re}', 1)) AS scheme,
+            lower(regexp_extract(u, '{_url_re}', 2)) AS host,
+            regexp_extract(u, '{_url_re}', 3) AS path,
+            regexp_extract(u, '{_url_re}', 4) AS q
+          FROM nf
+        ),
+        canon AS (
+          SELECT doc_id,
+            scheme || '://'
+            || (CASE WHEN scheme = 'http' AND host LIKE '%:80'
+                     THEN substring(host, 1, length(host) - 3)
+                     WHEN scheme = 'https' AND host LIKE '%:443'
+                     THEN substring(host, 1, length(host) - 4)
+                     ELSE host END)
+            || (CASE WHEN path = '' THEN '/' ELSE path END)
+            || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url
+          FROM (
+            SELECT doc_id, scheme, host, path,
+                   array_to_string(list_sort(list_filter(
+                       string_split(q, '&'),
+                       p -> p <> ''
+                            AND NOT starts_with(string_split(p, '=')[1],
+                                                'utm_')
+                            AND string_split(p, '=')[1]
+                                NOT IN ('gclid', 'fbclid', 'ref'))),
+                       '&') AS qs
+            FROM g)
+        )"""
+    sql["url_canon"] = f"""
+        WITH {_url_cte}
+        SELECT doc_id, canonical_url FROM canon
+    """
+    sql["url_dedup"] = f"""
+        WITH {_url_cte}
+        SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_raw
+        FROM canon GROUP BY canonical_url
     """
     return sql

@@ -1,0 +1,110 @@
+"""URL canonicalization (functions/web.py) vs an independent Python
+reference built on urllib.parse — different parser, same rules."""
+
+import pytest
+from urllib.parse import urlsplit
+
+from pg_iui_ner_api_spark.functions.web import (
+    TRACKING_KEYS,
+    TRACKING_PREFIX,
+    canonicalize_url,
+    dedup_by_url,
+)
+
+from pyspark.sql import functions as F
+
+
+def ref_canon(url):
+    """Independent reference: urllib parsing + the module's rules."""
+    if url is None:
+        return None
+    try:
+        p = urlsplit(url)
+    except ValueError:
+        return url
+    if not p.scheme or "://" not in url:
+        return url
+    scheme = p.scheme.lower()
+    host = p.netloc.lower()
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    if scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    path = p.path or "/"
+    params = [
+        q
+        for q in p.query.split("&")
+        if q
+        and not q.split("=")[0].startswith(TRACKING_PREFIX)
+        and q.split("=")[0] not in TRACKING_KEYS
+    ]
+    q = "&".join(sorted(params))
+    return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+
+CASES = [
+    "HTTP://WWW.Example.COM:80/Path/To?b=2&a=1#frag",
+    "https://example.com:443/",
+    "https://example.com:8443/x",            # non-default port survives
+    "http://example.com",                    # empty path -> /
+    "http://example.com?utm_source=x&utm_medium=y&gclid=1&id=7",
+    "http://example.com/p?ref=nav&a=1&fbclid=zz",
+    "http://example.com/p?a=1&a=0",          # duplicate keys sort bytewise
+    "http://example.com/p?refresh=1",        # 'ref' is exact-match only
+    "http://example.com/p?utm=1",            # 'utm' w/o underscore survives
+    "http://example.com/UPPER/Case",         # path case preserved
+    "http://user:PW@example.com/x",          # userinfo lowercased w/ host
+    "ftp://Files.Example.com:80/a",          # :80 kept (not http's default)
+    "not a url at all",
+    "relative/path?x=1",
+    "",
+]
+
+
+def test_canonicalize_matches_urllib_reference(spark):
+    df = spark.createDataFrame([(c,) for c in CASES], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_url("url").alias("c"))
+        .toPandas()
+        .to_dict("records")
+    ]
+    want = [ref_canon(c) for c in CASES]
+    assert got == want
+
+
+def test_canonicalize_null_passthrough(spark):
+    df = spark.createDataFrame([(None,)], "url string")
+    assert df.select(canonicalize_url("url").alias("c")).first()["c"] is None
+
+
+def test_dedup_by_url_collapses_variants(spark):
+    rows = [
+        (1, "HTTP://A.com:80/x?b=2&a=1#f"),
+        (2, "http://a.com/x?a=1&b=2&utm_source=s"),
+        (3, "http://a.com/x?a=1&b=2"),
+        (4, "http://a.com/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["canonical_url"]: (r["keep_id"], r["n_raw"])
+        for r in dedup_by_url(df, "url", "doc_id").collect()
+    }
+    assert out == {
+        "http://a.com/x?a=1&b=2": (1, 3),
+        "http://a.com/y": (4, 1),
+    }
+
+
+def test_dedup_plan_has_partial_aggregate(spark):
+    """The dedup shuffle must map-side combine: two HashAggregate nodes
+    around one Exchange, and no payload column in the exchange."""
+    df = spark.createDataFrame([(1, "http://a.com/x", "PAYLOAD")],
+                               "doc_id long, url string, body string")
+    plan = (
+        dedup_by_url(df, "url", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") >= 2
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines and all("body" not in ln for ln in exchange_lines)
