@@ -442,6 +442,13 @@ def _url_raw_col():
     return F.concat(scheme, F.lit("://"), host, port, F.lit("/d/"), k, query, frag)
 
 
+def _q_mad_outliers(spark, sf):
+    """Robust per-group outliers (operators/analytics.py::mad_outliers):
+    events whose |value - group median| exceeds 3.5 group-MADs."""
+    e = _t(spark, sf, "events").select("event_id", "event_type", "value")
+    return A.mad_outliers(e, "value", ["event_type"], k=3.5)
+
+
 def _q_url_canon(spark, sf):
     """RFC 3986-style URL canonicalization (functions/web.py::
     canonicalize_url) over messy URLs derived from documents — the
@@ -1796,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leak_split": _q_leak_split,
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
+        "mad_outliers": _q_mad_outliers,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4131,5 +4139,23 @@ def oracle_sql() -> dict[str, str]:
         WITH {_url_cte}
         SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_raw
         FROM canon GROUP BY canonical_url
+    """
+    # mad_outliers twin: quantile_cont(0.5) interpolates exactly like
+    # Spark's percentile (pos = q*(n-1), lower + frac*(upper-lower)),
+    # so med/mad agree bit-for-bit and the k*mad threshold decides
+    # identically; only display columns are rounded.
+    sql["mad_outliers"] = """
+        WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                     FROM events GROUP BY event_type),
+        dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+                       abs(e.value - m.med) AS adev
+                FROM events e JOIN med m USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                FROM dev GROUP BY event_type)
+        SELECT d.event_type, d.event_id,
+               round(d.value, 6) AS value, round(d.med, 6) AS med,
+               round(m.mad, 6) AS mad, round(d.adev / m.mad, 6) AS robust_z
+        FROM dev d JOIN mad m USING (event_type)
+        WHERE m.mad > 0 AND d.adev > 3.5 * m.mad
     """
     return sql

@@ -1003,3 +1003,54 @@ def drift_chisq(
         F.round(eb, 6).alias("expected_b"),
         F.round(da * da / ea + db_ * db_ / eb, 6).alias("contrib"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    k: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Robust per-group outlier detection: flag rows whose absolute
+    deviation from the group median exceeds ``k`` group-MADs (median
+    absolute deviation — the Iglewicz–Hoaglin robust z-score family,
+    immune to the outliers it hunts, unlike mean/stddev).
+
+    Reference analogue: the per-epoch metric collection the service
+    stores (/root/reference/src/utils/crud.py metrics rows) has no
+    outlier guard at all; this is the batch QA operator a corpus-scale
+    metrics table needs.
+
+    Plan shape (inherently two aggregation passes — MAD needs the
+    median first):
+      1. groupBy(by) -> exact ``percentile`` median (``approx=True``
+         switches both passes to ``approx_percentile``, the 100 TB path
+         where buffering a group's values is not an option);
+      2. join medians back (group-cardinality rows — AQE broadcasts),
+         groupBy again for the MAD;
+      3. one final scan emits flagged rows with their robust z.
+    Groups with MAD = 0 (constant-majority) emit nothing — every
+    non-median value would be infinitely deviant; callers wanting those
+    should pre-filter constants explicitly.
+    """
+    fn = "approx_percentile" if approx else "percentile"
+    med = df.groupBy(*by).agg(
+        F.expr(f"{fn}(`{value_col}`, 0.5D)").alias("med")
+    )
+    dev = df.join(med, list(by)).withColumn(
+        "adev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(*by).agg(F.expr(f"{fn}(adev, 0.5D)").alias("mad"))
+    out = dev.join(mad, list(by)).where(
+        (F.col("mad") > 0) & (F.col("adev") > F.lit(float(k)) * F.col("mad"))
+    )
+    keep = [c for c in df.columns if c not in by and c != value_col]
+    return out.select(
+        *by,
+        *keep,
+        F.round(F.col(value_col), 6).alias(value_col),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round(F.col("adev") / F.col("mad"), 6).alias("robust_z"),
+    )

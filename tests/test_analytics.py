@@ -790,3 +790,50 @@ def test_drift_chisq_identical_distributions_near_zero(spark):
     rows = drift_chisq(a, b, "v", 10, 0.0, 50.0).collect()
     assert all(r.contrib == 0.0 for r in rows)
     assert len(rows) == 10
+
+
+def test_mad_outliers_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g in ("a", "b"):
+        base = rng.normal(50 if g == "a" else -10, 5, 97)
+        spikes = [500.0, -400.0, 51.0]  # two far outliers + one inlier
+        for i, v in enumerate(list(base) + spikes):
+            rows.append((g, i, float(v)))
+    df = spark.createDataFrame(rows, "grp string, rid long, value double")
+    got = {
+        (r["grp"], r["rid"])
+        for r in A.mad_outliers(df, "value", ["grp"], k=3.5).collect()
+    }
+    want = set()
+    for g in ("a", "b"):
+        vals = np.array([v for gg, _, v in rows if gg == g])
+        med = np.median(vals)
+        mad = np.median(np.abs(vals - med))
+        for gg, i, v in rows:
+            if gg == g and mad > 0 and abs(v - med) > 3.5 * mad:
+                want.add((g, i))
+    assert got == want
+    assert ("a", 97) in got and ("b", 98) in got  # the planted spikes
+
+
+def test_mad_outliers_constant_group_emits_nothing(spark):
+    df = spark.createDataFrame(
+        [("c", i, 5.0) for i in range(9)] + [("c", 9, 9999.0)],
+        "grp string, rid long, value double",
+    )
+    # MAD = 0 (constant majority): by contract the group emits nothing
+    assert A.mad_outliers(df, "value", ["grp"]).count() == 0
+
+
+def test_mad_outliers_approx_agrees_on_clear_spikes(spark):
+    rows = [("g", i, float(i % 7)) for i in range(200)] + [("g", 200, 1e6)]
+    df = spark.createDataFrame(rows, "grp string, rid long, value double")
+    exact = {r["rid"] for r in A.mad_outliers(df, "value", ["grp"]).collect()}
+    approx = {
+        r["rid"]
+        for r in A.mad_outliers(df, "value", ["grp"], approx=True).collect()
+    }
+    assert 200 in exact and 200 in approx
