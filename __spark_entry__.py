@@ -442,6 +442,14 @@ def _url_raw_col():
     return F.concat(scheme, F.lit("://"), host, port, F.lit("/d/"), k, query, frag)
 
 
+def _q_tfidf(spark, sf):
+    """Per-doc top-3 tf-idf keywords (operators/search.py::
+    tfidf_keywords) over the documents corpus."""
+    from pg_iui_ner_api_spark.operators.search import tfidf_keywords
+
+    return tfidf_keywords(spread(_t(spark, sf, "documents")), k=3)
+
+
 def _q_mad_outliers(spark, sf):
     """Robust per-group outliers (operators/analytics.py::mad_outliers):
     events whose |value - group median| exceeds 3.5 group-MADs."""
@@ -1804,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
         "mad_outliers": _q_mad_outliers,
+        "tfidf_keywords": _q_tfidf,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4157,5 +4166,27 @@ def oracle_sql() -> dict[str, str]:
                round(m.mad, 6) AS mad, round(d.adev / m.mad, 6) AS robust_z
         FROM dev d JOIN mad m USING (event_type)
         WHERE m.mad > 0 AND d.adev > 3.5 * m.mad
+    """
+    # tfidf_keywords twin: same whitespace tokens, score ranked on its
+    # ROUNDED value in both engines so float ties in ln() can never
+    # reorder ranks across engines.
+    sql["tfidf_keywords"] = f"""
+        WITH t AS (SELECT doc_id,
+                          unnest({_TOKS.format(x=_NORM.format(x='text'))})
+                          AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+               GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                     round(CAST(tf.tf AS DOUBLE)
+                           * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)),
+                           6) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, score
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term ASC) AS rn FROM s)
+        WHERE rn <= 3
     """
     return sql

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.text import normalize_ws, tokens
 
@@ -103,4 +103,55 @@ def bm25_topk(
         scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
         .select("doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` distinctive terms by tf-idf — corpus-scale
+    keyword extraction (the labeling complement to bm25_topk: BM25 ranks
+    docs for a given query; this ranks terms for every doc).
+
+    score(t, d) = tf(t, d) · ln(N / df(t)), ranked per doc by
+    (rounded score desc, term asc) so ordering is deterministic and
+    engine-portable; a term present in every doc scores exactly 0.
+
+    100 TB shape: one token explode feeding a (doc_id, term) count —
+    tokens ride exactly ONE shuffle as (term, 8-byte count) pairs, never
+    full texts; df is a second narrow aggregation of that table (input:
+    one row per distinct doc-term, already far smaller than the corpus);
+    N is a single broadcast row; the per-doc top-k window partitions by
+    doc_id, whose partitions are vocabulary-of-one-doc sized — no global
+    sort anywhere.
+    """
+    toks = tokens(normalize_ws(F.col(text_col)))
+    t = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(k))
+        .select("doc_id", "term", "tf", "score")
     )

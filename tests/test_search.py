@@ -69,3 +69,47 @@ def test_bm25_topk_order_and_cutoff(docs_df):
 def test_bm25_rejects_empty_query(docs_df):
     with pytest.raises(ValueError):
         bm25_scores(docs_df, [])
+
+
+def test_tfidf_keywords_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from pg_iui_ner_api_spark.operators.search import tfidf_keywords
+
+    corpus = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "cats and dogs and cats",
+        4: "the the the",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rn_term"])
+        for r in tfidf_keywords(df, k=2)
+        .selectExpr("doc_id", "term AS rn_term")
+        .collect()
+    }
+    # independent reference
+    tfs = {d: Counter(t.split()) for d, t in corpus.items()}
+    dfreq = Counter(term for c in tfs.values() for term in c)
+    n = len(corpus)
+    want = set()
+    for d, c in tfs.items():
+        scored = sorted(
+            ((round(tf * math.log(n / dfreq[t]), 6), t) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        want |= {(d, t) for _, t in scored[:2]}
+    assert got == want
+
+
+def test_tfidf_term_in_every_doc_scores_zero(spark):
+    from pg_iui_ner_api_spark.operators.search import tfidf_keywords
+
+    df = spark.createDataFrame(
+        [(1, "common rare1"), (2, "common rare2")], "doc_id long, text string"
+    )
+    rows = {(r["term"]): r["score"] for r in tfidf_keywords(df, k=5).collect()}
+    assert rows["common"] == 0.0
+    assert rows["rare1"] > 0 and rows["rare2"] > 0
