@@ -450,6 +450,15 @@ def _q_tfidf(spark, sf):
     return tfidf_keywords(spread(_t(spark, sf, "documents")), k=3)
 
 
+def _q_inverted_index(spark, sf):
+    """Capped posting-list build (operators/search.py::
+    build_inverted_index), cap=10 so hub terms exercise the
+    n_dropped truncation report."""
+    from pg_iui_ner_api_spark.operators.search import build_inverted_index
+
+    return build_inverted_index(spread(_t(spark, sf, "documents")), max_postings=10)
+
+
 def _q_mad_outliers(spark, sf):
     """Robust per-group outliers (operators/analytics.py::mad_outliers):
     events whose |value - group median| exceeds 3.5 group-MADs."""
@@ -1813,6 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "mad_outliers": _q_mad_outliers,
         "tfidf_keywords": _q_tfidf,
+        "inverted_index": _q_inverted_index,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4188,5 +4198,22 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                         ORDER BY score DESC, term ASC) AS rn FROM s)
         WHERE rn <= 3
+    """
+    # inverted_index twin: identical cap-before-collect (rn <= cap), so
+    # both engines keep the same 10 smallest doc_ids per term.
+    sql["inverted_index"] = f"""
+        WITH t AS (SELECT doc_id,
+                          unnest(list_distinct(
+                              {_TOKS.format(x=_NORM.format(x='text'))}))
+                          AS term
+                   FROM documents),
+        r AS (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY term) AS df
+              FROM t)
+        SELECT term, df, list_sort(list(doc_id)) AS postings,
+               df - len(list(doc_id)) AS n_dropped
+        FROM r WHERE rn <= 10 GROUP BY term, df
     """
     return sql

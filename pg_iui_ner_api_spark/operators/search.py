@@ -155,3 +155,57 @@ def tfidf_keywords(
         .where(F.col("rn") <= int(k))
         .select("doc_id", "term", "tf", "score")
     )
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    max_postings: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialized posting lists: one row per term with its document
+    frequency and a capped, sorted doc-id posting list — the index-BUILD
+    counterpart to bm25's index-free scoring (an offline inverted index
+    is what turns repeated corpus slicing into metadata lookups).
+
+    Returns (term, df, postings array, n_dropped) where ``postings`` is
+    the ``max_postings`` smallest doc_ids and ``n_dropped = df -
+    len(postings)`` — the explicit hub-term drop report, same contract
+    as the co-occurrence cap (operators/graph.py): silent truncation at
+    scale is how "covered everything" lies happen.
+
+    100 TB shape: per-row ``array_distinct`` makes (term, doc) pairs
+    unique WITHOUT a distinct shuffle; the one wide shuffle keys by term
+    and carries (term, 8-byte doc_id) pairs only. The cap is enforced by
+    a row_number window BEFORE collect_list, so a stopword's millions of
+    postings sort-and-spill in the window (disk-friendly) instead of
+    buffering inside a single aggregation value; the groupBy then
+    collects at most ``max_postings`` rows per term with no further
+    Exchange (it reuses the window's term partitioning).
+    """
+    toks = tokens(normalize_ws(F.col(text_col)))
+    pairs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(toks)).alias("term"),
+    )
+    w_term = Window.partitionBy("term")
+    ranked = pairs.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w_term.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w_term).alias("df"),
+    )
+    return (
+        ranked.where(F.col("rn") <= int(max_postings))
+        .groupBy("term")
+        .agg(
+            F.max("df").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .select(
+            "term",
+            "df",
+            "postings",
+            (F.col("df") - F.size("postings")).cast("long").alias("n_dropped"),
+        )
+    )

@@ -113,3 +113,33 @@ def test_tfidf_term_in_every_doc_scores_zero(spark):
     rows = {(r["term"]): r["score"] for r in tfidf_keywords(df, k=5).collect()}
     assert rows["common"] == 0.0
     assert rows["rare1"] > 0 and rows["rare2"] > 0
+
+
+def test_inverted_index_postings_and_truncation(spark):
+    from pg_iui_ner_api_spark.operators.search import build_inverted_index
+
+    rows = [(i, "common " + (f"only{i}" if i < 3 else "tail tail")) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = {
+        r["term"]: (r["df"], r["postings"], r["n_dropped"])
+        for r in build_inverted_index(df, max_postings=4).collect()
+    }
+    # 'common' in all 6 docs -> capped at the 4 SMALLEST doc_ids
+    assert idx["common"] == (6, [0, 1, 2, 3], 2)
+    # in-row repeats ('tail tail') count once per doc
+    assert idx["tail"] == (3, [3, 4, 5], 0)
+    assert idx["only1"] == (1, [1], 0)
+
+
+def test_inverted_index_single_term_shuffle(spark):
+    """The wide shuffle must key on term and carry only (term, doc_id) —
+    never the text column."""
+    from pg_iui_ner_api_spark.operators.search import build_inverted_index
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = (
+        build_inverted_index(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exch) == 1 and "term" in exch[0] and "text" not in exch[0]
