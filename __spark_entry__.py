@@ -450,6 +450,18 @@ def _q_tfidf(spark, sf):
     return tfidf_keywords(spread(_t(spark, sf, "documents")), k=3)
 
 
+def _q_grouped_ols(spark, sf):
+    """Per-event-type linear trend of value over time (operators/
+    analytics.py::grouped_ols) — exact integer sufficient statistics,
+    x zero-based at the corpus epoch for conditioning."""
+    e = _t(spark, sf, "events").select(
+        "event_type",
+        (F.col("ts").cast("timestamp").cast("long") - 1704067200).alias("x"),
+        "value",
+    )
+    return A.grouped_ols(e, "x", "value", ["event_type"])
+
+
 def _q_inverted_index(spark, sf):
     """Capped posting-list build (operators/search.py::
     build_inverted_index), cap=10 so hub terms exercise the
@@ -1823,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": _q_mad_outliers,
         "tfidf_keywords": _q_tfidf,
         "inverted_index": _q_inverted_index,
+        "grouped_ols": _q_grouped_ols,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4215,5 +4228,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, df, list_sort(list(doc_id)) AS postings,
                df - len(list(doc_id)) AS n_dropped
         FROM r WHERE rn <= 10 GROUP BY term, df
+    """
+    # grouped_ols twin: same fixed-point HUGEINT sufficient statistics
+    # as corr_matrix; float ops only in the final identical IEEE DAG.
+    # Spark's timestamp->long cast truncates, so the x construction uses
+    # floor(epoch(ts)) (DuckDB epoch() is a fractional DOUBLE).
+    sql["grouped_ols"] = """
+        WITH t AS (
+          SELECT event_type,
+                 CAST(round(CAST(CAST(floor(epoch(ts)) AS BIGINT)
+                                 - 1704067200 AS DOUBLE) * 1)
+                      AS HUGEINT) AS x,
+                 CAST(round(CAST(value AS DOUBLE) * 100) AS HUGEINT) AS y
+          FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        ),
+        a AS (
+          SELECT event_type, count(*)::HUGEINT AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy
+          FROM t GROUP BY event_type
+        ),
+        d AS (
+          SELECT event_type, n,
+                 (n*sxy - sx*sy)::DOUBLE AS num,
+                 (n*sxx - sx*sx)::DOUBLE AS den,
+                 (n*syy - sy*sy)::DOUBLE AS deny,
+                 sy::DOUBLE / (n::DOUBLE * 100.0) AS mean_y,
+                 sx::DOUBLE / (n::DOUBLE * 1.0) AS mean_x
+          FROM a
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round((num / den) * 0.01, 6) AS slope,
+               round(mean_y - ((num / den) * 0.01) * mean_x, 6) AS intercept,
+               CASE WHEN deny <> 0
+                    THEN round((num * num) / (den * deny), 6) END AS r2
+        FROM d WHERE den <> 0
     """
     return sql

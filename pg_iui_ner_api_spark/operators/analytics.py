@@ -1054,3 +1054,64 @@ def mad_outliers(
         F.round("mad", 6).alias("mad"),
         F.round(F.col("adev") / F.col("mad"), 6).alias("robust_z"),
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: Sequence[str],
+    x_scale: int = 1,
+    y_scale: int = 100,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS of y on x) in ONE
+    partial-aggregable pass — the trend detector for metric/quality
+    drift ("is this source's quality score sliding over time?").
+
+    Same hash-exactness discipline as :func:`corr_matrix`: inputs are
+    fixed-point (``round(v * scale)`` is the same exact integer in every
+    engine), every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²)
+    accumulates in decimal(38,0) / HUGEINT integer algebra — immune to
+    float-sum ordering, which a distributed partial aggregation cannot
+    pin — and floats appear only in the final slope/intercept/r²
+    expressions, identical IEEE DAGs on identical integers.
+
+    Returns (by..., n, slope, intercept, r2), slope/intercept in
+    ORIGINAL units (the fixed-point scales cancel via the single
+    ``x_scale/y_scale`` factor). Groups with constant x (zero variance)
+    are dropped — no line exists; constant y emits slope 0 with r2 NULL
+    (0/0). Overflow audit: |x_int| ≤ 2e9 (epoch seconds), |y_int| ≤
+    5e7 at scale 100 ⇒ n·Σx² ≤ 1e38 holds to ~1e12 rows per group;
+    width the caller controls via the scales.
+    """
+    d38 = "decimal(38,0)"
+    ints = df.select(
+        *by,
+        F.round(F.col(x_col).cast("double") * F.lit(int(x_scale)))
+        .cast("long").cast(d38).alias("_x"),
+        F.round(F.col(y_col).cast("double") * F.lit(int(y_scale)))
+        .cast("long").cast(d38).alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    stats = ints.groupBy(*by).agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    num = (n * F.col("_sxy") - sx * sy).cast("double")
+    den = (n * F.col("_sxx") - sx * sx).cast("double")
+    deny = (n * F.col("_syy") - sy * sy).cast("double")
+    unit = float(x_scale) / float(y_scale)  # y_int/x_int -> y/x units
+    slope = (num / den) * F.lit(unit)
+    mean_y = sy.cast("double") / (n.cast("double") * F.lit(float(y_scale)))
+    mean_x = sx.cast("double") / (n.cast("double") * F.lit(float(x_scale)))
+    return stats.where(den != 0.0).select(
+        *by,
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(mean_y - slope * mean_x, 6).alias("intercept"),
+        F.when(deny != 0.0, F.round((num * num) / (den * deny), 6)).alias("r2"),
+    )

@@ -837,3 +837,42 @@ def test_mad_outliers_approx_agrees_on_clear_spikes(spark):
         for r in A.mad_outliers(df, "value", ["grp"], approx=True).collect()
     }
     assert 200 in exact and 200 in approx
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for g, (m, c) in {"up": (2.5, 10.0), "down": (-0.75, 99.0)}.items():
+        xs = rng.uniform(0, 1000, 150)
+        ys = m * xs + c + rng.normal(0, 4, 150)
+        rows += [(g, float(x), round(float(y), 2)) for x, y in zip(xs, ys)]
+    # x is fed fixed-point too (scale 100) to keep the exactness contract
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    got = {
+        r["grp"]: r
+        for r in A.grouped_ols(
+            df, "x", "y", ["grp"], x_scale=100, y_scale=100
+        ).collect()
+    }
+    for g in ("up", "down"):
+        xs = np.array([round(x * 100) / 100 for gg, x, _ in rows if gg == g])
+        ys = np.array([y for gg, _, y in rows if gg == g])
+        m, c = np.polyfit(xs, ys, 1)
+        assert got[g]["n"] == 150
+        assert abs(got[g]["slope"] - m) < 1e-4
+        assert abs(got[g]["intercept"] - c) < 1e-3
+        assert 0.9 < got[g]["r2"] <= 1.0
+
+
+def test_grouped_ols_degenerate_groups(spark):
+    rows = (
+        [("constx", 5.0, float(v)) for v in (1, 2, 3)]
+        + [("consty", float(x), 7.0) for x in (1, 2, 3)]
+    )
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+    out = {r["grp"]: r for r in A.grouped_ols(df, "x", "y", ["grp"]).collect()}
+    assert "constx" not in out            # zero x-variance: no line
+    assert out["consty"]["slope"] == 0.0  # flat line, undefined r2
+    assert out["consty"]["r2"] is None
