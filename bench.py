@@ -281,6 +281,10 @@ def _headline(spark) -> dict[str, float]:
         # sparse sequence graph, one-pass correlation matrix
         "graph_scc", "heavy_hitters", "hll_distinct", "graph_anf",
         "corr_matrix",
+        # final-r4: URL canonical dedup, MAD outliers, tf-idf keywords,
+        # capped inverted index, exact-stats grouped OLS
+        "url_dedup", "mad_outliers", "tfidf_keywords", "inverted_index",
+        "grouped_ols",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the
