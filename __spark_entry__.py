@@ -450,6 +450,14 @@ def _q_tfidf(spark, sf):
     return tfidf_keywords(spread(_t(spark, sf, "documents")), k=3)
 
 
+def _q_collocations(spark, sf):
+    """Adjacent-bigram PMI collocations (operators/search.py::
+    collocations), min_count=5, top-50."""
+    from pg_iui_ner_api_spark.operators.search import collocations
+
+    return collocations(spread(_t(spark, sf, "documents")), min_count=5, k=50)
+
+
 def _q_grouped_ols(spark, sf):
     """Per-event-type linear trend of value over time (operators/
     analytics.py::grouped_ols) — exact integer sufficient statistics,
@@ -1836,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": _q_tfidf,
         "inverted_index": _q_inverted_index,
         "grouped_ols": _q_grouped_ols,
+        "collocations": _q_collocations,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4263,5 +4272,36 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN deny <> 0
                     THEN round((num * num) / (den * deny), 6) END AS r2
         FROM d WHERE den <> 0
+    """
+    # collocations twin: bigram keys as 'w1 w2' strings (whitespace
+    # tokens cannot contain spaces), identical PMI float DAG.
+    _toks = _TOKS.format(x=_NORM.format(x='text'))
+    sql["collocations"] = f"""
+        WITH tk AS (SELECT {_toks} AS t FROM documents),
+        uni AS (SELECT unnest(t) AS w FROM tk),
+        ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        big AS (SELECT unnest(list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i+1])) AS bg
+                FROM tk),
+        bcnt AS (SELECT split_part(bg, ' ', 1) AS w1,
+                        split_part(bg, ' ', 2) AS w2,
+                        count(*) AS c_ab
+                 FROM big GROUP BY 1, 2),
+        tot AS (SELECT (SELECT sum(c) FROM ucnt) AS n_uni,
+                       (SELECT sum(c_ab) FROM bcnt) AS n_big),
+        j AS (SELECT b.w1, b.w2, b.c_ab, a.c AS c_a, z.c AS c_b,
+                     round(ln((CAST(b.c_ab AS DOUBLE)
+                               * CAST(t.n_uni AS DOUBLE)
+                               * CAST(t.n_uni AS DOUBLE))
+                              / (CAST(t.n_big AS DOUBLE)
+                                 * CAST(a.c AS DOUBLE)
+                                 * CAST(z.c AS DOUBLE))), 6) AS pmi
+              FROM bcnt b
+              JOIN ucnt a ON a.w = b.w1
+              JOIN ucnt z ON z.w = b.w2
+              CROSS JOIN tot t
+              WHERE b.c_ab >= 5)
+        SELECT w1, w2, c_ab, c_a, c_b, pmi
+        FROM j ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
     """
     return sql

@@ -209,3 +209,93 @@ def build_inverted_index(
             (F.col("df") - F.size("postings")).cast("long").alias("n_dropped"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information — phrase mining for vocabulary/tokenizer construction
+    ("new york" is one unit; "of the" is not, despite its count).
+
+    Distinct from graph.cooccurrence_pmi, which scores SET co-occurrence
+    within a group key: this scores ORDERED ADJACENCY within the token
+    stream, the Church & Hanks (1990) collocation statistic.
+
+    pmi(a,b) = ln( (c_ab / N_bigrams) / ((c_a / N) * (c_b / N)) ), kept
+    as one float expression over exact integer counts so both engines
+    evaluate an identical IEEE DAG; ranked by (rounded pmi desc, w1, w2)
+    for engine-stable order. ``min_count`` prunes the noise floor (PMI
+    is maximal for hapax pairs) BEFORE any join.
+
+    100 TB shape: ONE heavy pass total. Each token pairs in-row with its
+    successor-or-NULL (doc-final tokens keep a NULL successor), so a
+    single (w1, w2) count aggregation carries every statistic: bigram
+    counts are the w2-non-null rows, unigram counts are its w1-marginal
+    (every token occurs exactly once as w1), and both scalar totals are
+    sums over it. That aggregation is localCheckpointed (the repo's
+    standard reuse barrier — same tier as minhash's signature
+    checkpoint: observed-pair-vocabulary-sized, NOT corpus-sized), so
+    the corpus tokenize→explode→count runs exactly once even though
+    four consumers branch from it — plan-reuse via ReuseExchange is
+    defeated here by join null-filters pushing different predicates
+    into each branch. The remaining joins run on vocabulary-sized
+    tables (AQE broadcasts); top-k is TakeOrdered.
+    """
+    toks = tokens(normalize_ws(F.col(text_col)))
+    n_1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    nxt = F.concat(
+        F.slice(toks, 2, n_1), F.array(F.lit(None).cast("string"))
+    )
+    pcnt = (
+        docs.select(
+            F.explode(
+                F.zip_with(
+                    toks, nxt,
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        # w1 NULL only from zip_with padding an EMPTY token array
+        .where(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint()
+    ucnt = pcnt.groupBy("w1").agg(F.sum("c").alias("c")).withColumnRenamed(
+        "w1", "w"
+    )
+    totals = pcnt.agg(
+        F.sum("c").alias("n_uni"),
+        F.sum(F.when(F.col("w2").isNotNull(), F.col("c"))).alias("n_big"),
+    )
+    pruned = (
+        pcnt.where(F.col("w2").isNotNull() & (F.col("c") >= int(min_count)))
+        .withColumnRenamed("c", "c_ab")
+    )
+    j = (
+        pruned.join(ucnt.withColumnRenamed("w", "w1").withColumnRenamed("c", "c_a"), "w1")
+        .join(ucnt.withColumnRenamed("w", "w2").withColumnRenamed("c", "c_b"), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    num = (
+        F.col("c_ab").cast("double")
+        * F.col("n_uni").cast("double")
+        * F.col("n_uni").cast("double")
+    )
+    den = (
+        F.col("n_big").cast("double")
+        * F.col("c_a").cast("double")
+        * F.col("c_b").cast("double")
+    )
+    scored = j.select(
+        "w1", "w2", "c_ab", "c_a", "c_b",
+        F.round(F.log(num / den), 6).alias("pmi"),
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(int(k))

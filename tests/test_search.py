@@ -143,3 +143,55 @@ def test_inverted_index_single_term_shuffle(spark):
     )
     exch = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(exch) == 1 and "term" in exch[0] and "text" not in exch[0]
+
+
+def test_collocations_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from pg_iui_ner_api_spark.operators.search import collocations
+
+    texts = [
+        "new york is big and new york is busy",
+        "the cat and the dog like new york",
+        "a cat a dog a cat",
+        "single",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["w1"], r["w2"], r["c_ab"], r["pmi"])
+        for r in collocations(df, min_count=2, k=10).collect()
+    ]
+    # reference
+    uni, big = Counter(), Counter()
+    for t in texts:
+        ws = t.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    nu, nb = sum(uni.values()), sum(big.values())
+    ref = sorted(
+        (
+            (
+                w1, w2, c,
+                round(math.log((c * nu * nu) / (nb * uni[w1] * uni[w2])), 6),
+            )
+            for (w1, w2), c in big.items()
+            if c >= 2
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:10]
+    assert got == ref
+    # 'new york' must outrank any 'a cat'-style frequent-word pair
+    top_pairs = [(w1, w2) for w1, w2, _, _ in got[:2]]
+    assert ("new", "york") in top_pairs
+
+
+def test_collocations_single_token_docs_contribute_no_bigrams(spark):
+    from pg_iui_ner_api_spark.operators.search import collocations
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    assert collocations(df, min_count=1).count() == 0
