@@ -430,3 +430,65 @@ def test_key_skew_is_take_ordered(spark):
     df = spark.range(1000).select((F.col("id") % 50).alias("k"))
     plan = _plan(key_skew(df, "k", top_n=5))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tfidf_keywords_no_global_sort_no_python(spark):
+    """Per-doc top-k windows partition by doc_id; the plan must contain
+    no rangepartitioning (global sort) and no Python crossing."""
+    from pg_iui_ner_api_spark.operators.search import tfidf_keywords
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "b c d")],
+                               "doc_id long, text string")
+    plan = _plan(tfidf_keywords(df, k=2))
+    assert "rangepartitioning" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mad_outliers_broadcasts_group_stats(spark):
+    """The events table must never shuffle on the group key: both
+    median and MAD dims join back as broadcasts. The dims' sizes are
+    only known at runtime (one row per group), so this is an AQE
+    decision — assert on the FINAL adaptive plan after execution."""
+    from pg_iui_ner_api_spark.operators.analytics import mad_outliers
+
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(10)] + [("g", 10, 1e6)],
+        "grp string, rid long, value double",
+    )
+    out = mad_outliers(df, "value", ["grp"])
+    out.collect()  # a write would execute a COPY of the plan
+    plan = _plan(out)
+    assert "isFinalPlan=true" in plan, plan
+    # AQE must convert group-stat joins to broadcast at runtime; a
+    # residual SortMergeJoin is tolerated ONLY over reused exchanges
+    # (both sides already partitioned by grp — no extra shuffle), which
+    # is what the final-stage join degenerates to on tiny inputs.
+    assert "BroadcastHashJoin" in plan, plan
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 3, final
+
+
+def test_grouped_ols_single_aggregation_exchange(spark):
+    """All six sufficient statistics accumulate in ONE partial-
+    aggregable groupBy: exactly one Exchange, no Python."""
+    from pg_iui_ner_api_spark.operators.analytics import grouped_ols
+
+    df = spark.createDataFrame(
+        [("g", float(i), float(i)) for i in range(10)],
+        "grp string, x double, y double",
+    )
+    plan = _plan(grouped_ols(df, "x", "y", ["grp"]))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_canonicalization_stays_jvm_side(spark):
+    """URL canonicalization is pure Column algebra — a map-only plan
+    with no Python and no Exchange."""
+    from pg_iui_ner_api_spark.functions.web import canonicalize_url
+
+    df = spark.createDataFrame([("http://a.com/x?b=1",)], "url string")
+    plan = _plan(df.select(canonicalize_url("url").alias("c")))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
