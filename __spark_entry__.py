@@ -450,6 +450,20 @@ def _q_tfidf(spark, sf):
     return tfidf_keywords(spread(_t(spark, sf, "documents")), k=3)
 
 
+def _q_component_stats(spark, sf):
+    """Per-component structural audit (operators/components.py::
+    component_stats) over the part co-occurrence graph, distributed
+    CC path forced."""
+    from pg_iui_ner_api_spark.operators.components import (
+        component_stats, connected_components,
+    )
+
+    e = _part_edges(spark, sf).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return component_stats(e, connected_components(e, small_graph_edges=0))
+
+
 def _q_collocations(spark, sf):
     """Adjacent-bigram PMI collocations (operators/search.py::
     collocations), min_count=5, top-50."""
@@ -1845,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         "grouped_ols": _q_grouped_ols,
         "collocations": _q_collocations,
+        "component_stats": _q_component_stats,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4303,5 +4318,33 @@ def oracle_sql() -> dict[str, str]:
               WHERE b.c_ab >= 5)
         SELECT w1, w2, c_ab, c_a, c_b, pmi
         FROM j ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+    """
+    # component_stats twin: the graph_components closure CTE plus three
+    # marginal aggregations; density as the identical float DAG.
+    sql["component_stats"] = f"""
+        WITH RECURSIVE {_GEDGES},
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach AS (
+          SELECT node, node AS r FROM nodes
+          UNION
+          SELECT reach.node, sym.dst AS r
+          FROM reach JOIN sym ON reach.r = sym.src
+        ),
+        comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        nn AS (SELECT component, count(*) AS n_nodes FROM comp GROUP BY 1),
+        ne AS (SELECT c.component, count(*) AS n_edges
+               FROM edges e JOIN comp c ON e.src = c.node GROUP BY 1),
+        deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1),
+        md AS (SELECT c.component, max(d.d) AS max_degree
+               FROM deg d JOIN comp c ON d.node = c.node GROUP BY 1)
+        SELECT nn.component, nn.n_nodes, ne.n_edges, md.max_degree,
+               CASE WHEN nn.n_nodes > 1 THEN
+                    round((2.0 * CAST(ne.n_edges AS DOUBLE))
+                          / (CAST(nn.n_nodes AS DOUBLE)
+                             * (CAST(nn.n_nodes AS DOUBLE) - 1.0)), 6)
+               END AS density
+        FROM nn
+        JOIN ne ON ne.component = nn.component
+        JOIN md ON md.component = nn.component
     """
     return sql

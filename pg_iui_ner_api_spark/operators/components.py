@@ -249,3 +249,63 @@ def canonical_nodes(linked_mentions: DataFrame, components: DataFrame) -> DataFr
         F.first("kind").alias("kind"),
         F.sum("n_mentions").alias("n_mentions"),
     )
+
+
+def component_stats(edges: DataFrame,
+                    components: DataFrame | None = None) -> DataFrame:
+    """Per-component structural audit over an undirected edge list
+    (u < v, distinct): (component, n_nodes, n_edges, max_degree,
+    density) — the KG-QA summary that turns "canonicalization ran" into
+    numbers reviewers can gate on (a near-complete component with
+    density ~1 is usually an over-merged entity; a huge sparse one is a
+    hub alias absorbing everything).
+
+    ``components`` is the (node, component) labeling to audit; when
+    None it is computed with :func:`connected_components` (min-id
+    labels). Every edge lies inside one component by construction, so
+    n_edges attributes each edge via its u-endpoint's label.
+
+    100 TB shape: three partial-aggregable aggregations (node counts,
+    edge counts via one equi-join on node id, degree max) meeting in
+    component-cardinality joins — AQE broadcasts the small side; no
+    windows, no collects, no payload columns anywhere.
+    """
+    if components is None:
+        components = connected_components(edges)
+    comp = components.select("node", "component")
+    n_nodes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    n_edges = (
+        edges.join(comp.withColumnRenamed("node", "u"), "u")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    degree = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    max_deg = (
+        degree.join(comp.withColumnRenamed("node", "u"), "u")
+        .groupBy("component")
+        .agg(F.max("d").alias("max_degree"))
+    )
+    n_d = F.col("n_nodes").cast("double")
+    return (
+        n_nodes.join(n_edges, "component")
+        .join(max_deg, "component")
+        .select(
+            "component",
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            F.when(
+                F.col("n_nodes") > 1,
+                F.round(
+                    (F.lit(2.0) * F.col("n_edges").cast("double"))
+                    / (n_d * (n_d - F.lit(1.0))),
+                    6,
+                ),
+            ).alias("density"),
+        )
+    )

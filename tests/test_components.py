@@ -119,3 +119,30 @@ def test_incremental_empty_delta_is_identity(spark):
     base = _cc(spark, [(1, 2), (7, 8)], 2_000_000)
     got = _inc(spark, _assign_rows(base), [], 2_000_000)
     assert got == base
+
+
+def test_component_stats_two_known_components(spark):
+    from pg_iui_ner_api_spark.operators.components import component_stats
+
+    # triangle {1,2,3} + path {10,11}
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11)], "u long, v long"
+    )
+    got = {r["component"]: r for r in component_stats(edges).collect()}
+    tri, path = got[1], got[10]
+    assert (tri["n_nodes"], tri["n_edges"], tri["max_degree"]) == (3, 3, 2)
+    assert tri["density"] == 1.0
+    assert (path["n_nodes"], path["n_edges"], path["max_degree"]) == (2, 1, 1)
+    assert path["density"] == 1.0
+
+
+def test_component_stats_star_vs_sparse(spark):
+    from pg_iui_ner_api_spark.operators.components import component_stats
+
+    # star: hub 0 with 4 leaves -> density 2*4/(5*4) = 0.4, max_degree 4
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "u long, v long"
+    )
+    r = component_stats(edges).collect()[0]
+    assert r["n_nodes"] == 5 and r["n_edges"] == 4
+    assert r["max_degree"] == 4 and r["density"] == 0.4
