@@ -450,6 +450,14 @@ def _q_tfidf(spark, sf):
     return tfidf_keywords(spread(_t(spark, sf, "documents")), k=3)
 
 
+def _q_corpus_report(spark, sf):
+    """Per-source dataset report card (functions/text.py::
+    corpus_report)."""
+    from pg_iui_ner_api_spark.functions.text import corpus_report
+
+    return corpus_report(spread(_t(spark, sf, "documents")))
+
+
 def _q_component_stats(spark, sf):
     """Per-component structural audit (operators/components.py::
     component_stats) over the part co-occurrence graph, distributed
@@ -1860,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_ols": _q_grouped_ols,
         "collocations": _q_collocations,
         "component_stats": _q_component_stats,
+        "corpus_report": _q_corpus_report,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4346,5 +4355,51 @@ def oracle_sql() -> dict[str, str]:
         FROM nn
         JOIN ne ON ne.component = nn.component
         JOIN md ON md.component = nn.component
+    """
+    # corpus_report twin: the quality_score fragment re-used with
+    # source/lang carried; mean quality over the exact (score*1e6)
+    # integers; majority language via row_number (c DESC, lang ASC) —
+    # the mirror of Spark's min(struct(-c, lang)).
+    sql["corpus_report"] = f"""
+        WITH q AS (
+          SELECT source, lang,
+                 (length(text) - length(regexp_replace(text,
+                     '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')))
+                   / greatest(length(text), 1)::DOUBLE AS pr,
+                 len({_TOKS.format(x='text')}) AS nt
+          FROM documents),
+        d AS (
+          SELECT source, nt,
+                 CAST(round(round(
+                     0.5 * (CASE WHEN nt BETWEEN 10 AND 100000
+                            THEN 1.0 ELSE 0.0 END)
+                     + 0.5 * (CASE WHEN pr <= 0.2
+                              THEN 1.0 - pr * 2 ELSE 0.0 END), 6)
+                     * 1000000.0) AS BIGINT) AS q6
+          FROM q),
+        main AS (
+          SELECT source, count(*) AS n_docs, sum(nt) AS n_tokens,
+                 sum(CASE WHEN nt < 20 THEN 1 ELSE 0 END) AS n_short,
+                 sum(q6) AS sum_q6
+          FROM d GROUP BY source),
+        lc AS (SELECT source, lang, count(*) AS c FROM q
+               GROUP BY source, lang),
+        la AS (
+          SELECT source, count(*) AS n_langs,
+                 min(lang) FILTER (rn = 1) AS top_lang
+          FROM (SELECT source, lang, c,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY c DESC, lang ASC) AS rn
+                FROM lc)
+          GROUP BY source)
+        SELECT m.source, m.n_docs, m.n_tokens,
+               round(CAST(m.n_tokens AS DOUBLE)
+                     / CAST(m.n_docs AS DOUBLE), 6) AS avg_tokens,
+               round(CAST(m.sum_q6 AS DOUBLE) / CAST(m.n_docs AS DOUBLE)
+                     / 1000000.0, 6) AS avg_quality,
+               round(CAST(m.n_short AS DOUBLE)
+                     / CAST(m.n_docs AS DOUBLE), 6) AS pct_short,
+               la.n_langs, la.top_lang
+        FROM main m JOIN la ON la.source = m.source
     """
     return sql

@@ -313,3 +313,61 @@ def shingles(c: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    short_tokens: int = 20,
+) -> DataFrame:
+    """Per-source dataset report card — the per-snapshot summary a
+    training-data pipeline publishes next to every corpus release
+    (n_docs, token mass, mean quality, short-doc fraction, language
+    spread and majority language per source).
+
+    Hash-exactness discipline: token counts sum as integers; the mean
+    quality aggregates the ALREADY-6dp-rounded per-doc score as an
+    exact integer (score × 1e6), so the float sum-order problem never
+    arises; the majority language is min(struct(-count, lang)) — count
+    desc, lang asc — the engine-portable argmax idiom.
+
+    100 TB shape: two partial-aggregable aggregations (doc-level and
+    (source, lang)-level marginals) meeting in a source-cardinality
+    join; per-doc text never leaves its scan task.
+    """
+    nt = token_count(F.col(text_col))
+    q6 = F.round(quality_score(F.col(text_col)) * F.lit(1000000.0)).cast("long")
+    main = (
+        docs.select(
+            F.col(by), nt.alias("_nt"), q6.alias("_q6")
+        )
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.sum((F.col("_nt") < int(short_tokens)).cast("long")).alias("_n_short"),
+            F.sum("_q6").alias("_sum_q6"),
+        )
+    )
+    lang_counts = docs.groupBy(by, lang_col).agg(F.count(F.lit(1)).alias("_c"))
+    lang_agg = lang_counts.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_langs"),
+        F.min(
+            F.struct((-F.col("_c")).alias("_neg"), F.col(lang_col).alias("_l"))
+        ).getField("_l").alias("top_lang"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    return main.join(lang_agg, by).select(
+        by,
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / n_d, 6).alias("avg_tokens"),
+        F.round(
+            F.col("_sum_q6").cast("double") / n_d / F.lit(1000000.0), 6
+        ).alias("avg_quality"),
+        F.round(F.col("_n_short").cast("double") / n_d, 6).alias("pct_short"),
+        "n_langs",
+        "top_lang",
+    )

@@ -240,3 +240,34 @@ def test_stratified_keep_deterministic_and_proportional(spark):
     assert abs(per["a"] - 0.5) < 0.06
     assert abs(per["b"] - 0.1) < 0.04
     assert abs(per["c"] - 0.9) < 0.04
+
+
+def test_corpus_report_matches_python_reference(spark):
+    from pg_iui_ner_api_spark.functions.text import corpus_report
+
+    rows = [
+        ("a", "en", "one two three four five six seven eight nine ten eleven"),
+        ("a", "en", "short doc"),
+        ("a", "de", "!!! ??? ***"),
+        ("b", "fr", " ".join(f"w{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    got = {r["source"]: r for r in corpus_report(df, short_tokens=20).collect()}
+
+    a = got["a"]
+    assert (a["n_docs"], a["n_tokens"]) == (3, 11 + 2 + 3)
+    assert a["pct_short"] == round(3 / 3, 6)
+    assert (a["n_langs"], a["top_lang"]) == (2, "en")
+    assert a["avg_tokens"] == round(16 / 3, 6)
+    b = got["b"]
+    assert (b["n_docs"], b["n_tokens"], b["pct_short"]) == (1, 30, 0.0)
+    # quality: b is 30 clean tokens -> len_ok 1, punct 0 -> quality 1.0
+    assert b["avg_quality"] == 1.0
+
+
+def test_corpus_report_top_lang_tie_breaks_ascending(spark):
+    from pg_iui_ner_api_spark.functions.text import corpus_report
+
+    rows = [("s", "fr", "x y z"), ("s", "de", "x y z")]
+    df = spark.createDataFrame(rows, "source string, lang string, text string")
+    assert corpus_report(df).collect()[0]["top_lang"] == "de"
