@@ -284,7 +284,7 @@ def _headline(spark) -> dict[str, float]:
         # final-r4: URL canonical dedup, MAD outliers, tf-idf keywords,
         # capped inverted index, exact-stats grouped OLS
         "url_dedup", "mad_outliers", "tfidf_keywords", "inverted_index",
-        "grouped_ols", "collocations",
+        "grouped_ols", "collocations", "component_stats", "corpus_report",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the
