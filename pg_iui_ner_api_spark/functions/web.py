@@ -92,9 +92,12 @@ def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
     against the (bucketed) corpus.
     """
     return (
+        # id keeps its native type (KG doc_ids are strings; testdata's
+        # are int64) — min() is deterministic for both, and an ANSI-mode
+        # cast here would throw on the string case
         df.select(
             canonicalize_url(url_col).alias("canonical_url"),
-            F.col(id_col).cast("long").alias(id_col),
+            F.col(id_col).alias(id_col),
         )
         .groupBy("canonical_url")
         .agg(

@@ -83,7 +83,15 @@ def validate_docs(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
         .when(F.col("doc_id").isNull(), "missing_doc_id")
         .when(F.col("spans").isNull() | (F.size("spans") == 0), "empty_spans")
         .when(
-            F.exists("spans", lambda s: s["kind"].isNull() | (s["offset"] < 0)),
+            # offset NULL must be explicit: (NULL < 0) is NULL, which
+            # exists() treats as false — without isNull a null offset
+            # would sail through and break the ordering invariant later
+            F.exists(
+                "spans",
+                lambda s: s["kind"].isNull()
+                | s["offset"].isNull()
+                | (s["offset"] < 0),
+            ),
             "invalid_span",
         )
         .when(~sorted_ok, "unordered_spans")

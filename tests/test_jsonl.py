@@ -107,3 +107,17 @@ def test_roundtrip_synth_corpus(spark, tmp_path):
     a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in docs.collect()}
     b = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in back.collect()}
     assert a == b
+
+
+def test_null_offset_quarantined(spark, tmp_path):
+    lines = [
+        json.dumps(
+            {"doc_id": "n", "spans": [{"kind": "text", "text": "x",
+                                       "media_ref": None, "offset": None}]}
+        )
+    ]
+    docs, rejects = validate_docs(
+        read_docs_jsonl(spark, _write(tmp_path, lines))
+    )
+    assert docs.count() == 0
+    assert [r["reason"] for r in rejects.collect()] == ["invalid_span"]

@@ -108,3 +108,12 @@ def test_dedup_plan_has_partial_aggregate(spark):
     assert plan.count("HashAggregate") >= 2
     exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert exchange_lines and all("body" not in ln for ln in exchange_lines)
+
+
+def test_dedup_by_url_string_ids(spark):
+    """KG doc_ids are strings; dedup must keep the lexicographically
+    smallest without an ANSI cast error."""
+    rows = [("d10", "http://a.com/x"), ("d2", "HTTP://A.com:80/x")]
+    df = spark.createDataFrame(rows, "doc_id string, url string")
+    r = dedup_by_url(df, "url", "doc_id").collect()[0]
+    assert (r["keep_id"], r["n_raw"]) == ("d10", 2)
