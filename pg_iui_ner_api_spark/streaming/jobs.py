@@ -522,3 +522,40 @@ def compact_heavy_hitters(spark: SparkSession, workdir: str,
         .where(F.col("cnt") * F.lit(int(den)) >= F.col("total") * F.lit(int(num)))
         .select("tok", "cnt")
     )
+
+
+def stream_dedup_url(spark: SparkSession, input_dir: str, output_dir: str,
+                     checkpoint_dir: str, url_col: str = "url",
+                     available_now: bool = True,
+                     max_files_per_trigger: int | None = None):
+    """Streaming canonical-URL dedup: the continuous-crawl twin of
+    ``functions/web.dedup_by_url`` — only the FIRST page bearing a
+    given canonical URL is emitted, across micro-batch boundaries
+    (re-crawls of the same page behind tracking params / fragments /
+    case-variant hosts arrive days later; the state store remembers).
+
+    Same state discipline as :func:`stream_dedup_exact`: state is keyed
+    by the canonical URL string, never the payload, so the store grows
+    with distinct pages only. The canonical URL is added as a column so
+    downstream consumers join on it without re-deriving.
+    """
+    from ..functions.web import canonicalize_url
+
+    reader = spark.readStream.schema(
+        f"doc_id string, {url_col} string, text string"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    pages = reader.parquet(input_dir)
+    deduped = pages.withColumn(
+        "canonical_url", canonicalize_url(F.col(url_col))
+    ).dropDuplicates(["canonical_url"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -524,3 +524,34 @@ def test_stream_heavy_hitters_crash_replay_idempotent(spark, tmp_path):
         tuple(r) for r in compact_heavy_hitters(spark, wd, 1, 10).collect()
     )
     assert replay == clean
+
+
+def test_stream_dedup_url_across_batches(spark, tmp_path):
+    """A re-crawl of the same page (tracking params + case-variant
+    host) in a LATER micro-batch must be dropped; distinct pages
+    survive, and the canonical_url column is emitted."""
+    from pg_iui_ner_api_spark.streaming.jobs import stream_dedup_url
+
+    inp = tmp_path / "pages_in"
+    out = str(tmp_path / "pages_out")
+    ckpt = str(tmp_path / "ckpt_url")
+    cols = "doc_id string, url string, text string"
+    b1 = [("p1", "HTTP://Site.COM:80/a?b=2&a=1#f", "x"),
+          ("p2", "http://site.com/a?a=1&b=2&utm_source=s", "x"),  # dup of p1
+          ("p3", "http://site.com/b", "y")]
+    spark.createDataFrame(b1, cols).write.mode("append").parquet(str(inp))
+    q = stream_dedup_url(spark, str(inp), out, ckpt)
+    q.awaitTermination(120)
+    got1 = {r["doc_id"]: r["canonical_url"]
+            for r in spark.read.parquet(out).collect()}
+    assert len(got1) == 2 and "p3" in got1
+    assert len(set(got1) & {"p1", "p2"}) == 1
+    assert got1["p3"] == "http://site.com/b"
+
+    b2 = [("p4", "http://site.com/a?b=2&a=1", "x"),   # cross-batch re-crawl
+          ("p5", "https://site.com/a?a=1&b=2", "x")]  # DIFFERENT scheme: new
+    spark.createDataFrame(b2, cols).write.mode("append").parquet(str(inp))
+    q = stream_dedup_url(spark, str(inp), out, ckpt)
+    q.awaitTermination(120)
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert "p4" not in got2 and "p5" in got2
