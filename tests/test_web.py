@@ -117,3 +117,31 @@ def test_dedup_by_url_string_ids(spark):
     df = spark.createDataFrame(rows, "doc_id string, url string")
     r = dedup_by_url(df, "url", "doc_id").collect()[0]
     assert (r["keep_id"], r["n_raw"]) == ("d10", 2)
+
+
+def test_canonicalize_idempotent_and_ref_exact_on_grid(spark):
+    """Exhaustive combinatorial grid (schemes x hosts x ports x paths x
+    queries x fragments): canonicalization must (a) agree with the
+    urllib reference on every combination and (b) be IDEMPOTENT —
+    canon(canon(u)) == canon(u), the fixed-point property that makes
+    re-canonicalizing an already-clean corpus a no-op."""
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Ex.COM", "ex.com", "user:p@Ex.com"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b"]
+    queries = ["", "?b=2&a=1", "?utm_source=x", "?a=1&a=0&gclid=g", "?x"]
+    frags = ["", "#f"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{fr}"
+        for s in schemes for h in hosts for po in ports
+        for pa in paths for q in queries for fr in frags
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url",
+        canonicalize_url("url").alias("c1"),
+        canonicalize_url(canonicalize_url("url")).alias("c2"),
+    ).collect()
+    for r in out:
+        assert r["c1"] == ref_canon(r["url"]), r["url"]
+        assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
