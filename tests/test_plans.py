@@ -444,28 +444,22 @@ def test_tfidf_keywords_no_global_sort_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_mad_outliers_broadcasts_group_stats(spark):
-    """The events table must never shuffle on the group key: both
-    median and MAD dims join back as broadcasts. The dims' sizes are
-    only known at runtime (one row per group), so this is an AQE
-    decision — assert on the FINAL adaptive plan after execution."""
+def test_mad_outliers_broadcasts_group_stats(spark, sf_dir):
+    """The input table must never sort-merge on the group key: both
+    median and MAD dims join back as broadcasts. Parquet input gives
+    the planner static size stats, so the broadcast choice is made at
+    PLAN time — deterministic, unlike AQE's runtime conversion on
+    in-memory relations, which races stage scheduling and made an
+    earlier version of this pin order-flaky in the full suite."""
     from pg_iui_ner_api_spark.operators.analytics import mad_outliers
 
-    df = spark.createDataFrame(
-        [("g", i, float(i)) for i in range(10)] + [("g", 10, 1e6)],
-        "grp string, rid long, value double",
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
     )
-    out = mad_outliers(df, "value", ["grp"])
-    out.collect()  # a write would execute a COPY of the plan
-    plan = _plan(out)
-    assert "isFinalPlan=true" in plan, plan
-    # AQE must convert group-stat joins to broadcast at runtime; a
-    # residual SortMergeJoin is tolerated ONLY over reused exchanges
-    # (both sides already partitioned by grp — no extra shuffle), which
-    # is what the final-stage join degenerates to on tiny inputs.
+    plan = _plan(mad_outliers(events, "value", ["event_type"]))
     assert "BroadcastHashJoin" in plan, plan
-    final = plan.split("+- == Initial Plan ==")[0]
-    assert final.count("Exchange hashpartitioning") <= 3, final
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_grouped_ols_single_aggregation_exchange(spark):
