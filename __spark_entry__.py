@@ -1762,6 +1762,98 @@ def _q_hll_distinct(spark, sf):
     return hll_estimate(hll_sketch(tok, ["source"], "tok", p=12), p=12)
 
 
+# ---------------------------------------------------------------------------
+# AMIE-lite Horn-rule mining over a multi-relational KG derived from the
+# testdata's own FK structure (operators/rules.py). The triple builder is
+# replayed verbatim in the DuckDB oracle, so the whole mine -> score ->
+# predict chain is hash-checked cross-engine.
+# ---------------------------------------------------------------------------
+def _kg_triples(spark, sf):
+    """Namespaced (subj, pred, obj) triples from the TPC-H FK graph:
+    entity ids are 'c:<custkey>' / 's:<suppkey>' / 'n:<nationkey>' /
+    'r:<regionkey>' / 'o:<orderkey>' / 'p:<partkey>' so key spaces never
+    collide. Nine projections, unioned; the operator dedups."""
+    cust = _t(spark, sf, "customer")
+    supp = _t(spark, sf, "supplier")
+    nat = _t(spark, sf, "nation")
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+
+    def tri(df, s_ns, s_key, pred, o_ns, o_key):
+        return df.select(
+            F.concat(F.lit(s_ns + ":"), F.col(s_key).cast("string")).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(o_ns + ":"), F.col(o_key).cast("string")).alias("obj"),
+        )
+
+    parts = [
+        tri(cust, "c", "c_custkey", "in_nation", "n", "c_nationkey"),
+        tri(supp, "s", "s_suppkey", "in_nation", "n", "s_nationkey"),
+        tri(nat, "n", "n_nationkey", "in_region", "r", "n_regionkey"),
+        tri(
+            cust.join(nat, cust.c_nationkey == nat.n_nationkey),
+            "c", "c_custkey", "in_region", "r", "n_regionkey",
+        ),
+        tri(orders, "o", "o_orderkey", "placed_by", "c", "o_custkey"),
+        tri(
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
+            "o", "o_orderkey", "in_nation", "n", "c_nationkey",
+        ),
+        tri(li, "o", "l_orderkey", "contains", "p", "l_partkey"),
+        tri(li, "p", "l_partkey", "supplied_by", "s", "l_suppkey"),
+        tri(li, "o", "l_orderkey", "sourced_from", "s", "l_suppkey"),
+    ]
+    out = parts[0]
+    for df in parts[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+_RULES_CAP = 2000  # mid-entity degree cap: no-op at sf0.01 (max mid ~665)
+_RULES_DROP_CAP = 300  # companion report cap, chosen to actually trigger
+
+
+def _q_kg_rules(spark, sf):
+    """2-atom path rules p1(x,z) AND p2(z,y) => head(x,y) with support /
+    confidence / head-coverage (operators/rules.py::mine_path_rules,
+    AMIE's workhorse rule class) over the FK-derived KG; min_support=100,
+    min_conf=0.02, mid-degree cap 2000."""
+    from pg_iui_ner_api_spark.operators.rules import mine_path_rules
+
+    return mine_path_rules(
+        _kg_triples(spark, sf), min_support=100, min_conf=0.02,
+        max_mid_degree=_RULES_CAP,
+    )
+
+
+def _q_kg_rules_pred(spark, sf):
+    """KG completion: edges the conf>=0.05 mined rules predict but the
+    KG does not assert, scored by best supporting rule
+    (operators/rules.py::predict_edges)."""
+    from pg_iui_ner_api_spark.operators.rules import (
+        mine_path_rules, predict_edges)
+
+    t = _kg_triples(spark, sf)
+    rules = mine_path_rules(
+        t, min_support=100, min_conf=0.02, max_mid_degree=_RULES_CAP
+    )
+    pred = predict_edges(t, rules, min_conf=0.05, max_mid_degree=_RULES_CAP)
+    # registered form: deterministic top-1000 (full sort key) — the raw
+    # prediction set is ~1M rows at sf0.01, far too big to collect
+    return pred.orderBy(
+        F.col("confidence").desc(), "subj", "pred", "obj"
+    ).limit(1000)
+
+
+def _q_kg_rules_dropped(spark, sf):
+    """The never-silent cap report for rule mining at a cap low enough
+    to trigger on this corpus (300): (node, degree) of every entity
+    excluded from the join-through position."""
+    from pg_iui_ner_api_spark.operators.rules import rule_mid_dropped
+
+    return rule_mid_dropped(_kg_triples(spark, sf), _RULES_DROP_CAP)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness harness records only the
     # first 50 keys, so (a) keys that have never earned a driver-green
@@ -1869,6 +1961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": _q_collocations,
         "component_stats": _q_component_stats,
         "corpus_report": _q_corpus_report,
+        "kg_rules": _q_kg_rules,
+        "kg_rules_pred": _q_kg_rules_pred,
+        "kg_rules_dropped": _q_kg_rules_dropped,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4401,5 +4496,101 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(m.n_docs AS DOUBLE), 6) AS pct_short,
                la.n_langs, la.top_lang
         FROM main m JOIN la ON la.source = m.source
+    """
+    # kg_rules family: the FK-derived triple builder (_kg_triples)
+    # replayed verbatim — int keys auto-cast to VARCHAR under || exactly
+    # like Spark's cast('string') for integers; DISTINCT over the union
+    # mirrors operators/rules.py::_distinct_triples.
+    _TRIP = """
+        trip AS (
+          SELECT DISTINCT subj AS s, pred AS p, obj AS o FROM (
+            SELECT 'c:' || c_custkey AS subj, 'in_nation' AS pred,
+                   'n:' || c_nationkey AS obj FROM customer
+            UNION ALL SELECT 's:' || s_suppkey, 'in_nation',
+                   'n:' || s_nationkey FROM supplier
+            UNION ALL SELECT 'n:' || n_nationkey, 'in_region',
+                   'r:' || n_regionkey FROM nation
+            UNION ALL SELECT 'c:' || c_custkey, 'in_region',
+                   'r:' || n_regionkey
+                   FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL SELECT 'o:' || o_orderkey, 'placed_by',
+                   'c:' || o_custkey FROM orders
+            UNION ALL SELECT 'o:' || o_orderkey, 'in_nation',
+                   'n:' || c_nationkey
+                   FROM orders JOIN customer ON o_custkey = c_custkey
+            UNION ALL SELECT 'o:' || l_orderkey, 'contains',
+                   'p:' || l_partkey FROM lineitem
+            UNION ALL SELECT 'p:' || l_partkey, 'supplied_by',
+                   's:' || l_suppkey FROM lineitem
+            UNION ALL SELECT 'o:' || l_orderkey, 'sourced_from',
+                   's:' || l_suppkey FROM lineitem
+          )
+        ),
+        deg AS (
+          SELECT node, count(*) AS degree FROM (
+            SELECT s AS node FROM trip UNION ALL SELECT o FROM trip
+          ) GROUP BY node
+        )"""
+    # rule CTE chain shared by kg_rules and kg_rules_pred (cap 2000 =
+    # _RULES_CAP; support/conf thresholds must track _q_kg_rules).
+    # Confidence filters act on the ROUNDED value, like the operator's
+    # select-then-filter order.
+    _RULECHAIN = f"""
+        {_TRIP},
+        okz AS (SELECT node FROM deg WHERE degree <= 2000),
+        body AS (
+          SELECT DISTINCT a.p AS p1, b.p AS p2, a.s AS x, b.o AS y
+          FROM trip a JOIN trip b ON a.o = b.s
+          JOIN okz ON a.o = okz.node
+        ),
+        nb AS (SELECT p1, p2, count(*) AS n_body FROM body GROUP BY 1, 2),
+        sup AS (
+          SELECT body.p1, body.p2, h.p AS head, count(*) AS support
+          FROM body JOIN trip h ON body.x = h.s AND body.y = h.o
+          GROUP BY 1, 2, 3
+        ),
+        nh AS (SELECT p AS head, count(*) AS n_head FROM trip GROUP BY 1),
+        rules AS (
+          SELECT sup.p1, sup.p2, sup.head, sup.support, nb.n_body,
+                 nh.n_head,
+                 round(CAST(sup.support AS DOUBLE)
+                       / CAST(nb.n_body AS DOUBLE), 6) AS confidence,
+                 round(CAST(sup.support AS DOUBLE)
+                       / CAST(nh.n_head AS DOUBLE), 6) AS head_coverage
+          FROM sup
+          JOIN nb ON nb.p1 = sup.p1 AND nb.p2 = sup.p2
+          JOIN nh ON nh.head = sup.head
+          WHERE sup.support >= 100
+        )"""
+    sql["kg_rules"] = f"""
+        WITH {_RULECHAIN}
+        SELECT p1, p2, head, support, n_body, n_head, confidence,
+               head_coverage
+        FROM rules WHERE confidence >= 0.02
+    """
+    sql["kg_rules_pred"] = f"""
+        WITH {_RULECHAIN},
+        r AS (SELECT p1, p2, head, confidence FROM rules
+              WHERE confidence >= 0.05),
+        pred AS (
+          SELECT a.s AS subj, r.head AS pred, b.o AS obj,
+                 max(r.confidence) AS confidence
+          FROM trip a JOIN trip b ON a.o = b.s
+          JOIN okz ON a.o = okz.node
+          JOIN r ON r.p1 = a.p AND r.p2 = b.p
+          GROUP BY 1, 2, 3
+        )
+        SELECT p.subj, p.pred, p.obj, p.confidence
+        FROM pred p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM trip t
+          WHERE t.s = p.subj AND t.p = p.pred AND t.o = p.obj
+        )
+        ORDER BY p.confidence DESC, p.subj, p.pred, p.obj
+        LIMIT 1000
+    """
+    sql["kg_rules_dropped"] = f"""
+        WITH {_TRIP}
+        SELECT node, degree FROM deg WHERE degree > 300
     """
     return sql
