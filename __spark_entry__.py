@@ -1004,6 +1004,18 @@ def _q_kg_nodes(spark, sf):
     return res["nodes"]
 
 
+def _q_kg_edges_canonical(spark, sf):
+    """Referentially-closed edge view: subj/obj rewritten to component
+    representatives (operators/components.py::canonical_edges), so
+    every endpoint exists in kg_nodes; golden-pinned rows-only."""
+    from pg_iui_ner_api_spark.operators.components import canonical_edges
+
+    docs = synth.synth_documents(spark, _KG_DOCS, partitions=8)
+    res = run_kg_pipeline(spark, docs)
+    ce = canonical_edges(res["edges"], res["linked_mentions"], res["components"])
+    return ce.select("subj", "pred", "obj", "doc_id")
+
+
 def _q_model_routing(spark, sf):
     """Per-language model routing (reference config.py:14-15): broadcast
     join docs.lang against the (lang, model_path) dim, English fallback."""
@@ -1854,6 +1866,31 @@ def _q_kg_rules_dropped(spark, sf):
     return rule_mid_dropped(_kg_triples(spark, sf), _RULES_DROP_CAP)
 
 
+def _q_dq_audit(spark, sf):
+    """Declarative data-quality audit (operators/audit.py::
+    check_constraints, Deequ/dbt-test shape): six rules over orders —
+    not_null / unique / accepted_values / range / regex fold into ONE
+    aggregation pass; the ref (FK) rule anti-joins against customers
+    with positive balance so it produces real violations."""
+    from pg_iui_ner_api_spark.operators.audit import check_constraints
+
+    orders = _t(spark, sf, "orders")
+    funded = _t(spark, sf, "customer").where(F.col("c_acctbal") > 0)
+    rules = [
+        {"id": "orderkey_not_null", "type": "not_null", "column": "o_orderkey"},
+        {"id": "orderkey_unique", "type": "unique", "column": "o_orderkey"},
+        {"id": "status_accepted", "type": "accepted_values",
+         "column": "o_orderstatus", "values": ["O", "F"]},
+        {"id": "price_range", "type": "range", "column": "o_totalprice",
+         "min": 0.0, "max": 150000.0},
+        {"id": "priority_regex", "type": "regex",
+         "column": "o_orderpriority", "pattern": "^[1-3]-"},
+        {"id": "custkey_in_funded", "type": "ref", "column": "o_custkey",
+         "ref_table": "customer_funded", "ref_column": "c_custkey"},
+    ]
+    return check_constraints(orders, rules, {"customer_funded": funded})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness harness records only the
     # first 50 keys, so (a) keys that have never earned a driver-green
@@ -1964,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rules": _q_kg_rules,
         "kg_rules_pred": _q_kg_rules_pred,
         "kg_rules_dropped": _q_kg_rules_dropped,
+        "dq_audit": _q_dq_audit,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -2019,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
+        "kg_edges_canonical": _q_kg_edges_canonical,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
     }
@@ -4592,5 +4631,65 @@ def oracle_sql() -> dict[str, str]:
     sql["kg_rules_dropped"] = f"""
         WITH {_TRIP}
         SELECT node, degree FROM deg WHERE degree > 300
+    """
+    # dq_audit twin: the same one-pass scalar aggregate reshaped by a
+    # UNION ALL of constant rows; the ref rule is the left-join-null
+    # count against positive-balance customers.
+    sql["dq_audit"] = """
+        WITH a AS (
+          SELECT count(*) AS n_rows,
+                 count(o_orderkey) AS nn_ok,
+                 count(DISTINCT o_orderkey) AS nd_ok,
+                 count(o_orderstatus) AS nn_st,
+                 coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL
+                                    AND o_orderstatus NOT IN ('O', 'F')
+                              THEN 1 ELSE 0 END), 0) AS v_st,
+                 count(o_totalprice) AS nn_pr,
+                 coalesce(sum(CASE WHEN o_totalprice IS NOT NULL
+                                    AND (o_totalprice < 0.0
+                                         OR o_totalprice > 150000.0)
+                              THEN 1 ELSE 0 END), 0) AS v_pr,
+                 count(o_orderpriority) AS nn_pf,
+                 coalesce(sum(CASE WHEN o_orderpriority IS NOT NULL
+                                    AND NOT regexp_matches(o_orderpriority,
+                                                           '^[1-3]-')
+                              THEN 1 ELSE 0 END), 0) AS v_pf
+          FROM orders
+        ),
+        ref AS (SELECT DISTINCT c_custkey FROM customer
+                WHERE c_acctbal > 0),
+        rf AS (
+          SELECT count(*) AS chk,
+                 coalesce(sum(CASE WHEN r.c_custkey IS NULL
+                              THEN 1 ELSE 0 END), 0) AS viol
+          FROM (SELECT o_custkey FROM orders
+                WHERE o_custkey IS NOT NULL) o
+          LEFT JOIN ref r ON o.o_custkey = r.c_custkey
+        ),
+        rows_out AS (
+          SELECT 'orderkey_not_null' AS rule_id, 'not_null' AS rule_type,
+                 'o_orderkey' AS column_name, n_rows AS n_checked,
+                 n_rows - nn_ok AS n_violations FROM a
+          UNION ALL
+          SELECT 'orderkey_unique', 'unique', 'o_orderkey',
+                 nn_ok, nn_ok - nd_ok FROM a
+          UNION ALL
+          SELECT 'status_accepted', 'accepted_values', 'o_orderstatus',
+                 nn_st, v_st FROM a
+          UNION ALL
+          SELECT 'price_range', 'range', 'o_totalprice',
+                 nn_pr, v_pr FROM a
+          UNION ALL
+          SELECT 'priority_regex', 'regex', 'o_orderpriority',
+                 nn_pf, v_pf FROM a
+          UNION ALL
+          SELECT 'custkey_in_funded', 'ref', 'o_custkey',
+                 chk, viol FROM rf
+        )
+        SELECT rule_id, rule_type, column_name,
+               CAST(n_checked AS BIGINT) AS n_checked,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM rows_out
     """
     return sql

@@ -251,6 +251,69 @@ def canonical_nodes(linked_mentions: DataFrame, components: DataFrame) -> DataFr
     )
 
 
+def entity_canonical_map(
+    linked_mentions: DataFrame, components: DataFrame
+) -> DataFrame:
+    """(entity_id, canonical_id): every linked entity mapped to its
+    component's representative — the SAME modal-entity vote
+    :func:`canonical_nodes` uses, so the map and the node table agree
+    by construction. Entities whose component representative is
+    themselves map to themselves. An entity split across components
+    (possible when its surfaces never co-occur) takes the modal
+    representative over its mentions. Dimension-sized output: bounded
+    by the entity vocabulary, never the corpus."""
+    lm = linked_mentions.select("mention_id", "entity_id")
+    joined = components.select("mention_id", "component").join(lm, "mention_id")
+    rep = joined.groupBy("component").agg(
+        F.mode("entity_id").alias("canonical_id")
+    )
+    return (
+        joined.join(rep, "component")
+        .groupBy("entity_id")
+        .agg(F.mode("canonical_id").alias("canonical_id"))
+    )
+
+
+def canonical_edges(
+    edges: DataFrame, linked_mentions: DataFrame, components: DataFrame
+) -> DataFrame:
+    """Edge table with subj/obj rewritten to canonical (component-
+    representative) entity ids — the referentially-closed view whose
+    every endpoint exists in :func:`canonical_nodes`.
+
+    The raw ``edges`` output keeps per-mention LINKED entity ids
+    because that is the reference-parity surface (span/triple equality
+    is defined pre-canonicalization); the node table is
+    post-canonicalization. This operator closes the seam: a
+    ``dq_audit`` ref-rule of canonical_edges against canonical_nodes
+    passes 100% where raw edges legitimately do not (e.g. an ambiguous
+    surface whose minority sense lost the component vote appears as a
+    raw edge object but owns no node row).
+
+    Scale shape: the rewrite is two joins against the dimension-sized
+    entity map — broadcast, map-only, zero shuffles of the edge table;
+    row count and evidence provenance are preserved exactly.
+    """
+    m = entity_canonical_map(linked_mentions, components)
+    subj_map = F.broadcast(
+        m.select(F.col("entity_id").alias("subj"), F.col("canonical_id").alias("_cs"))
+    )
+    obj_map = F.broadcast(
+        m.select(F.col("entity_id").alias("obj"), F.col("canonical_id").alias("_co"))
+    )
+    return (
+        edges.join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
+        .select(
+            F.coalesce("_cs", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_co", "obj").alias("obj"),
+            "doc_id",
+            "evidence",
+        )
+    )
+
+
 def component_stats(edges: DataFrame,
                     components: DataFrame | None = None) -> DataFrame:
     """Per-component structural audit over an undirected edge list

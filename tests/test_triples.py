@@ -55,3 +55,23 @@ def test_nodes_cover_all_linked_kinds(result):
     assert kinds == {"PER", "ORG", "LOC", "MISC"}
     # hub entity exists and dominates
     assert "ORG:acme" in nodes
+
+
+def test_canonical_edges_referentially_closed(spark, result):
+    """canonical_edges rewrites every endpoint to a component
+    representative, so the edge table becomes referentially closed
+    against canonical_nodes (the dq_audit ref-rule property raw edges
+    legitimately lack for ambiguous minority senses)."""
+    from pg_iui_ner_api_spark.operators.components import canonical_edges
+
+    res, _ = result
+    ce = canonical_edges(
+        res["edges"], res["linked_mentions"], res["components"]
+    )
+    rows = ce.collect()
+    raw = res["edges"].collect()
+    assert len(rows) == len(raw)  # row-preserving rewrite
+    assert {r.evidence for r in rows} == {r.evidence for r in raw}
+    node_ids = {r.entity_id for r in res["nodes"].collect()}
+    endpoints = {r.subj for r in rows} | {r.obj for r in rows}
+    assert endpoints <= node_ids
