@@ -1866,6 +1866,50 @@ def _q_kg_rules_dropped(spark, sf):
     return rule_mid_dropped(_kg_triples(spark, sf), _RULES_DROP_CAP)
 
 
+# HTML wrapper for html_extract: deterministic page construction around
+# each document's text, exercising comments, containers with markup
+# inside string literals, block structure, entities (incl. one that must
+# survive as literal markup after decode), and <br>. The SAME literal
+# fragments appear in the DuckDB oracle.
+_HTML_PRE = (
+    '<html><head><title>t</title><style type="text/css">p {color: red}'
+    "</style></head><body><h1>Doc "
+)
+_HTML_MID = "</h1><!-- nav --><p>"
+_HTML_POST = (
+    '</p><script>var x = "<p>no</p>";</script>'
+    "<p>A &amp; B &lt;x&gt; &quot;q&quot;&nbsp;&#39;s&#39;</p>"
+    "<br><div>tail</div></body></html>"
+)
+
+
+def _q_html_extract(spark, sf):
+    """HTML -> text extraction (functions/web.py::html_to_text): each
+    document wrapped in a deterministic page, then tag-stripped,
+    entity-decoded, line-structured — the crawl ingest boundary."""
+    from pg_iui_ner_api_spark.functions.web import html_to_text
+
+    d = _t(spark, sf, "documents")
+    page = F.concat(
+        F.lit(_HTML_PRE),
+        F.col("doc_id").cast("string"),
+        F.lit(_HTML_MID),
+        F.col("text"),
+        F.lit(_HTML_POST),
+    )
+    return d.select("doc_id", html_to_text(page).alias("txt"))
+
+
+def _q_graph_hits(spark, sf):
+    """HITS hubs/authorities (operators/graph.py::hits) over the
+    DIRECTED FK triple graph, 2 exact-integer iterations,
+    max-normalized — orders are the hubs, parts/suppliers/nations the
+    authorities."""
+    t = _kg_triples(spark, sf)
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return GR.hits(e, iters=2)
+
+
 def _q_dq_audit(spark, sf):
     """Declarative data-quality audit (operators/audit.py::
     check_constraints, Deequ/dbt-test shape): six rules over orders —
@@ -2002,6 +2046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rules_pred": _q_kg_rules_pred,
         "kg_rules_dropped": _q_kg_rules_dropped,
         "dq_audit": _q_dq_audit,
+        "html_extract": _q_html_extract,
+        "graph_hits": _q_graph_hits,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4691,5 +4737,78 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_violations AS BIGINT) AS n_violations,
                n_violations = 0 AS passed
         FROM rows_out
+    """
+    # html_extract twin: functions/web.py::html_to_text replayed as the
+    # same ordered regexp_replace/replace chain (RE2-safe subset, so the
+    # patterns are engine-portable verbatim); newline replacements use
+    # chr(10) because DuckDB string literals keep backslashes raw.
+    def _rr(e: str, pat: str, rep: str) -> str:
+        return f"regexp_replace({e}, '{pat}', {rep}, 'g')"
+
+    _h = (
+        f"'{_HTML_PRE}' || doc_id || '{_HTML_MID}' || text || "
+        f"'{_HTML_POST}'"
+    )
+    _h = _rr(_h, r"(?s)<!--.*?-->", "' '")
+    for _t_ in ("script", "style", "noscript"):
+        _h = _rr(_h, rf"(?is)<{_t_}\b[^>]*>.*?</{_t_}\s*>", "' '")
+    _h = _rr(
+        _h,
+        r"(?i)</?(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article)(\s[^>]*)?>",
+        "chr(10)",
+    )
+    _h = _rr(_h, r"(?i)<br\s*/?\s*>", "chr(10)")
+    _h = _rr(_h, r"<[^>]*>", "' '")
+    for _ent, _rep in (
+        ("&nbsp;", "' '"), ("&quot;", "'\"'"), ("&#34;", "'\"'"),
+        ("&apos;", "''''"), ("&#39;", "''''"), ("&lt;", "'<'"),
+        ("&gt;", "'>'"), ("&amp;", "'&'"),
+    ):
+        _h = f"replace({_h}, '{_ent}', {_rep})"
+    _h = _rr(_h, r"[ \t\r]+", "' '")
+    _h = _rr(_h, r" ?\n ?", "chr(10)")
+    _h = _rr(_h, r"\n+", "chr(10)")
+    _h = _rr(_h, r"^\s+|\s+$", "''")
+    sql["html_extract"] = f"SELECT doc_id, {_h} AS txt FROM documents"
+    # graph_hits twin: the same exact-decimal mutual-reinforcement
+    # iteration unrolled (a_i from h_{i-1}, h_i from a_i), max-norm at
+    # the end — all intermediates integer-exact so the hash matches.
+    _hits_iters = []
+    for i in (1, 2):
+        _hits_iters.append(f"""
+        a{i} AS (
+          SELECT n.node, CAST(coalesce(t.v, 0) AS DECIMAL(38,0)) AS s
+          FROM hn n LEFT JOIN (
+            SELECT ed.dst AS node, sum(h{i - 1}.s) AS v
+            FROM ed JOIN h{i - 1} ON h{i - 1}.node = ed.src
+            GROUP BY ed.dst
+          ) t ON t.node = n.node
+        ),
+        h{i} AS (
+          SELECT n.node, CAST(coalesce(t.v, 0) AS DECIMAL(38,0)) AS s
+          FROM hn n LEFT JOIN (
+            SELECT ed.src AS node, sum(a{i}.s) AS v
+            FROM ed JOIN a{i} ON a{i}.node = ed.dst
+            GROUP BY ed.src
+          ) t ON t.node = n.node
+        )""")
+    sql["graph_hits"] = f"""
+        WITH {_TRIP},
+        ed AS (SELECT DISTINCT s AS src, o AS dst FROM trip),
+        hn AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+        h0 AS (SELECT node, CAST(1 AS DECIMAL(38,0)) AS s FROM hn),
+        {','.join(_hits_iters)},
+        mx AS (SELECT (SELECT max(s) FROM h2) AS mh,
+                      (SELECT max(s) FROM a2) AS ma)
+        SELECT h2.node,
+               CASE WHEN mx.mh > 0
+                    THEN round(CAST(h2.s AS DOUBLE)
+                               / CAST(mx.mh AS DOUBLE), 6)
+                    ELSE 0.0 END AS hub,
+               CASE WHEN mx.ma > 0
+                    THEN round(CAST(a2.s AS DOUBLE)
+                               / CAST(mx.ma AS DOUBLE), 6)
+                    ELSE 0.0 END AS authority
+        FROM h2 JOIN a2 ON a2.node = h2.node CROSS JOIN mx
     """
     return sql

@@ -105,3 +105,64 @@ def dedup_by_url(df: DataFrame, url_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_raw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (crawl ingest boundary)
+# ---------------------------------------------------------------------------
+# script/style/noscript payloads vanish whole; RE2 (the DuckDB twin's
+# engine) has no backreferences, so each container gets its own literal
+# pattern instead of <(script|style)>.*?</\1>.
+_HTML_CONTAINERS = ("script", "style", "noscript")
+# opening OR closing one of these implies a paragraph/line break in the
+# extracted text (block-level rendering; the structure line-level dedup
+# and boilerplate removal key on)
+_HTML_BLOCK = r"(?i)</?(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article)(\s[^>]*)?>"
+# entity decode table: decoded LAST and with &amp; at the very end, so
+# double-escaped text (&amp;lt;) decodes exactly one level per pass,
+# like browsers and html.unescape
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Main-text extraction from raw HTML as pure ``Column`` algebra —
+    the first transform a crawled page meets (reference ingest takes
+    pre-extracted text; a 100 TB web pipeline has to produce it).
+
+    Contract: comments and script/style/noscript payloads are removed
+    whole; block-level tags (opening or closing) become newlines (so downstream
+    line-level ops — ``dedup_lines``, ``boilerplate_strip`` — see real
+    line structure); every other tag becomes a space; the common named/
+    numeric entities decode ONE level, after tag stripping (so literal
+    ``&lt;p&gt;`` in text survives as ``<p>``, exactly like a browser
+    renders it); whitespace collapses per line and blank lines drop.
+
+    Deliberately NOT here: charset sniffing (decode bytes upstream),
+    full numeric-entity decode (needs codepoint arithmetic), and
+    readability-style content scoring (``boilerplate_strip`` covers the
+    cross-document case). The regex subset is RE2-safe — no lookaround,
+    no backreferences — so the DuckDB oracle replays it verbatim and
+    the expressions stay inside whole-stage codegen.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    for t in _HTML_CONTAINERS:
+        c = F.regexp_replace(c, rf"(?is)<{t}\b[^>]*>.*?</{t}\s*>", " ")
+    c = F.regexp_replace(c, _HTML_BLOCK, "\n")
+    c = F.regexp_replace(c, r"(?i)<br\s*/?\s*>", "\n")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"[ \t\r]+", " ")   # collapse within lines
+    c = F.regexp_replace(c, r" ?\n ?", "\n")    # trim around breaks
+    c = F.regexp_replace(c, r"\n+", "\n")       # drop blank lines
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

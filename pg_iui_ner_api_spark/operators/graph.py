@@ -1323,3 +1323,68 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
             ).alias("contribution"),
         )
     )
+
+
+def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg, JACM 1999) over a DIRECTED
+    edge list: ``(node, hub, authority)``.
+
+    Numerics: the mutual-reinforcement iteration (a_k from h_{k-1},
+    then h_k from a_k — Kleinberg's update order) runs UNNORMALIZED in
+    exact decimal(38,0) integers from h_0 = 1, and scores are scaled
+    once at the end by the max (the [0,1] max-norm variant). Every
+    intermediate is therefore exactly representable and order-
+    independent — a float L2 norm per round would make the result
+    depend on Spark's partial-aggregation order and break the
+    cross-engine hash contract (same trick as ``grouped_ols``'s exact
+    sufficient statistics). Magnitudes grow like sum(deg^{2k}); with
+    decimal(38,0) the iteration is safe to ~10^38, far past any graph
+    whose degree sums fit a shuffle.
+
+    Scale shape: the edge table is deduped + localCheckpointed ONCE;
+    each half-step shuffles only the (node, score) vector, never the
+    edges; per-round localCheckpoint keeps the iterative lineage flat
+    (the pagerank contract). Nodes with no in-edges hold authority 0,
+    no out-edges hub 0 — kept explicitly via the node-universe left
+    join so the output always covers every node.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    h = nodes.select("node", F.lit(1).cast("decimal(38,0)").alias("s"))
+    a = None
+    for _ in range(iters):
+        a_in = (
+            e.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("v"))
+        )
+        a = nodes.join(a_in, "node", "left").select(
+            "node", F.coalesce("v", zero).alias("s")
+        ).localCheckpoint()
+        h_out = (
+            e.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("v"))
+        )
+        h = nodes.join(h_out, "node", "left").select(
+            "node", F.coalesce("v", zero).alias("s")
+        ).localCheckpoint()
+    mx = h.agg(F.max("s").alias("mh")).crossJoin(a.agg(F.max("s").alias("ma")))
+    joined = (
+        h.withColumnRenamed("s", "hs")
+        .join(a.withColumnRenamed("s", "as_"), "node")
+        .crossJoin(F.broadcast(mx))
+    )
+    norm = lambda v, m: F.when(  # noqa: E731
+        F.col(m) > 0,
+        F.round(F.col(v).cast("double") / F.col(m).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        "node", norm("hs", "mh").alias("hub"), norm("as_", "ma").alias("authority")
+    )

@@ -959,3 +959,68 @@ def test_modularity_missing_label_raises(spark):
     labels = {1: 1, 2: 1}  # nodes 3..6 unlabeled
     with _pytest.raises(ValueError):
         G.modularity(_edges_df(spark, EDGES), _labels_df(spark, labels))
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+def test_hits_bipartite_hand_computed(spark):
+    """h0=1; a1 = in-degree; h1 = sum of a1 over out-neighbors; etc.
+    Graph: h1->{x,y}, h2->{y}, so y is the stronger authority and
+    hub1 the stronger hub. Exact integers make every step checkable."""
+    from pg_iui_ner_api_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("h1", "x"), ("h1", "y"), ("h2", "y")], ["src", "dst"]
+    )
+    got = {r.node: (r.hub, r.authority) for r in hits(e, iters=2).collect()}
+    # a1: x=1, y=2; h1: h1=3, h2=2; a2: x=3, y=5; h2: h1=8, h2=5
+    assert got == {
+        "h1": (1.0, 0.0),
+        "h2": (0.625, 0.0),
+        "x": (0.0, 0.6),
+        "y": (0.0, 1.0),
+    }
+
+
+def test_hits_duplicate_edges_and_cycle(spark):
+    from pg_iui_ner_api_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], ["src", "dst"]
+    )
+    got = {r.node: (r.hub, r.authority) for r in hits(e, iters=1).collect()}
+    # dedup: a->b, b->a; a1: a=1, b=1; h1: a=1, b=1 -> all ties at 1.0
+    assert got == {"a": (1.0, 1.0), "b": (1.0, 1.0)}
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """Cross-check the exact-integer max-norm iteration against a numpy
+    replay on a random-ish fixed digraph."""
+    import numpy as np
+
+    from pg_iui_ner_api_spark.operators.graph import hits
+
+    edges = [
+        (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 1), (4, 3), (2, 4),
+    ]
+    n = 5
+    A = np.zeros((n, n), dtype=object)
+    for u, v in edges:
+        A[u, v] = 1
+    h = np.ones(n, dtype=object)
+    for _ in range(3):
+        a = A.T @ h
+        h = A @ a
+    e = spark.createDataFrame(
+        [(f"n{u}", f"n{v}") for u, v in edges], ["src", "dst"]
+    )
+    got = {r.node: (r.hub, r.authority) for r in hits(e, iters=3).collect()}
+    want = {
+        f"n{i}": (
+            round(int(h[i]) / int(max(h)), 6),
+            round(int(a[i]) / int(max(a)), 6),
+        )
+        for i in range(n)
+    }
+    assert got == want

@@ -145,3 +145,52 @@ def test_canonicalize_idempotent_and_ref_exact_on_grid(spark):
     for r in out:
         assert r["c1"] == ref_canon(r["url"]), r["url"]
         assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
+
+
+# ---------------------------------------------------------------------------
+# html_to_text
+# ---------------------------------------------------------------------------
+def _extract(spark, s: str) -> str:
+    from pg_iui_ner_api_spark.functions.web import html_to_text
+
+    df = spark.createDataFrame([(s,)], ["h"])
+    return df.select(html_to_text("h").alias("t")).collect()[0].t
+
+
+def test_html_basic_structure(spark):
+    got = _extract(
+        spark,
+        "<html><body><h1>Title</h1><p>one two</p><p>three</p>"
+        "<br>four<div>five</div></body></html>",
+    )
+    assert got == "Title\none two\nthree\nfour\nfive"
+
+
+def test_html_containers_and_comments_vanish(spark):
+    got = _extract(
+        spark,
+        '<head><style type="text/css">p {color: red}</style>'
+        '<script>var x = "<p>markup in string</p>";</script>'
+        "<noscript>enable js</noscript><!-- a <b> comment --></head>keep",
+    )
+    assert got == "keep"
+
+
+def test_html_entities_decode_one_level(spark):
+    got = _extract(spark, "<p>A &amp; B &lt;x&gt; &quot;q&quot;&nbsp;&#39;s&#39; &amp;lt;raw&amp;gt;</p>")
+    # &amp;lt; decodes exactly one level -> literal &lt; survives
+    assert got == "A & B <x> \"q\" 's' &lt;raw&gt;"
+
+
+def test_html_case_insensitive_tags(spark):
+    got = _extract(spark, "<SCRIPT>x</SCRIPT><P>a</P><BR>b")
+    assert got == "a\nb"
+
+
+def test_html_plain_text_passthrough(spark):
+    assert _extract(spark, "  just   text \n\n here ") == "just text\nhere"
+
+
+def test_html_whitespace_and_empty(spark):
+    assert _extract(spark, "<p></p><div></div>") == ""
+    assert _extract(spark, "") == ""
