@@ -1900,6 +1900,18 @@ def _q_html_extract(spark, sf):
     return d.select("doc_id", html_to_text(page).alias("txt"))
 
 
+def _q_cdc_chunks(spark, sf):
+    """Content-defined chunking (operators/dedup.py::cdc_chunks):
+    token-level Rabin-style boundaries, window=4, modulus=8."""
+    return D.cdc_chunks(_t(spark, sf, "documents"), window=4, modulus=8)
+
+
+def _q_cdc_dups(spark, sf):
+    """Corpus-wide duplicated-chunk report over the CDC chunking
+    (operators/dedup.py::cdc_dup_chunks)."""
+    return D.cdc_dup_chunks(_t(spark, sf, "documents"), window=4, modulus=8)
+
+
 def _q_graph_hits(spark, sf):
     """HITS hubs/authorities (operators/graph.py::hits) over the
     DIRECTED FK triple graph, 2 exact-integer iterations,
@@ -2048,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_audit": _q_dq_audit,
         "html_extract": _q_html_extract,
         "graph_hits": _q_graph_hits,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dups": _q_cdc_dups,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4810,5 +4824,53 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(mx.ma AS DOUBLE), 6)
                     ELSE 0.0 END AS authority
         FROM h2 JOIN a2 ON a2.node = h2.node CROSS JOIN mx
+    """
+    # cdc twin: the identical in-row boundary selection + chunk hashing
+    # replayed with DuckDB list comprehensions (window=4, modulus=8;
+    # list_slice is 1-based inclusive like Spark's slice).
+    _gram_h = _H.format(
+        x="array_to_string(list_slice(toks, i - 3, i), ' ')"
+    )
+    _chunk_h = _H.format(
+        x="array_to_string(list_slice(toks, bounds[j] + 1, bounds[j+1]), ' ')"
+    )
+    _CDC = f"""
+        base AS (
+          SELECT doc_id, {_TOKS.format(x=_NORM.format(x='text'))} AS toks
+          FROM documents
+        ),
+        b2 AS (
+          SELECT doc_id, toks,
+                 list_concat(list_concat([0],
+                   list_filter(range(4, len(toks) + 1),
+                     i -> i < len(toks) AND ({_gram_h}) % 8 = 0)),
+                   [len(toks)]) AS bounds
+          FROM base
+        ),
+        xp AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(bounds)), j ->
+                   {{'ci': j - 1,
+                     'nt': bounds[j+1] - bounds[j],
+                     'ch': {_chunk_h}}})) AS s
+          FROM b2
+        ),
+        chunks AS (
+          SELECT doc_id, s.ci AS chunk_idx,
+                 CAST(s.nt AS INT) AS n_tokens, s.ch AS chunk_hash
+          FROM xp WHERE s.nt > 0
+        )"""
+    sql["cdc_chunks"] = f"""
+        WITH {_CDC}
+        SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, n_tokens,
+               chunk_hash
+        FROM chunks
+    """
+    sql["cdc_dups"] = f"""
+        WITH {_CDC}
+        SELECT chunk_hash, min(n_tokens) AS n_tokens,
+               count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences
+        FROM chunks GROUP BY chunk_hash HAVING count(*) >= 2
     """
     return sql

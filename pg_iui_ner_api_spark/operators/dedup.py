@@ -948,3 +948,105 @@ def leakage_safe_split(
         "cluster_id",
         dataset_split(F.col("cluster_id"), train, dev).alias("split"),
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    window: int = 4,
+    modulus: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking: ``(doc_id, chunk_idx, n_tokens,
+    chunk_hash)`` with chunk boundaries cut where the rolling
+    ``window``-token hash is ``0 (mod modulus)`` — the Rabin-style CDC
+    of LBFS (Muthitacharoen et al., SOSP 2001) over tokens instead of
+    bytes. Expected chunk length ~``modulus`` tokens.
+
+    Why a THIRD dedup granularity: ``dedup_lines`` keys on literal line
+    boundaries and ``repeated_spans`` on fixed k-gram windows; CDC
+    boundaries move WITH the content, so an insertion near the top of a
+    re-crawled page shifts only the chunks it touches — every
+    downstream chunk re-aligns and still hash-matches its twin (the
+    shift-robustness fixed-size chunking structurally lacks).
+
+    Scale shape: tokenization, rolling hashes, boundary selection and
+    chunk hashing are ALL in-row Column algebra behind one projection
+    boundary (the bound ``toks`` column — same CollapseProject contract
+    as ``repeated_spans``); the output explode carries (16-byte hash,
+    two ints) per chunk and the operator itself shuffles nothing. Docs
+    shorter than ``window`` tokens form a single whole-doc chunk; empty
+    docs emit nothing.
+    """
+    if window < 1 or modulus < 1:
+        raise ValueError("window and modulus must be >= 1")
+    toks = F.col("toks")
+    n = F.size(toks)
+    gram = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i - (window - 1), window), " "
+    )
+    # cut AFTER token i when the window ending at i hashes to 0 mod m;
+    # i == n is excluded (the end is always a boundary). sequence()
+    # DESCENDS for n < window — guard to [].
+    cuts = F.when(
+        n >= window,
+        F.filter(
+            F.sequence(F.lit(window), n),
+            lambda i: (portable_hash64(gram(i)) % modulus == 0) & (i < n),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(bounds) - 1),
+        lambda j: F.struct(
+            (j - 1).alias("chunk_idx"),
+            (F.element_at(bounds, j + 1) - F.element_at(bounds, j)).alias(
+                "n_tokens"
+            ),
+            portable_hash64(
+                F.array_join(
+                    F.slice(
+                        toks,
+                        F.element_at(bounds, j) + 1,
+                        F.element_at(bounds, j + 1) - F.element_at(bounds, j),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        ),
+    )
+    return (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            tokens(normalize_ws(F.col(text_col))).alias("toks"),
+        )
+        .select("doc_id", F.explode(pairs).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_hash")
+        .where(F.col("n_tokens") > 0)
+    )
+
+
+def cdc_dup_chunks(
+    docs: DataFrame,
+    window: int = 4,
+    modulus: int = 8,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide duplicated-chunk report over :func:`cdc_chunks`:
+    ``(chunk_hash, n_tokens, n_docs, n_occurrences)`` for chunks seen
+    >= ``min_occurrences`` times. ONE partial-aggregable shuffle keyed
+    by the 8-byte chunk hash — chunk text never moves; callers scrub or
+    weight by re-deriving chunks per doc (same in-row algebra)."""
+    chunks = cdc_chunks(docs, window, modulus, id_col, text_col)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.min("n_tokens").alias("n_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
+    )

@@ -581,3 +581,78 @@ def test_leakage_safe_split_stable_under_append(spark):
           for r in leakage_safe_split(big, num_hashes=8, bands=4).collect()}
     # unclustered docs keep their split when the corpus grows
     assert all(s2[d] == s for d, s in s1.items())
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+# ---------------------------------------------------------------------------
+def _chunks(spark, rows, **kw):
+    from pg_iui_ner_api_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_hash)
+        for r in cdc_chunks(df, **kw).collect()
+    )
+
+
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def test_cdc_chunks_tile_the_document(spark):
+    text = " ".join(WORDS * 3)
+    got = _chunks(spark, [("d", text)], window=3, modulus=4)
+    assert sum(c[2] for c in got) == len(WORDS) * 3
+    assert [c[1] for c in got] == list(range(len(got)))
+    assert all(c[2] >= 1 for c in got)
+
+
+def test_cdc_shift_robust(spark):
+    """Prepending tokens must leave the tail chunks hash-identical —
+    the property fixed-size chunking lacks."""
+    base = " ".join(WORDS * 4)
+    shifted = "inserted junk tokens " + base
+    a = _chunks(spark, [("a", base)], window=3, modulus=4)
+    b = _chunks(spark, [("b", shifted)], window=3, modulus=4)
+    tail_a = {c[3] for c in a}
+    tail_b = {c[3] for c in b}
+    shared = tail_a & tail_b
+    # all but the first boundary-disturbed chunk(s) re-align
+    assert len(shared) >= len(tail_a) - 2
+    assert shared  # non-vacuous
+
+
+def test_cdc_short_and_empty_docs(spark):
+    got = _chunks(spark, [("s", "one two"), ("e", ""), ("w", "   ")],
+                  window=4, modulus=4)
+    # short doc -> one whole-doc chunk; empty/whitespace -> nothing
+    assert [c[0] for c in got] == ["s"]
+    assert got[0][1:3] == (0, 2)
+
+
+def test_cdc_dup_report(spark):
+    from pg_iui_ner_api_spark.operators.dedup import cdc_dup_chunks
+
+    text = " ".join(WORDS * 3)
+    df = spark.createDataFrame(
+        [("a", text), ("b", text), ("c", "totally different words here")],
+        ["doc_id", "text"],
+    )
+    rep = {r.chunk_hash: (r.n_docs, r.n_occurrences)
+           for r in cdc_dup_chunks(df, window=3, modulus=4).collect()}
+    a_hashes = {c[3] for c in _chunks(spark, [("a", text)],
+                                      window=3, modulus=4)}
+    # every chunk of the duplicated doc pair is reported with n_docs=2
+    assert set(rep) >= a_hashes
+    assert all(rep[h][0] == 2 for h in a_hashes)
+
+
+def test_cdc_validation(spark):
+    from pg_iui_ner_api_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame([("a", "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        cdc_chunks(df, window=0)
+    with pytest.raises(ValueError):
+        cdc_chunks(df, modulus=0)
