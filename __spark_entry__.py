@@ -1845,11 +1845,16 @@ def _q_kg_rules_pred(spark, sf):
     from pg_iui_ner_api_spark.operators.rules import (
         mine_path_rules, predict_edges)
 
-    t = _kg_triples(spark, sf)
+    from pg_iui_ner_api_spark.operators.rules import prepare_triples
+
+    t = prepare_triples(_kg_triples(spark, sf))
     rules = mine_path_rules(
-        t, min_support=100, min_conf=0.02, max_mid_degree=_RULES_CAP
+        t, min_support=100, min_conf=0.02, max_mid_degree=_RULES_CAP,
+        prepared=True,
     )
-    pred = predict_edges(t, rules, min_conf=0.05, max_mid_degree=_RULES_CAP)
+    pred = predict_edges(
+        t, rules, min_conf=0.05, max_mid_degree=_RULES_CAP, prepared=True
+    )
     # registered form: deterministic top-1000 (full sort key) — the raw
     # prediction set is ~1M rows at sf0.01, far too big to collect
     return pred.orderBy(
@@ -4638,14 +4643,17 @@ def oracle_sql() -> dict[str, str]:
         {_TRIP},
         okz AS (SELECT node FROM deg WHERE degree <= 2000),
         body AS (
-          SELECT DISTINCT a.p AS p1, b.p AS p2, a.s AS x, b.o AS y
+          SELECT DISTINCT a.p AS p1, b.p AS p2,
+                 {_H.format(x='a.s')} AS xh, {_H.format(x='b.o')} AS yh
           FROM trip a JOIN trip b ON a.o = b.s
           JOIN okz ON a.o = okz.node
         ),
         nb AS (SELECT p1, p2, count(*) AS n_body FROM body GROUP BY 1, 2),
         sup AS (
           SELECT body.p1, body.p2, h.p AS head, count(*) AS support
-          FROM body JOIN trip h ON body.x = h.s AND body.y = h.o
+          FROM body JOIN trip h
+            ON body.xh = {_H.format(x='h.s')}
+           AND body.yh = {_H.format(x='h.o')}
           GROUP BY 1, 2, 3
         ),
         nh AS (SELECT p AS head, count(*) AS n_head FROM trip GROUP BY 1),

@@ -285,6 +285,15 @@ def _headline(spark) -> dict[str, float]:
         # capped inverted index, exact-stats grouped OLS
         "url_dedup", "mad_outliers", "tfidf_keywords", "inverted_index",
         "grouped_ols", "collocations", "component_stats", "corpus_report",
+        # r4 session 2: AMIE rule mining, declarative DQ audit, HTML
+        # extraction, exact-integer HITS, CDC dedup. kg_rules is the
+        # most expensive registered op (~40 s at sf0.1): the FK graph's
+        # ~30 suppliers/part makes the 2-hop body enumeration ~20M
+        # grounded paths — the honest cost of exact rule mining on a
+        # dense bipartite region. kg_rules_pred (mine + predict) stays
+        # out of the picks: it re-runs the same dominant joins.
+        "kg_rules", "dq_audit", "html_extract",
+        "graph_hits", "cdc_chunks", "cdc_dups",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

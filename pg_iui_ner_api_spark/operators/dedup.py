@@ -995,7 +995,13 @@ def cdc_chunks(
             lambda i: (portable_hash64(gram(i)) % modulus == 0) & (i < n),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    bounds = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    bounds_expr = F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    # bound column, NOT inline: `pairs` references bounds 3x per chunk,
+    # and an inline expression would re-hash every window per reference
+    # (the repeated_spans O(len*k) trap — measured 11 s -> 1.8 s at
+    # sf0.1). CollapseProject keeps the boundary: non-cheap alias,
+    # multiply referenced.
+    bounds = F.col("bounds")
     pairs = F.transform(
         F.sequence(F.lit(1), F.size(bounds) - 1),
         lambda j: F.struct(
@@ -1021,6 +1027,7 @@ def cdc_chunks(
             F.col(id_col).alias("doc_id"),
             tokens(normalize_ws(F.col(text_col))).alias("toks"),
         )
+        .select("doc_id", "toks", bounds_expr.alias("bounds"))
         .select("doc_id", F.explode(pairs).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_hash")
         .where(F.col("n_tokens") > 0)

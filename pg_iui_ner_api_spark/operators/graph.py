@@ -1355,30 +1355,35 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    zero = F.lit(0).cast("decimal(38,0)")
+    # node scores stay SPARSE during iteration: a node missing from a
+    # vector holds 0 and contributes nothing through the inner join, so
+    # the per-half-step nodes left-join (2 joins/iteration) is deferred
+    # to the single final projection. Only h is checkpointed per round
+    # (a feeds h immediately); edges stay put, the score vectors ride
+    # the joins — the pagerank shuffle contract.
     h = nodes.select("node", F.lit(1).cast("decimal(38,0)").alias("s"))
     a = None
     for _ in range(iters):
-        a_in = (
+        a = (
             e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("s").alias("v"))
+            .agg(F.sum("s").alias("s"))
         )
-        a = nodes.join(a_in, "node", "left").select(
-            "node", F.coalesce("v", zero).alias("s")
-        ).localCheckpoint()
-        h_out = (
+        h = (
             e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("s").alias("v"))
-        )
-        h = nodes.join(h_out, "node", "left").select(
-            "node", F.coalesce("v", zero).alias("s")
+            .agg(F.sum("s").alias("s"))
         ).localCheckpoint()
     mx = h.agg(F.max("s").alias("mh")).crossJoin(a.agg(F.max("s").alias("ma")))
+    zero = F.lit(0).cast("decimal(38,0)")
     joined = (
-        h.withColumnRenamed("s", "hs")
-        .join(a.withColumnRenamed("s", "as_"), "node")
+        nodes.join(h.withColumnRenamed("s", "hs"), "node", "left")
+        .join(a.withColumnRenamed("s", "as_"), "node", "left")
+        .select(
+            "node",
+            F.coalesce("hs", zero).alias("hs"),
+            F.coalesce("as_", zero).alias("as_"),
+        )
         .crossJoin(F.broadcast(mx))
     )
     norm = lambda v, m: F.when(  # noqa: E731

@@ -54,6 +54,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.text import portable_hash64
+
 
 def _distinct_triples(
     triples: DataFrame, s_col: str, p_col: str, o_col: str
@@ -73,6 +75,19 @@ def _mid_degrees(t: DataFrame) -> DataFrame:
     return ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
 
 
+def prepare_triples(
+    triples: DataFrame,
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+) -> DataFrame:
+    """Distinct ``(s, p, o)`` triple table, checkpointed. Build ONCE
+    and pass to :func:`mine_path_rules` / :func:`predict_edges` with
+    ``prepared=True`` when running both — sharing the scan + distinct
+    halves the dominant cost of a mine-then-predict pipeline."""
+    return _distinct_triples(triples, s_col, p_col, o_col).localCheckpoint()
+
+
 def mine_path_rules(
     triples: DataFrame,
     min_support: int = 2,
@@ -81,6 +96,7 @@ def mine_path_rules(
     s_col: str = "subj",
     p_col: str = "pred",
     o_col: str = "obj",
+    prepared: bool = False,
 ) -> DataFrame:
     """Mine 2-atom path rules ``p1(x,z) AND p2(z,y) => head(x,y)``.
 
@@ -95,8 +111,20 @@ def mine_path_rules(
     :func:`rule_mid_dropped`). n_body shrinks consistently with the
     capped path enumeration, so confidence stays a true ratio of the
     mined (capped) body universe.
+
+    Counting internals run on 64-bit md5 hashes of the (x, y) entity
+    pair, not the id strings — the body distinct is the dominant
+    shuffle (tens of millions of rows on a dense graph region) and only
+    ever feeds COUNTS, so the wire carries (p1, p2, 8B, 8B). Hash
+    collisions (~2^-60 per pair) are accepted and identical in the
+    DuckDB oracle, which replays the same hash — the repeated_spans
+    contract.
     """
-    t = _distinct_triples(triples, s_col, p_col, o_col).localCheckpoint()
+    t = (
+        triples
+        if prepared
+        else _distinct_triples(triples, s_col, p_col, o_col).localCheckpoint()
+    )
 
     right = t.select(
         F.col("s").alias("z"), F.col("p").alias("p2"), F.col("o").alias("y")
@@ -111,22 +139,29 @@ def mine_path_rules(
     )
 
     # grounded paths -> distinct body pairs: THE big shuffle, keyed
-    # (p1, p2, x, y); partial-aggregable, ids only
+    # (p1, p2, xh, yh); partial-aggregable, hashes only
     body = (
         left.join(right, "z")
-        .select("p1", "p2", "x", "y")
+        .select(
+            "p1",
+            "p2",
+            portable_hash64(F.col("x")).alias("xh"),
+            portable_hash64(F.col("y")).alias("yh"),
+        )
         .distinct()
         .localCheckpoint()  # consumed by n_body AND the support probe
     )
     n_body = body.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_body"))
 
     # support: body pairs that are also asserted head triples — inner
-    # join on (x, y), co-partitioned with the distinct above
+    # join on the hash pair, co-partitioned with the distinct above
     head = t.select(
-        F.col("s").alias("x"), F.col("p").alias("head"), F.col("o").alias("y")
+        portable_hash64(F.col("s")).alias("xh"),
+        F.col("p").alias("head"),
+        portable_hash64(F.col("o")).alias("yh"),
     )
     support = (
-        body.join(head, ["x", "y"])
+        body.join(head, ["xh", "yh"])
         .groupBy("p1", "p2", "head")
         .agg(F.count(F.lit(1)).alias("support"))
     )
@@ -181,6 +216,7 @@ def predict_edges(
     s_col: str = "subj",
     p_col: str = "pred",
     o_col: str = "obj",
+    prepared: bool = False,
 ) -> DataFrame:
     """KG completion: apply mined rules back to the graph and emit the
     head triples they predict but the KG does not assert —
@@ -189,8 +225,16 @@ def predict_edges(
     candidate facts). The anti-join against the asserted triple set is
     what makes these *new* edges; a 100 TB run feeds them to human /
     model verification, not straight back into the KG.
+
+    Grounding keeps the real id STRINGS (the predictions are the
+    output), unlike the mining counts — so the broadcast rule join is
+    what prunes the path fan before the max-aggregation.
     """
-    t = _distinct_triples(triples, s_col, p_col, o_col).localCheckpoint()
+    t = (
+        triples
+        if prepared
+        else _distinct_triples(triples, s_col, p_col, o_col).localCheckpoint()
+    )
     right = t.select(
         F.col("s").alias("z"), F.col("p").alias("p2"), F.col("o").alias("y")
     )

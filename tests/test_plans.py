@@ -486,3 +486,52 @@ def test_url_canonicalization_stays_jvm_side(spark):
     plan = _plan(df.select(canonicalize_url("url").alias("c")))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cdc_chunks_is_map_only_jvm(spark, tmp_path):
+    """CDC chunking must add ZERO exchanges (pure in-row algebra until
+    the caller aggregates) and contain no Python."""
+    from pg_iui_ner_api_spark.operators.dedup import cdc_chunks
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a b c d e f g h")], ["doc_id", "text"]
+    ).write.parquet(p)
+    plan = _plan(cdc_chunks(spark.read.parquet(p)))
+    # the only allowed exchange is spread()'s round-robin parallelism
+    # fan-out — never a KEYED shuffle (nothing groups/joins in-operator)
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan
+    assert "Python" not in plan
+    # the bounds projection boundary survived CollapseProject (else the
+    # per-chunk element_at references re-hash every window)
+    assert "AS bounds" in plan
+
+
+def test_hits_shuffles_scores_not_edges(spark):
+    """The HITS output plan must be Python-free, and its per-step joins
+    must consume the checkpointed edge table (edges never re-derive
+    through the iteration)."""
+    from pg_iui_ner_api_spark.operators.graph import hits
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    plan = _plan(hits(e, iters=2))
+    assert "Python" not in plan
+    # every edge consumer is the one materialized checkpoint scan
+    assert "Scan ExistingRDD" in plan
+
+
+def test_rule_mining_plan_jvm_only(spark):
+    from pg_iui_ner_api_spark.operators.rules import mine_path_rules
+
+    t = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("a", "h", "c")],
+        ["subj", "pred", "obj"],
+    )
+    plan = _plan(mine_path_rules(t, min_support=1, min_conf=0.0))
+    assert "Python" not in plan
+    # body distinct shuffles the hashed pair key, never raw entity ids:
+    # the aggregate output carries xh/yh longs
+    assert "xh" in plan and "yh" in plan
