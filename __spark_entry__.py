@@ -1905,6 +1905,28 @@ def _q_html_extract(spark, sf):
     return d.select("doc_id", html_to_text(page).alias("txt"))
 
 
+def _q_jl_project(spark, sf):
+    """Johnson-Lindenstrauss ±1 sign projection 64 -> 8 dims
+    (operators/ann.py::jl_project): plan-literal sign matrix, explicit
+    left-associated double sums, map-only."""
+    return ANN.jl_project(
+        _t(spark, sf, "embeddings"), in_dim=64, out_dim=8
+    )
+
+
+def _q_kg_paths(spark, sf):
+    """Labeled simple paths (operators/graph.py::labeled_paths) from
+    every customer entity through the FK triple graph, up to 3 hops —
+    the meta-path enumeration behind path-ranking features."""
+    t = _kg_triples(spark, sf)
+    starts = (
+        t.select(F.col("subj").alias("node"))
+        .where(F.col("node").startswith("c:"))
+        .distinct()
+    )
+    return GR.labeled_paths(t, starts, max_hops=3)
+
+
 def _q_cdc_chunks(spark, sf):
     """Content-defined chunking (operators/dedup.py::cdc_chunks):
     token-level Rabin-style boundaries, window=4, modulus=8."""
@@ -2067,6 +2089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": _q_graph_hits,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_dups": _q_cdc_dups,
+        "kg_paths": _q_kg_paths,
+        "jl_project": _q_jl_project,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4881,4 +4905,43 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_occurrences
         FROM chunks GROUP BY chunk_hash HAVING count(*) >= 2
     """
+    # kg_paths twin: the frontier iteration as a recursive CTE with the
+    # same simple-path (visited-list) pruning; duplicate
+    # (start, end, path) rows are distinct evidence and the
+    # order-insensitive hash counts multiplicity on both sides.
+    sql["kg_paths"] = f"""
+        WITH RECURSIVE {_TRIP},
+        walk AS (
+          SELECT n AS start, n AS end_node, CAST('' AS VARCHAR) AS path,
+                 [n] AS visited, 0 AS hops
+          FROM (SELECT DISTINCT s AS n FROM trip WHERE s LIKE 'c:%')
+          UNION ALL
+          SELECT w.start, t.o,
+                 CASE WHEN w.path = '' THEN t.p
+                      ELSE w.path || '/' || t.p END,
+                 list_append(w.visited, t.o), w.hops + 1
+          FROM walk w JOIN trip t ON w.end_node = t.s
+          WHERE w.hops < 3 AND NOT list_contains(w.visited, t.o)
+        )
+        SELECT start, end_node, hops, path FROM walk WHERE hops >= 1
+    """
+    # jl_project twin: the IDENTICAL sign matrix (same pure md5
+    # derivation) and the IDENTICAL left-associated arithmetic tree —
+    # a + (-b) is bitwise a - b in IEEE, and the scale constant inlines
+    # via repr (the bm25 bit-identical-float contract).
+    from pg_iui_ner_api_spark.operators.ann import jl_signs
+
+    _signs = jl_signs(64, 8, 42)
+    _scale = repr(1.0 / (8 ** 0.5))
+    _jl_comps = []
+    for _j in range(8):
+        _terms = "0.0" + "".join(
+            f" {'+' if s == 1 else '-'} CAST(embedding[{_i + 1}] AS DOUBLE)"
+            for _i, s in enumerate(_signs[_j])
+        )
+        _jl_comps.append(f"round(({_terms}) * {_scale}, 6)")
+    sql["jl_project"] = (
+        f"SELECT vec_id, [{', '.join(_jl_comps)}] AS projected "
+        "FROM embeddings"
+    )
     return sql

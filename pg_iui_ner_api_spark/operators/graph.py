@@ -1393,3 +1393,68 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     return joined.select(
         "node", norm("hs", "mh").alias("hub"), norm("as_", "ma").alias("authority")
     )
+
+
+def labeled_paths(
+    triples: DataFrame,
+    start_nodes: DataFrame,
+    max_hops: int = 3,
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+) -> DataFrame:
+    """Enumerate labeled simple paths from ``start_nodes`` (one ``node``
+    column) through the directed triple graph: ``(start, end_node,
+    hops, path)`` for every 1..max_hops-step walk that never revisits a
+    node; ``path`` is the '/'-joined predicate sequence (e.g.
+    ``placed_by/in_nation``). The KG query behind "how are these two
+    entities related": khop answers WHETHER within k, this answers HOW,
+    with the relation chain as a first-class value (meta-paths — the
+    unit of path-ranking features and of rule-mining evidence).
+
+    Scale shape: frontier-at-a-time like khop — each hop is ONE join of
+    the current frontier against the edge table (checkpointed once);
+    the frontier carries (start, end, path-string, visited-array) and
+    edges never re-derive. Simple-path pruning (the visited array)
+    bounds depth blow-up on cycles, but fan-out is inherently
+    prod(out-degree) along the chain: choose start sets / max_hops the
+    way :func:`cooccurrence_edges` chooses caps — this operator is for
+    dimension-sized start sets (an entity page, a cohort), not
+    all-pairs. Duplicate (start, end, path) rows are REAL distinct
+    evidence (different intermediate entities) and are preserved.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    ).distinct().localCheckpoint()
+    frontier = start_nodes.select(
+        F.col("node").alias("start"),
+        F.col("node").alias("end_node"),
+        F.lit("").alias("path"),
+        F.array(F.col("node")).alias("visited"),
+    )
+    outs = []
+    for hop in range(1, max_hops + 1):
+        stepped = (
+            frontier.join(t, frontier.end_node == t.s)
+            .where(~F.array_contains(F.col("visited"), F.col("o")))
+            .select(
+                "start",
+                F.col("o").alias("end_node"),
+                F.when(F.col("path") == "", F.col("p"))
+                .otherwise(F.concat_ws("/", "path", "p"))
+                .alias("path"),
+                F.concat("visited", F.array(F.col("o"))).alias("visited"),
+            )
+        )
+        frontier = stepped.localCheckpoint() if hop < max_hops else stepped
+        outs.append(
+            frontier.select(
+                "start", "end_node", F.lit(hop).alias("hops"), "path"
+            )
+        )
+    out = outs[0]
+    for o_ in outs[1:]:
+        out = out.unionAll(o_)
+    return out

@@ -113,3 +113,54 @@ def test_train_centroids_unit_norm_and_stable(spark):
     # deterministic: same input -> same centroids
     again = A.train_centroids(df, DIM, ncells=4, iters=2)
     assert cents == again
+
+
+# ---------------------------------------------------------------------------
+# JL projection
+# ---------------------------------------------------------------------------
+def test_jl_project_matches_numpy_and_preserves_distances(spark, sf_dir):
+    import numpy as np
+
+    from pg_iui_ner_api_spark.operators.ann import jl_project, jl_signs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    rows = embs.collect()
+    got = {
+        r.vec_id: np.array(r.projected)
+        for r in jl_project(embs, in_dim=64, out_dim=16).collect()
+    }
+    R = np.array(jl_signs(64, 16, 42), dtype=np.float64)  # (out, in)
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    scale = 1.0 / np.sqrt(16.0)
+    for vid, x in X.items():
+        want = np.round(R @ x * scale, 6)
+        assert np.allclose(got[vid], want, atol=1e-6), vid
+    # pairwise distance preservation: the point of JL. With out_dim=16
+    # the distortion concentrates; assert a loose 2x band (sign
+    # projections satisfy the JL lemma in expectation).
+    ids = sorted(X)[:15]
+    ratios = []
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d0 = np.linalg.norm(X[ids[a]] - X[ids[b]])
+            d1 = np.linalg.norm(got[ids[a]] - got[ids[b]])
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    assert 0.5 < ratios.mean() < 2.0
+    assert (ratios > 0.2).all() and (ratios < 5.0).all()
+
+
+def test_jl_project_deterministic_and_validated(spark, sf_dir):
+    from pg_iui_ner_api_spark.operators.ann import jl_project, jl_signs
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(5)
+    a = jl_project(embs, in_dim=64, out_dim=4).collect()
+    b = jl_project(embs, in_dim=64, out_dim=4).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    # seed changes the matrix
+    assert jl_signs(8, 2, 1) != jl_signs(8, 2, 2)
+    with pytest.raises(ValueError):
+        jl_project(embs, in_dim=0)
+    with pytest.raises(ValueError):
+        jl_project(embs, in_dim=64, out_dim=0)

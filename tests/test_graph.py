@@ -1024,3 +1024,70 @@ def test_hits_matches_numpy_power_iteration(spark):
         for i in range(n)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# labeled paths
+# ---------------------------------------------------------------------------
+def test_labeled_paths_hand_graph(spark):
+    from pg_iui_ner_api_spark.operators.graph import labeled_paths
+
+    t = spark.createDataFrame(
+        [
+            ("a", "p", "b"),
+            ("b", "q", "c"),
+            ("b", "q", "d"),
+            ("c", "r", "a"),   # cycle back to start
+            ("a", "x", "c"),   # second route a->c
+        ],
+        ["subj", "pred", "obj"],
+    )
+    starts = spark.createDataFrame([("a",)], ["node"])
+    got = sorted(
+        (r.start, r.end_node, r.hops, r.path)
+        for r in labeled_paths(t, starts, max_hops=3).collect()
+    )
+    # hop 1: a->b, a->c; hop 2: b->c, b->d; hop 3: nothing — c's only
+    # edge returns to the visited start and d has no out-edges
+    assert got == sorted([
+        ("a", "b", 1, "p"),
+        ("a", "c", 1, "x"),
+        ("a", "c", 2, "p/q"),
+        ("a", "d", 2, "p/q"),
+    ])
+
+
+def test_labeled_paths_simple_path_pruning_and_multiplicity(spark):
+    from pg_iui_ner_api_spark.operators.graph import labeled_paths
+
+    t = spark.createDataFrame(
+        [
+            ("a", "p", "m1"),
+            ("a", "p", "m2"),
+            ("m1", "q", "z"),
+            ("m2", "q", "z"),
+            ("z", "r", "a"),  # cycle: must be pruned as a revisit
+        ],
+        ["subj", "pred", "obj"],
+    )
+    starts = spark.createDataFrame([("a",)], ["node"])
+    rows = [
+        (r.start, r.end_node, r.hops, r.path)
+        for r in labeled_paths(t, starts, max_hops=4).collect()
+    ]
+    # two DISTINCT pieces of evidence for a -p/q-> z (via m1 and m2):
+    # multiplicity preserved
+    assert rows.count(("a", "z", 2, "p/q")) == 2
+    # the z->a edge never produces a path ending back at a
+    assert not [r for r in rows if r[1] == "a"]
+    # but z's onward step to... nothing else: max path length is 2
+    assert max(r[2] for r in rows) == 2
+
+
+def test_labeled_paths_validation(spark):
+    from pg_iui_ner_api_spark.operators.graph import labeled_paths
+
+    t = spark.createDataFrame([("a", "p", "b")], ["subj", "pred", "obj"])
+    starts = spark.createDataFrame([("a",)], ["node"])
+    with pytest.raises(ValueError):
+        labeled_paths(t, starts, max_hops=0)
