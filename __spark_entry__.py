@@ -1905,6 +1905,15 @@ def _q_html_extract(spark, sf):
     return d.select("doc_id", html_to_text(page).alias("txt"))
 
 
+def _q_kg_schema(spark, sf):
+    """Type-level schema induction (operators/rules.py::
+    schema_induction): one row per observed (domain, predicate, range)
+    with usage + distinct-entity counts."""
+    from pg_iui_ner_api_spark.operators.rules import schema_induction
+
+    return schema_induction(_kg_triples(spark, sf))
+
+
 def _q_jl_project(spark, sf):
     """Johnson-Lindenstrauss ±1 sign projection 64 -> 8 dims
     (operators/ann.py::jl_project): plan-literal sign matrix, explicit
@@ -2091,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dups": _q_cdc_dups,
         "kg_paths": _q_kg_paths,
         "jl_project": _q_jl_project,
+        "kg_schema": _q_kg_schema,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -4944,4 +4954,14 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT vec_id, [{', '.join(_jl_comps)}] AS projected "
         "FROM embeddings"
     )
+    # kg_schema twin: namespace-prefix types + one grouped aggregate
+    sql["kg_schema"] = f"""
+        WITH {_TRIP}
+        SELECT split_part(s, ':', 1) AS subj_type, p AS pred,
+               split_part(o, ':', 1) AS obj_type,
+               count(*) AS n_triples,
+               count(DISTINCT s) AS n_subjects,
+               count(DISTINCT o) AS n_objects
+        FROM trip GROUP BY 1, 2, 3
+    """
     return sql

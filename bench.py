@@ -294,9 +294,9 @@ def _headline(spark) -> dict[str, float]:
         # out of the picks: it re-runs the same dominant joins.
         "kg_rules", "dq_audit", "html_extract",
         "graph_hits", "cdc_chunks", "cdc_dups",
-        # r4 session 2 (cont.): labeled meta-path enumeration + JL
-        # sign-projection dimensionality reduction
-        "kg_paths", "jl_project",
+        # r4 session 2 (cont.): labeled meta-path enumeration, JL
+        # sign-projection dimensionality reduction, schema induction
+        "kg_paths", "jl_project", "kg_schema",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

@@ -267,3 +267,45 @@ def predict_edges(
         F.col("o").alias(o_col),
         "confidence",
     )
+
+
+def schema_induction(
+    triples: DataFrame,
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    type_sep: str = ":",
+) -> DataFrame:
+    """Induce the KG's type-level schema graph: ``(subj_type, pred,
+    obj_type, n_triples, n_subjects, n_objects)`` — one row per observed
+    (domain, predicate, range) combination, with usage counts and
+    per-side distinct-entity counts. Entity types are the id namespace
+    prefix (the engine's ids are ``TYPE:name`` — pipeline output and the
+    FK-derived corpus alike).
+
+    This is the ontology-usage summary KG curation gates on: a predicate
+    spanning two domain types is either polymorphism or a linking bug
+    (the type-level twin of ``fusion.functional_violations``), and the
+    counts feed rule-mining priors. ONE partial-aggregable groupBy on
+    (type, pred, type) — vocabulary-sized output regardless of corpus
+    size; distinct-entity counts ride the same shuffle as count
+    distincts.
+    """
+    t = _distinct_triples(triples, s_col, p_col, o_col)
+    styp = F.split(F.col("s"), type_sep).getItem(0)
+    otyp = F.split(F.col("o"), type_sep).getItem(0)
+    return (
+        t.select(
+            styp.alias("subj_type"),
+            F.col("p").alias("pred"),
+            otyp.alias("obj_type"),
+            "s",
+            "o",
+        )
+        .groupBy("subj_type", "pred", "obj_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_triples"),
+            F.countDistinct("s").alias("n_subjects"),
+            F.countDistinct("o").alias("n_objects"),
+        )
+    )

@@ -189,3 +189,29 @@ def test_custom_columns(spark):
         o_col="t",
     )
     assert pred.columns == ["s", "rel", "t", "confidence"]
+
+
+def test_schema_induction(spark):
+    from pg_iui_ner_api_spark.operators.rules import schema_induction
+
+    t = spark.createDataFrame(
+        [
+            ("PER:a", "works_for", "ORG:x"),
+            ("PER:a", "works_for", "ORG:x"),  # dup collapses
+            ("PER:b", "works_for", "ORG:x"),
+            ("PER:b", "works_for", "LOC:q"),  # polymorphic range
+            ("ORG:x", "located_in", "LOC:q"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = {
+        (r.subj_type, r.pred, r.obj_type): (
+            r.n_triples, r.n_subjects, r.n_objects
+        )
+        for r in schema_induction(t).collect()
+    }
+    assert got == {
+        ("PER", "works_for", "ORG"): (2, 2, 1),
+        ("PER", "works_for", "LOC"): (1, 1, 1),
+        ("ORG", "located_in", "LOC"): (1, 1, 1),
+    }
