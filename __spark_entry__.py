@@ -1004,6 +1004,23 @@ def _q_kg_nodes(spark, sf):
     return res["nodes"]
 
 
+def _q_kg_distant_pairs(spark, sf):
+    """Distant-supervision relation-classifier training pairs
+    (operators/distant.py::distant_pairs) over the synth pipeline's own
+    KG — positives labeled by asserted predicates, co-occurring
+    unrelated pairs as NA; golden-pinned rows-only."""
+    from pg_iui_ner_api_spark.operators import ner as N
+    from pg_iui_ner_api_spark.operators.distant import distant_pairs
+
+    docs = synth.synth_documents(spark, _KG_DOCS, partitions=8)
+    res = run_kg_pipeline(spark, docs)
+    return distant_pairs(
+        res["linked_mentions"],
+        res["edges"],
+        ctx_source=N.mentions_of(res["extraction"]),
+    )
+
+
 def _q_kg_edges_canonical(spark, sf):
     """Referentially-closed edge view: subj/obj rewritten to component
     representatives (operators/components.py::canonical_edges), so
@@ -2157,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
         "kg_edges_canonical": _q_kg_edges_canonical,
+        "kg_distant_pairs": _q_kg_distant_pairs,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
     }

@@ -40,6 +40,7 @@ GOLDEN_PATH = os.path.join(
 # every query the driver records as rows-only (err: no_oracle)
 GOLDEN_QUERIES = (
     "kg_mentions", "kg_edges", "kg_nodes", "kg_edges_canonical",
+    "kg_distant_pairs",
     "media_features", "media_resize",
     "ann_ivf", "ann_ivf_trained", "ann_pq",
     "bpe_merges", "bpe_token_count",
