@@ -1879,6 +1879,18 @@ def _q_kg_rules_pred(spark, sf):
     ).limit(1000)
 
 
+def _q_kg_rules_approx(spark, sf):
+    """Sampled-confidence rule mining (pair_sample_mod=4): the AMIE+-
+    style scale lever — the body shuffle shrinks 4x and confidence is
+    exact over a deterministic 1/4 pair sample."""
+    from pg_iui_ner_api_spark.operators.rules import mine_path_rules
+
+    return mine_path_rules(
+        _kg_triples(spark, sf), min_support=25, min_conf=0.02,
+        max_mid_degree=_RULES_CAP, pair_sample_mod=4,
+    )
+
+
 def _q_kg_rules_dropped(spark, sf):
     """The never-silent cap report for rule mining at a cap low enough
     to trigger on this corpus (300): (node, degree) of every entity
@@ -2110,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rules": _q_kg_rules,
         "kg_rules_pred": _q_kg_rules_pred,
         "kg_rules_dropped": _q_kg_rules_dropped,
+        "kg_rules_approx": _q_kg_rules_approx,
         "dq_audit": _q_dq_audit,
         "html_extract": _q_html_extract,
         "graph_hits": _q_graph_hits,
@@ -4695,10 +4708,12 @@ def oracle_sql() -> dict[str, str]:
         {_TRIP},
         okz AS (SELECT node FROM deg WHERE degree <= 2000),
         body AS (
-          SELECT DISTINCT a.p AS p1, b.p AS p2,
-                 {_H.format(x='a.s')} AS xh, {_H.format(x='b.o')} AS yh
-          FROM trip a JOIN trip b ON a.o = b.s
-          JOIN okz ON a.o = okz.node
+          SELECT DISTINCT * FROM (
+            SELECT a.p AS p1, b.p AS p2,
+                   {_H.format(x='a.s')} AS xh, {_H.format(x='b.o')} AS yh
+            FROM trip a JOIN trip b ON a.o = b.s
+            JOIN okz ON a.o = okz.node
+          ) {{bodyfilter}}
         ),
         nb AS (SELECT p1, p2, count(*) AS n_body FROM body GROUP BY 1, 2),
         sup AS (
@@ -4719,16 +4734,25 @@ def oracle_sql() -> dict[str, str]:
           FROM sup
           JOIN nb ON nb.p1 = sup.p1 AND nb.p2 = sup.p2
           JOIN nh ON nh.head = sup.head
-          WHERE sup.support >= 100
+          WHERE sup.support >= {{minsup}}
         )"""
     sql["kg_rules"] = f"""
-        WITH {_RULECHAIN}
+        WITH {_RULECHAIN.format(bodyfilter='', minsup=100)}
+        SELECT p1, p2, head, support, n_body, n_head, confidence,
+               head_coverage
+        FROM rules WHERE confidence >= 0.02
+    """
+    # approx variant: 1/4 deterministic pair sample (AMIE+-style), same
+    # chain with the portable hash-bucket filter and scaled min_support
+    sql["kg_rules_approx"] = f"""
+        WITH {_RULECHAIN.format(
+            bodyfilter='WHERE ((xh % 4) + (yh % 4)) % 4 = 0', minsup=25)}
         SELECT p1, p2, head, support, n_body, n_head, confidence,
                head_coverage
         FROM rules WHERE confidence >= 0.02
     """
     sql["kg_rules_pred"] = f"""
-        WITH {_RULECHAIN},
+        WITH {_RULECHAIN.format(bodyfilter='', minsup=100)},
         r AS (SELECT p1, p2, head, confidence FROM rules
               WHERE confidence >= 0.05),
         pred AS (

@@ -97,6 +97,7 @@ def mine_path_rules(
     p_col: str = "pred",
     o_col: str = "obj",
     prepared: bool = False,
+    pair_sample_mod: int | None = None,
 ) -> DataFrame:
     """Mine 2-atom path rules ``p1(x,z) AND p2(z,y) => head(x,y)``.
 
@@ -119,6 +120,15 @@ def mine_path_rules(
     collisions (~2^-60 per pair) are accepted and identical in the
     DuckDB oracle, which replays the same hash — the repeated_spans
     contract.
+
+    ``pair_sample_mod=k`` is the second scale lever (AMIE+'s
+    approximate-confidence idea made deterministic): keep only body
+    pairs whose (xh, yh) hash lands in the 1/k bucket, BEFORE the
+    distinct — the dominant shuffle shrinks k-fold. support and n_body
+    restrict to the SAME sampled pair universe (membership is a pure
+    function of the pair), so confidence is the exact confidence of an
+    unbiased 1/k pair sample; scale min_support accordingly. The filter
+    is engine-portable, so sampled runs stay oracle-exact.
     """
     t = (
         triples
@@ -140,15 +150,23 @@ def mine_path_rules(
 
     # grounded paths -> distinct body pairs: THE big shuffle, keyed
     # (p1, p2, xh, yh); partial-aggregable, hashes only
-    body = (
-        left.join(right, "z")
-        .select(
-            "p1",
-            "p2",
-            portable_hash64(F.col("x")).alias("xh"),
-            portable_hash64(F.col("y")).alias("yh"),
+    hashed = left.join(right, "z").select(
+        "p1",
+        "p2",
+        portable_hash64(F.col("x")).alias("xh"),
+        portable_hash64(F.col("y")).alias("yh"),
+    )
+    if pair_sample_mod is not None:
+        if pair_sample_mod < 1:
+            raise ValueError("pair_sample_mod must be >= 1")
+        # nested mods keep the sum in range under ANSI overflow checks;
+        # xh/yh are non-negative by construction (15-hex-digit md5)
+        m = int(pair_sample_mod)
+        hashed = hashed.where(
+            ((F.col("xh") % m) + (F.col("yh") % m)) % m == 0
         )
-        .distinct()
+    body = (
+        hashed.distinct()
         .localCheckpoint()  # consumed by n_body AND the support probe
     )
     n_body = body.groupBy("p1", "p2").agg(F.count(F.lit(1)).alias("n_body"))

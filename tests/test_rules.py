@@ -215,3 +215,53 @@ def test_schema_induction(spark):
         ("PER", "works_for", "LOC"): (1, 1, 1),
         ("ORG", "located_in", "LOC"): (1, 1, 1),
     }
+
+
+def test_pair_sampling_matches_filtered_bruteforce(spark):
+    """pair_sample_mod must equal brute force restricted to the same
+    md5-bucket pair universe — the determinism that makes the sampled
+    confidence oracle-exact."""
+    import hashlib
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [
+        (f"e{i}", "p", f"m{i % 5}") for i in range(20)
+    ] + [
+        (f"m{j}", "q", f"t{j % 3}") for j in range(5)
+    ] + [
+        (f"e{i}", "h", f"t{(i % 5) % 3}") for i in range(0, 20, 2)
+    ]
+    tdf = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+    mod = 3
+    got = _rules_map(
+        mine_path_rules(tdf, min_support=1, min_conf=0.0,
+                        pair_sample_mod=mod)
+    )
+    # brute force over the sampled pair universe
+    t = sorted(set(rows))
+    by_s = {}
+    for s, p, o in t:
+        by_s.setdefault(s, []).append((p, o))
+    from collections import defaultdict
+    body = defaultdict(set)
+    for x, p1, z in t:
+        for p2, y in by_s.get(z, ()):
+            if ((h64(x) % mod) + (h64(y) % mod)) % mod == 0:
+                body[(p1, p2)].add((x, y))
+    heads = defaultdict(set)
+    for s, p, o in t:
+        heads[p].add((s, o))
+    want = {}
+    for (p1, p2), pairs in body.items():
+        for head, hp in heads.items():
+            sup = len(pairs & hp)
+            if sup >= 1:
+                want[(p1, p2, head)] = (
+                    sup, len(pairs), len(hp),
+                    round(sup / len(pairs), 6), round(sup / len(hp), 6),
+                )
+    assert got == want
+    with pytest.raises(ValueError):
+        mine_path_rules(tdf, pair_sample_mod=0)
