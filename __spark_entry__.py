@@ -1283,6 +1283,15 @@ def _q_graph_walks(spark, sf):
     )
 
 
+def _q_graph_walk_pairs(spark, sf):
+    """Skip-gram (center, context, n_pairs) pairs from the DeepWalk
+    corpus (operators/graph.py::walk_pairs), window=2."""
+    walks = GR.random_walks(
+        GR.symmetrize(_part_edges(spark, sf)), walk_len=3, walks_per_node=2
+    )
+    return GR.walk_pairs(walks, window=2)
+
+
 _KCORE_K, _KCORE_ROUNDS = 60, 3
 
 
@@ -2123,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rules_pred": _q_kg_rules_pred,
         "kg_rules_dropped": _q_kg_rules_dropped,
         "kg_rules_approx": _q_kg_rules_approx,
+        "graph_walk_pairs": _q_graph_walk_pairs,
         "dq_audit": _q_dq_audit,
         "html_extract": _q_html_extract,
         "graph_hits": _q_graph_hits,
@@ -3631,6 +3641,14 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT start, walk_no, 1 AS step, node FROM s1
         UNION ALL SELECT start, walk_no, 2 AS step, node FROM s2
         UNION ALL SELECT start, walk_no, 3 AS step, node FROM s3
+    """
+    sql["graph_walk_pairs"] = f"""
+        WITH w AS ({sql['graph_walks']})
+        SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+        FROM w a JOIN w b
+          ON a.start = b.start AND a.walk_no = b.walk_no
+         AND abs(b.step - a.step) <= 2 AND a.step <> b.step
+        GROUP BY 1, 2
     """
     sql["zorder_key"] = """
         SELECT l_orderkey, l_partkey, l_suppkey,

@@ -296,7 +296,8 @@ def _headline(spark) -> dict[str, float]:
         "graph_hits", "cdc_chunks", "cdc_dups",
         # r4 session 2 (cont.): labeled meta-path enumeration, JL
         # sign-projection dimensionality reduction, schema induction
-        "kg_paths", "jl_project", "kg_schema",
+        "kg_paths", "jl_project", "kg_schema", "graph_walk_pairs",
+        "kg_rules_approx",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

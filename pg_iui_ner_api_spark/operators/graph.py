@@ -1458,3 +1458,36 @@ def labeled_paths(
     for o_ in outs[1:]:
         out = out.unionAll(o_)
     return out
+
+
+def walk_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram training pairs from :func:`random_walks` output:
+    ``(center, context, n_pairs)`` for every ordered co-occurrence
+    within ``window`` steps inside one walk — the materialization
+    DeepWalk/node2vec feeds to the embedding trainer (word2vec over
+    walk "sentences"); multiplicity aggregates so the trainer weights
+    by pair frequency instead of re-reading duplicates.
+
+    Scale shape: one equi-join keyed by the walk id (fan bounded by
+    walk_len x 2window, a constant), then one partial-aggregable count
+    shuffle carrying only node-id pairs. Both inputs are the walk table
+    — N x walks_per_node x (walk_len+1) narrow rows — never the edge
+    table.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    a = walks.select(
+        "start", "walk_no", F.col("step").alias("sa"),
+        F.col("node").alias("center"),
+    )
+    b = walks.select(
+        "start", "walk_no", F.col("step").alias("sb"),
+        F.col("node").alias("context"),
+    )
+    j = a.join(b, ["start", "walk_no"]).where(
+        (F.abs(F.col("sb") - F.col("sa")) <= window)
+        & (F.col("sa") != F.col("sb"))
+    )
+    return j.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

@@ -1091,3 +1091,32 @@ def test_labeled_paths_validation(spark):
     starts = spark.createDataFrame([("a",)], ["node"])
     with pytest.raises(ValueError):
         labeled_paths(t, starts, max_hops=0)
+
+
+def test_walk_pairs_hand_computed(spark):
+    from pg_iui_ner_api_spark.operators.graph import walk_pairs
+
+    walks = spark.createDataFrame(
+        [
+            # one walk a->b->c->d
+            ("a", 0, 0, "a"), ("a", 0, 1, "b"),
+            ("a", 0, 2, "c"), ("a", 0, 3, "d"),
+            # a second walk that repeats the (a,b) adjacency
+            ("a", 1, 0, "a"), ("a", 1, 1, "b"),
+        ],
+        ["start", "walk_no", "step", "node"],
+    )
+    got = {(r.center, r.context): r.n_pairs
+           for r in walk_pairs(walks, window=1).collect()}
+    assert got == {
+        ("a", "b"): 2, ("b", "a"): 2,
+        ("b", "c"): 1, ("c", "b"): 1,
+        ("c", "d"): 1, ("d", "c"): 1,
+    }
+    wide = {(r.center, r.context): r.n_pairs
+            for r in walk_pairs(walks, window=2).collect()}
+    assert wide[("a", "c")] == 1 and wide[("b", "d")] == 1
+    assert ("a", "d") not in wide  # 3 steps apart > window
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        walk_pairs(walks, window=0)
