@@ -559,3 +559,69 @@ def stream_dedup_url(spark: SparkSession, input_dir: str, output_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dq_audit(spark: SparkSession, input_dir: str, workdir: str,
+                    checkpoint_dir: str, rules, schema: str,
+                    available_now: bool = True,
+                    max_files_per_trigger: int | None = None):
+    """Continuous data-quality monitoring: the streaming twin of
+    ``operators/audit.check_constraints``.
+
+    Row-local rules (not_null / accepted_values / range / regex) are
+    fully DECOMPOSABLE — n_checked and n_violations are plain sums — so
+    each micro-batch writes its per-rule partial counts to an
+    idempotent ``batch=<id>`` overwrite partition (the
+    stream_token_counts pattern: checkpoint + partition overwrite =
+    effective exactly-once, replayed batches rewrite themselves).
+    ``unique`` and ``ref`` rules are NOT batch-decomposable (both
+    quantify across batches) and are rejected here — run them in the
+    periodic batch audit instead; the split mirrors how production
+    monitors separate per-record from cross-record checks.
+
+      workdir/dq_inc/batch=<id>/   per-batch per-rule partial counts
+
+    :func:`compact_dq_audit` merges the log into the exact batch-audit
+    result over the union of all streamed batches (pinned by
+    test_streaming).
+    """
+    from ..operators.audit import _ROW_LOCAL, check_constraints
+
+    bad = [r["id"] for r in rules if r["type"] not in _ROW_LOCAL]
+    if bad:
+        raise ValueError(
+            f"rules not decomposable over micro-batches: {bad} "
+            "(unique/ref quantify across batches — use the batch audit)"
+        )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    src = reader.parquet(input_dir)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        res = check_constraints(batch_df, rules).drop("passed")
+        res.write.mode("overwrite").parquet(
+            f"{workdir}/dq_inc/batch={batch_id}")
+
+    writer = (
+        src.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def compact_dq_audit(spark: SparkSession, workdir: str) -> DataFrame:
+    """Merge the streamed per-batch partials into the exact audit
+    result over the union corpus — identical output contract to the
+    batch ``check_constraints`` (row-local rules)."""
+    p = spark.read.parquet(f"{workdir}/dq_inc").drop("batch")
+    return (
+        p.groupBy("rule_id", "rule_type", "column_name")
+        .agg(
+            F.sum("n_checked").alias("n_checked"),
+            F.sum("n_violations").alias("n_violations"),
+        )
+        .withColumn("passed", F.col("n_violations") == 0)
+    )

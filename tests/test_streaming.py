@@ -555,3 +555,57 @@ def test_stream_dedup_url_across_batches(spark, tmp_path):
     q.awaitTermination(120)
     got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert "p4" not in got2 and "p5" in got2
+
+
+def test_stream_dq_audit_matches_batch(spark, tmp_path):
+    """Streamed per-batch partials compact to the EXACT batch audit over
+    the union corpus, replays are idempotent, and non-decomposable
+    rules are rejected up front."""
+    import os
+
+    from pg_iui_ner_api_spark.operators.audit import check_constraints
+    from pg_iui_ner_api_spark.streaming.jobs import (
+        compact_dq_audit, stream_dq_audit)
+
+    rules = [
+        {"id": "id_nn", "type": "not_null", "column": "id"},
+        {"id": "code_vals", "type": "accepted_values", "column": "code",
+         "values": ["A", "B"]},
+        {"id": "score_rng", "type": "range", "column": "score",
+         "min": 0.0, "max": 100.0},
+    ]
+    schema = "id long, code string, score double"
+    inp = os.path.join(tmp_path, "in")
+    wd = os.path.join(tmp_path, "wd")
+    ck = os.path.join(tmp_path, "ck")
+    b1 = [(1, "A", 10.0), (None, "C", 120.0)]
+    b2 = [(2, "B", 55.0), (3, "A", -1.0), (4, None, None)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append").parquet(inp)
+    q = stream_dq_audit(spark, inp, wd, ck, rules, schema)
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append").parquet(inp)
+    q = stream_dq_audit(spark, inp, wd, ck, rules, schema)
+    q.awaitTermination(120)
+
+    def as_map(df):
+        return {
+            r.rule_id: (r.n_checked, r.n_violations, r.passed)
+            for r in df.collect()
+        }
+
+    got = as_map(compact_dq_audit(spark, wd))
+    want = as_map(check_constraints(
+        spark.createDataFrame(b1 + b2, schema), rules))
+    assert got == want
+    assert got["id_nn"] == (5, 1, False)
+    # replay with the same checkpoint: no new files, nothing changes
+    q = stream_dq_audit(spark, inp, wd, ck, rules, schema)
+    q.awaitTermination(120)
+    assert as_map(compact_dq_audit(spark, wd)) == want
+    # non-decomposable rules rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not decomposable"):
+        stream_dq_audit(spark, inp, wd, ck, [
+            {"id": "uq", "type": "unique", "column": "id"}], schema)
