@@ -1837,9 +1837,29 @@ def _kg_triples(spark, sf):
             orders.join(cust, orders.o_custkey == cust.c_custkey),
             "o", "o_orderkey", "in_nation", "n", "c_nationkey",
         ),
-        tri(li, "o", "l_orderkey", "contains", "p", "l_partkey"),
-        tri(li, "p", "l_partkey", "supplied_by", "s", "l_suppkey"),
-        tri(li, "o", "l_orderkey", "sourced_from", "s", "l_suppkey"),
+        # ONE lineitem scan for its three triple projections (explode of
+        # an in-row struct array instead of three scans — same rows)
+        li.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("subj"),
+                        F.lit("contains").alias("pred"),
+                        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("obj"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("subj"),
+                        F.lit("supplied_by").alias("pred"),
+                        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("obj"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string")).alias("subj"),
+                        F.lit("sourced_from").alias("pred"),
+                        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("obj"),
+                    ),
+                )
+            ).alias("t")
+        ).select("t.subj", "t.pred", "t.obj"),
     ]
     out = parts[0]
     for df in parts[1:]:
