@@ -61,7 +61,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--entity-embeddings", default=None,
                    help="optional parquet path overriding the built-in "
                         "entity embedding dim (entity_id, emb)")
+    p.add_argument("--audit", action="store_true",
+                   help="append a KG quality-audit section to the "
+                        "summary: declarative constraint checks on the "
+                        "canonicalized edge view (not-null + referential "
+                        "closure against the node table) and the induced "
+                        "type-level schema with usage counts")
     return p
+
+
+def _kg_audit(res: dict) -> dict:
+    """The post-run KG quality gate: canonical edges must be
+    referentially closed against nodes (operators/audit +
+    components.canonical_edges), and the induced schema summarizes what
+    the run actually built. All aggregates are vocabulary-sized."""
+    from .operators.audit import check_constraints
+    from .operators.components import canonical_edges
+    from .operators.rules import schema_induction
+
+    ce = canonical_edges(
+        res["edges"], res["linked_mentions"], res["components"]
+    )
+    dq = check_constraints(
+        ce,
+        [
+            {"id": "subj_not_null", "type": "not_null", "column": "subj"},
+            {"id": "pred_not_null", "type": "not_null", "column": "pred"},
+            {"id": "obj_not_null", "type": "not_null", "column": "obj"},
+            {"id": "subj_in_nodes", "type": "ref", "column": "subj",
+             "ref_table": "nodes", "ref_column": "entity_id"},
+            {"id": "obj_in_nodes", "type": "ref", "column": "obj",
+             "ref_table": "nodes", "ref_column": "entity_id"},
+        ],
+        {"nodes": res["nodes"]},
+    )
+    return {
+        "constraints": [r.asDict() for r in dq.collect()],
+        "schema": [r.asDict() for r in schema_induction(res["edges"]).collect()],
+    }
 
 
 def main(argv: list[str] | None = None, spark=None) -> dict:
@@ -110,6 +147,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         "counts": counts,
         "stages": list(getattr(res.get("_runner"), "events", [])),
     }
+    if args.audit:
+        summary["audit"] = _kg_audit(res)
     print(json.dumps(summary), flush=True)
     return summary
 

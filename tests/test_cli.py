@@ -53,3 +53,26 @@ def test_main_parquet_input(spark, tmp_path):
     s = main(["--input", path, "--workdir", wd], spark=spark)
     assert s["fingerprint"] == f"path:{path}"
     assert s["counts"]["edges"] > 0
+
+
+def test_main_audit_section(spark, tmp_path):
+    wd = str(tmp_path / "wd_audit")
+    s = main(
+        ["--synth", "120", "--workdir", wd, "--run-id", "ta", "--audit"],
+        spark=spark,
+    )
+    audit = s["audit"]
+    cons = {c["rule_id"]: c for c in audit["constraints"]}
+    # canonical edges are referentially closed against nodes by
+    # construction — the audit must come back all-green
+    assert set(cons) == {
+        "subj_not_null", "pred_not_null", "obj_not_null",
+        "subj_in_nodes", "obj_in_nodes",
+    }
+    assert all(c["passed"] for c in cons.values()), cons
+    assert cons["subj_in_nodes"]["n_checked"] == s["counts"]["edges"]
+    # induced schema covers every predicate the run emitted
+    preds = {r["pred"] for r in audit["schema"]}
+    assert preds and all(r["n_triples"] > 0 for r in audit["schema"])
+    # JSON-serializable end to end
+    json.dumps(s)
