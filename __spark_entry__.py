@@ -1963,6 +1963,12 @@ def _q_html_extract(spark, sf):
     return d.select("doc_id", html_to_text(page).alias("txt"))
 
 
+def _q_kg_entity_report(spark, sf):
+    """Per-entity KG report card (operators/fusion.py::entity_report):
+    in/out triple counts, predicate diversity, modal predicates."""
+    return FUS.entity_report(_kg_triples(spark, sf))
+
+
 def _q_kg_schema(spark, sf):
     """Type-level schema induction (operators/rules.py::
     schema_induction): one row per observed (domain, predicate, range)
@@ -2161,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_paths": _q_kg_paths,
         "jl_project": _q_jl_project,
         "kg_schema": _q_kg_schema,
+        "kg_entity_report": _q_kg_entity_report,
         # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
@@ -5034,6 +5041,40 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT vec_id, [{', '.join(_jl_comps)}] AS projected "
         "FROM embeddings"
     )
+    # kg_entity_report twin: per-side modal predicate via the
+    # corpus_report row_number FILTER pattern; sums cast back to BIGINT
+    # (DuckDB sums BIGINT into HUGEINT).
+    sql["kg_entity_report"] = f"""
+        WITH {_TRIP},
+        po AS (SELECT s AS entity, p, count(*) AS c FROM trip GROUP BY 1, 2),
+        pi AS (SELECT o AS entity, p, count(*) AS c FROM trip GROUP BY 1, 2),
+        outs AS (
+          SELECT entity, CAST(sum(c) AS BIGINT) AS n_out,
+                 count(*) AS n_out_preds,
+                 min(p) FILTER (rn = 1) AS top_out_pred
+          FROM (SELECT entity, p, c,
+                       row_number() OVER (PARTITION BY entity
+                                          ORDER BY c DESC, p ASC) AS rn
+                FROM po)
+          GROUP BY entity
+        ),
+        ins AS (
+          SELECT entity, CAST(sum(c) AS BIGINT) AS n_in,
+                 min(p) FILTER (rn = 1) AS top_in_pred
+          FROM (SELECT entity, p, c,
+                       row_number() OVER (PARTITION BY entity
+                                          ORDER BY c DESC, p ASC) AS rn
+                FROM pi)
+          GROUP BY entity
+        )
+        SELECT coalesce(o.entity, i.entity) AS entity,
+               coalesce(o.n_out, 0) AS n_out,
+               coalesce(i.n_in, 0) AS n_in,
+               coalesce(o.n_out, 0) + coalesce(i.n_in, 0) AS n_total,
+               coalesce(o.n_out_preds, 0) AS n_out_preds,
+               o.top_out_pred, i.top_in_pred
+        FROM outs o FULL JOIN ins i ON o.entity = i.entity
+    """
     # kg_schema twin: namespace-prefix types + one grouped aggregate
     sql["kg_schema"] = f"""
         WITH {_TRIP}

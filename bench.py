@@ -297,7 +297,7 @@ def _headline(spark) -> dict[str, float]:
         # r4 session 2 (cont.): labeled meta-path enumeration, JL
         # sign-projection dimensionality reduction, schema induction
         "kg_paths", "jl_project", "kg_schema", "graph_walk_pairs",
-        "kg_rules_approx",
+        "kg_rules_approx", "kg_entity_report",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

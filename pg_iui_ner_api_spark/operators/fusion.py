@@ -85,3 +85,53 @@ def functional_violations(
         .agg(F.countDistinct(obj).alias("n_objs"))
         .where(F.col("n_objs") > 1)
     )
+
+
+def entity_report(
+    triples: DataFrame,
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+) -> DataFrame:
+    """Per-entity KG report card: ``(entity, n_out, n_in, n_total,
+    n_out_preds, top_out_pred, top_in_pred)`` over the DISTINCT triple
+    set — the entity-level twin of the corpus report card: reviewers
+    gate canonicalization on it (an entity whose top_in_pred is an
+    identity-like predicate with huge n_in is usually an under-merged
+    hub alias; one with wildly polymorphic out-predicates an
+    over-merge).
+
+    Modal predicates tie-break to the lexicographically smallest via
+    ``min(struct(-count, pred))`` — deterministic and identical to the
+    oracle's row_number ordering. Scale shape: two partial-aggregable
+    (entity, pred) aggregations + one merge join on the entity id; no
+    windows over raw triples, output is entity-vocabulary sized.
+    """
+    t = triples.select(
+        F.col(s_col).alias("s"), F.col(p_col).alias("p"), F.col(o_col).alias("o")
+    ).distinct()
+
+    def side(keyed: DataFrame, key: str, prefix: str) -> DataFrame:
+        per_pred = keyed.groupBy(key, "p").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per_pred.groupBy(F.col(key).alias("entity")).agg(
+            F.sum("c").alias(f"n_{prefix}"),
+            F.count(F.lit(1)).alias(f"n_{prefix}_preds"),
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("p"))).getField(
+                "p"
+            ).alias(f"top_{prefix}_pred"),
+        )
+    out = side(t.select("s", "p"), "s", "out")
+    inn = side(t.select("o", "p"), "o", "in")
+    joined = out.join(inn, "entity", "full")
+    zero = F.lit(0).cast("long")
+    return joined.select(
+        "entity",
+        F.coalesce("n_out", zero).alias("n_out"),
+        F.coalesce("n_in", zero).alias("n_in"),
+        (F.coalesce("n_out", zero) + F.coalesce("n_in", zero)).alias("n_total"),
+        F.coalesce("n_out_preds", zero).alias("n_out_preds"),
+        "top_out_pred",
+        "top_in_pred",
+    )

@@ -89,3 +89,26 @@ def test_functional_violations(spark):
         for r in functional_violations(df, ["born_in"]).collect()
     ]
     assert got == [("e2", "born_in", 2)]
+
+
+def test_entity_report_hand_graph(spark):
+    from pg_iui_ner_api_spark.operators.fusion import entity_report
+
+    t = spark.createDataFrame(
+        [
+            ("a", "p", "x"),
+            ("a", "p", "y"),
+            ("a", "q", "x"),
+            ("a", "p", "x"),   # dup collapses
+            ("x", "r", "y"),
+        ],
+        ["subj", "pred", "obj"],
+    )
+    got = {r.entity: (r.n_out, r.n_in, r.n_total, r.n_out_preds,
+                      r.top_out_pred, r.top_in_pred)
+           for r in entity_report(t).collect()}
+    assert got["a"] == (3, 0, 3, 2, "p", None)          # p beats q 2-1
+    assert got["x"] == (1, 2, 3, 1, "r", "p")           # p beats q 1-1? no:
+    # x's in-preds: p (from a,p,x) x1 distinct + q x1 -> tie -> min = p
+    assert got["y"] == (0, 2, 2, 0, None, "p")          # p x1, r x1 tie -> p
+    assert set(got) == {"a", "x", "y"}
