@@ -194,3 +194,118 @@ def test_html_plain_text_passthrough(spark):
 def test_html_whitespace_and_empty(spark):
     assert _extract(spark, "<p></p><div></div>") == ""
     assert _extract(spark, "") == ""
+
+
+# ---------------------------------------------------------------------------
+# html_to_text vs an INDEPENDENT html.parser-based reference
+# ---------------------------------------------------------------------------
+_BLOCK_TAGS = {"p", "div", "li", "tr", "table", "ul", "ol",
+               "blockquote", "section", "article",
+               "h1", "h2", "h3", "h4", "h5", "h6"}
+_CONTAINERS = {"script", "style", "noscript"}
+_ENTS = {"nbsp": " ", "quot": '"', "apos": "'", "lt": "<", "gt": ">",
+         "amp": "&"}
+_CHARREFS = {"34": '"', "39": "'"}
+
+
+def _reference_extract(html: str) -> str:
+    """Event-driven reference implementing the SAME contract through a
+    real parser instead of the operator's regex chain."""
+    import re
+    from html.parser import HTMLParser
+
+    class Ref(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=False)
+            self.parts, self.skip = [], 0
+
+        def _tagmark(self, tag):
+            self.parts.append("\n" if tag in _BLOCK_TAGS or tag == "br"
+                              else " ")
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _CONTAINERS:
+                self.skip += 1
+            else:
+                self._tagmark(tag)
+
+        def handle_endtag(self, tag):
+            if tag in _CONTAINERS:
+                self.skip = max(0, self.skip - 1)
+            else:
+                self._tagmark(tag)
+
+        def handle_startendtag(self, tag, attrs):
+            if tag not in _CONTAINERS:
+                self._tagmark(tag)
+
+        def handle_data(self, data):
+            if not self.skip:
+                self.parts.append(data)
+
+        def handle_entityref(self, name):
+            if not self.skip:
+                self.parts.append(_ENTS.get(name, f"&{name};"))
+
+        def handle_charref(self, name):
+            if not self.skip:
+                self.parts.append(_CHARREFS.get(name, f"&#{name};"))
+
+        def handle_comment(self, data):
+            pass
+
+    r = Ref()
+    r.feed(html)
+    r.close()
+    s = "".join(r.parts)
+    s = re.sub(r"[ \t\r]+", " ", s)
+    s = re.sub(r" ?\n ?", "\n", s)
+    s = re.sub(r"\n+", "\n", s)
+    return re.sub(r"^\s+|\s+$", "", s)
+
+
+def _gen_pages(n: int):
+    """Deterministic well-formed page generator (seeded): nested block/
+    inline structure, entities, comments, containers with markup inside
+    string literals, br variants."""
+    import random
+
+    rng = random.Random(4242)
+    texts = ["alpha beta", "x &amp; y", "tip &lt;b&gt; raw", "say &quot;hi&quot;",
+             "it&#39;s", "gap&nbsp;here", "plain words", "&amp;lt;double&amp;gt;"]
+    inline = ["b", "i", "span", "em", "a"]
+    pages = []
+    for _ in range(n):
+        parts = ["<html><body>"]
+        for _ in range(rng.randint(2, 6)):
+            c = rng.random()
+            if c < 0.35:
+                t = rng.choice(sorted(_BLOCK_TAGS))
+                parts.append(f"<{t}>{rng.choice(texts)}</{t}>")
+            elif c < 0.55:
+                t = rng.choice(inline)
+                parts.append(f"<{t}>{rng.choice(texts)}</{t}>")
+            elif c < 0.7:
+                parts.append(rng.choice(texts))
+            elif c < 0.8:
+                parts.append(rng.choice(["<br>", "<br/>", "<BR >"]))
+            elif c < 0.9:
+                parts.append(f"<!-- {rng.choice(texts)} -->")
+            else:
+                t = rng.choice(sorted(_CONTAINERS))
+                parts.append(f'<{t}>var x = "<p>{rng.choice(texts)}</p>";</{t}>')
+        parts.append("</body></html>")
+        pages.append("".join(parts))
+    return pages
+
+
+def test_html_to_text_vs_parser_reference(spark):
+    from pg_iui_ner_api_spark.functions.web import html_to_text
+
+    pages = _gen_pages(40)
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(pages)],
+                               ["i", "h"])
+    got = {r.i: r.t for r in
+           df.select("i", html_to_text("h").alias("t")).collect()}
+    for i, p in enumerate(pages):
+        assert got[i] == _reference_extract(p), p
