@@ -2049,14 +2049,73 @@ def _q_dq_audit(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's correctness harness records only the
-    # first 50 keys, so (a) keys that have never earned a driver-green
-    # CORRECTNESS row come FIRST (r3's graph/relational-analytics/PII/splits
-    # families + this round's new keys), (b) keys already green in
-    # CORRECTNESS_r01–r03 follow, and (c) the rows-only keys (no DuckDB
-    # oracle — kg_*, media binary features, trained IVF) sit at the very
-    # end so they never displace an oracle-backed key from the window.
+    # first 50 keys. r3 covered 50, r4 covered a disjoint 50; this round's
+    # window is the 50 oracle-backed keys that have never had a driver row,
+    # so r3+r4+r5 cover 150 of 159 keys. The 9 outside any window: 4
+    # companion-report keys (check_entry-green, primary twin in-window) and
+    # 5 rows-only keys (golden-hash pinned).
     return {
-        # -- (a) never driver-checked (r3 families) + new in r4 -----------
+        # -- (a) r5 window: the 50 oracle-backed keys with no driver-green
+        #    CORRECTNESS row in r1-r4 (judge-verified via check_entry in r4;
+        #    this window lets the hard gate record them)
+        "setsim_join": _q_setsim_join,
+        "priority_sample": _q_priority_sample,
+        "graph_scc": _q_graph_scc,
+        "snm_pairs": _q_snm_pairs,
+        "bloom_semi": _q_bloom_semi,
+        "fs_em": _q_fs_em,
+        "er_clusters": _q_er_clusters,
+        "temperature_mix": _q_temperature_mix,
+        "salted_join": _q_salted_join,
+        "snapshot_diff": _q_snapshot_diff,
+        "bin_pack": _q_bin_pack,
+        "hard_negatives": _q_hard_negatives,
+        "hard_negatives_ivf": _q_hard_negatives_ivf,
+        "interpolate": _q_interpolate,
+        "rolling_stats": _q_rolling_stats,
+        "cohort_retention": _q_cohort_retention,
+        "type_inference": _q_type_inference,
+        "equidepth_bins": _q_equidepth_bins,
+        "token_budget": _q_token_budget,
+        "graph_modularity": _q_graph_modularity,
+        "heavy_hitters": _q_heavy_hitters,
+        "hll_distinct": _q_hll_distinct,
+        "containment_join": _q_containment_join,
+        "corr_matrix": _q_corr_matrix,
+        "drift_chisq": _q_drift_chisq,
+        "boilerplate": _q_boilerplate,
+        "leak_split": _q_leak_split,
+        "url_canon": _q_url_canon,
+        "url_dedup": _q_url_dedup,
+        "mad_outliers": _q_mad_outliers,
+        "tfidf_keywords": _q_tfidf,
+        "inverted_index": _q_inverted_index,
+        "grouped_ols": _q_grouped_ols,
+        "collocations": _q_collocations,
+        "component_stats": _q_component_stats,
+        "corpus_report": _q_corpus_report,
+        "kg_rules": _q_kg_rules,
+        "kg_rules_pred": _q_kg_rules_pred,
+        "kg_rules_approx": _q_kg_rules_approx,
+        "graph_walk_pairs": _q_graph_walk_pairs,
+        "dq_audit": _q_dq_audit,
+        "html_extract": _q_html_extract,
+        "graph_hits": _q_graph_hits,
+        "cdc_chunks": _q_cdc_chunks,
+        "cdc_dups": _q_cdc_dups,
+        "kg_paths": _q_kg_paths,
+        "jl_project": _q_jl_project,
+        "kg_schema": _q_kg_schema,
+        "kg_entity_report": _q_kg_entity_report,
+        "media_frame_plan": _q_media_frame_plan,
+        # ---- window boundary (driver records the 50 keys above) ----------
+        # -- (a2) companion report keys yielding their slot to their primary
+        #    twins (check_entry-green; primaries are in the window)
+        "graph_cooccur_dropped": _q_graph_cooccur_dropped,
+        "link_pred_dropped": _q_link_pred_dropped,
+        "kg_rules_dropped": _q_kg_rules_dropped,
+        "bin_pack_manifest": _q_bin_pack_manifest,
+        # -- (b) oracle-backed, driver-green in CORRECTNESS_r01-r04
         "graph_jaccard": _q_graph_jaccard,
         "graph_sssp": _q_graph_sssp,
         "graph_closure": _q_graph_closure,
@@ -2107,68 +2166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "kg_negatives": _q_kg_negatives,
         "graph_kcore": _q_graph_kcore,
-        # ---- window boundary: the 50 keys above are exactly the ----------
-        # ---- never-driver-checked set; everything below is green ---------
-        # ---- in CORRECTNESS_r01-r03, or pytest/check_entry-covered -------
-        # -- (b0) NEW in late-r4, oracle-backed but past the 50-key window:
-        #    (the two *_dropped companion report keys yield their window
-        #    slots to their primary twins; both pass check_entry locally)
-        "graph_cooccur_dropped": _q_graph_cooccur_dropped,
-        "link_pred_dropped": _q_link_pred_dropped,
-        #         pytest checks these against DuckDB (test_setsim etc.);
-        #         hoist into section (a) at the next reorder ---------------
-        "setsim_join": _q_setsim_join,
-        "priority_sample": _q_priority_sample,
-        "graph_scc": _q_graph_scc,
-        "snm_pairs": _q_snm_pairs,
-        "bloom_semi": _q_bloom_semi,
-        "fs_em": _q_fs_em,
-        "er_clusters": _q_er_clusters,
-        "temperature_mix": _q_temperature_mix,
-        "salted_join": _q_salted_join,
-        "snapshot_diff": _q_snapshot_diff,
-        "bin_pack": _q_bin_pack,
-        "bin_pack_manifest": _q_bin_pack_manifest,
-        "hard_negatives": _q_hard_negatives,
-        "hard_negatives_ivf": _q_hard_negatives_ivf,
-        "interpolate": _q_interpolate,
-        "rolling_stats": _q_rolling_stats,
-        "cohort_retention": _q_cohort_retention,
-        "type_inference": _q_type_inference,
-        "equidepth_bins": _q_equidepth_bins,
-        "token_budget": _q_token_budget,
-        "graph_modularity": _q_graph_modularity,
-        "heavy_hitters": _q_heavy_hitters,
-        "hll_distinct": _q_hll_distinct,
-        "containment_join": _q_containment_join,
-        "corr_matrix": _q_corr_matrix,
-        "drift_chisq": _q_drift_chisq,
-        "boilerplate": _q_boilerplate,
-        "leak_split": _q_leak_split,
-        "url_canon": _q_url_canon,
-        "url_dedup": _q_url_dedup,
-        "mad_outliers": _q_mad_outliers,
-        "tfidf_keywords": _q_tfidf,
-        "inverted_index": _q_inverted_index,
-        "grouped_ols": _q_grouped_ols,
-        "collocations": _q_collocations,
-        "component_stats": _q_component_stats,
-        "corpus_report": _q_corpus_report,
-        "kg_rules": _q_kg_rules,
-        "kg_rules_pred": _q_kg_rules_pred,
-        "kg_rules_dropped": _q_kg_rules_dropped,
-        "kg_rules_approx": _q_kg_rules_approx,
-        "graph_walk_pairs": _q_graph_walk_pairs,
-        "dq_audit": _q_dq_audit,
-        "html_extract": _q_html_extract,
-        "graph_hits": _q_graph_hits,
-        "cdc_chunks": _q_cdc_chunks,
-        "cdc_dups": _q_cdc_dups,
-        "kg_paths": _q_kg_paths,
-        "jl_project": _q_jl_project,
-        "kg_schema": _q_kg_schema,
-        "kg_entity_report": _q_kg_entity_report,
-        # -- (b) oracle-backed, driver-green in earlier rounds -------------
         "scan_project": _q_scan_project,
         "point_lookup": _q_point_lookup,
         "conj_filter": _q_conj_filter,
@@ -2213,9 +2210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_cooccur": _q_graph_cooccur,
         "media_geometry": _q_media_geometry,
         "media_resize_geom": _q_media_resize_geom,
-        "media_frame_plan": _q_media_frame_plan,
         # -- (c) rows-only (no SQL oracle; golden-hash pinned in
-        #        tests/test_golden_queries.py) ------------------------------
+        #    tests/test_golden_queries.py)
         "ann_ivf_trained": _q_ann_ivf_trained,
         "ann_pq": _q_ann_pq,
         "bpe_merges": _q_bpe_merges,
@@ -2227,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distant_pairs": _q_kg_distant_pairs,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
+    
     }
 
 

@@ -154,6 +154,8 @@ def check_constraints(
             )
         )
 
+    if not parts:
+        raise ValueError("rules must be non-empty")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionAll(p)

@@ -230,24 +230,77 @@ def canonical_components(linked_mentions: DataFrame) -> DataFrame:
     ).select("mention_id", "node", "component", "entity_id")
 
 
+def _modal(joined: DataFrame, col: str, alias: str) -> DataFrame:
+    """Per-component modal value of ``col`` with a DETERMINISTIC
+    tie-break: ``min(struct(-count, value))`` — the largest count wins,
+    ties go to the lexicographically smallest value. ``F.mode()`` breaks
+    ties by partition order, which made the canonicalization outputs
+    partitioning-dependent (r4 ADVICE); this is the same tie-break
+    :func:`fusion.entity_report` uses, so every vote in the repo agrees."""
+    counts = joined.groupBy("component", col).agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("component").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col(col)))
+        .getField(col)
+        .alias(alias)
+    )
+
+
+def _component_entity_vote(
+    linked_mentions: DataFrame, components: DataFrame
+) -> DataFrame:
+    """Per-component representative entity ``(component, canonical_id,
+    n_mentions)`` — the single shared vote that BOTH
+    :func:`canonical_nodes` and :func:`entity_canonical_map` derive
+    from, so the node table and the edge-rewrite map agree by
+    construction even on tied components."""
+    lm = linked_mentions.select("mention_id", "entity_id")
+    joined = components.select("mention_id", "component").join(lm, "mention_id")
+    counts = joined.groupBy("component", "entity_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("component").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("entity_id")))
+        .getField("entity_id")
+        .alias("canonical_id"),
+        F.sum("c").alias("n_mentions"),
+    )
+
+
 def canonical_nodes(linked_mentions: DataFrame, components: DataFrame) -> DataFrame:
     """KG node table: one row per canonical entity cluster.
 
     Representative entity = modal linked entity of the component;
     canonical_name = modal canonical_name (A5 'canonical name vote').
+    All votes tie-break deterministically via ``min(struct(-count,
+    value))``; when several components share a representative entity,
+    the name/kind of the LARGEST component wins (ties again
+    lexicographic), so the output hash is stable across partitionings.
     """
     lm = linked_mentions.select("mention_id", "entity_id", "canonical_name", "link_kind")
     joined = components.select("mention_id", "component").join(lm, "mention_id")
-    per_component = joined.groupBy("component").agg(
-        F.mode("entity_id").alias("entity_id"),
-        F.mode("canonical_name").alias("canonical_name"),
-        F.mode("link_kind").alias("kind"),
-        F.count(F.lit(1)).alias("n_mentions"),
+    per_component = (
+        _component_entity_vote(linked_mentions, components)
+        .join(_modal(joined, "canonical_name", "canonical_name"), "component")
+        .join(_modal(joined, "link_kind", "kind"), "component")
     )
-    return per_component.groupBy("entity_id").agg(
-        F.first("canonical_name").alias("canonical_name"),
-        F.first("kind").alias("kind"),
-        F.sum("n_mentions").alias("n_mentions"),
+    return (
+        per_component.groupBy(F.col("canonical_id").alias("entity_id"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_mentions")).alias("nm"),
+                    F.col("canonical_name"),
+                    F.col("kind"),
+                )
+            ).alias("_w"),
+            F.sum("n_mentions").alias("n_mentions"),
+        )
+        .select(
+            "entity_id",
+            F.col("_w.canonical_name").alias("canonical_name"),
+            F.col("_w.kind").alias("kind"),
+            "n_mentions",
+        )
     )
 
 
@@ -255,22 +308,28 @@ def entity_canonical_map(
     linked_mentions: DataFrame, components: DataFrame
 ) -> DataFrame:
     """(entity_id, canonical_id): every linked entity mapped to its
-    component's representative — the SAME modal-entity vote
+    component's representative — the SAME :func:`_component_entity_vote`
     :func:`canonical_nodes` uses, so the map and the node table agree
     by construction. Entities whose component representative is
     themselves map to themselves. An entity split across components
     (possible when its surfaces never co-occur) takes the modal
-    representative over its mentions. Dimension-sized output: bounded
-    by the entity vocabulary, never the corpus."""
+    representative over its mentions (deterministic ``min(struct(-count,
+    canonical_id))`` tie-break). Dimension-sized output: bounded by the
+    entity vocabulary, never the corpus."""
     lm = linked_mentions.select("mention_id", "entity_id")
     joined = components.select("mention_id", "component").join(lm, "mention_id")
-    rep = joined.groupBy("component").agg(
-        F.mode("entity_id").alias("canonical_id")
+    rep = _component_entity_vote(linked_mentions, components).select(
+        "component", "canonical_id"
     )
-    return (
+    counts = (
         joined.join(rep, "component")
-        .groupBy("entity_id")
-        .agg(F.mode("canonical_id").alias("canonical_id"))
+        .groupBy("entity_id", "canonical_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("entity_id").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("canonical_id")))
+        .getField("canonical_id")
+        .alias("canonical_id")
     )
 
 

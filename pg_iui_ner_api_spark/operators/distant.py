@@ -99,7 +99,11 @@ def distant_pairs(
             F.col("mention_id").alias("subj_mention_id"),
             F.col("ctx").alias("subj_ctx"),
         )
-        labeled = labeled.join(ctx, "subj_mention_id")
+        # LEFT join: a pair whose subject mention has no ctx row keeps
+        # its row with subj_ctx null — an inner join here silently
+        # dropped such pairs, contradicting the module's never-silent
+        # contract (r4 ADVICE).
+        labeled = labeled.join(ctx, "subj_mention_id", "left")
     return labeled.select(
         *_SENT,
         "subj_mention_id",

@@ -1348,6 +1348,8 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     no out-edges hub 0 — kept explicitly via the node-universe left
     join so the output always covers every node.
     """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
     e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -148,6 +148,14 @@ def warc_to_docs(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     ``(reason, src_file, record_id)`` for every quarantined record.
     Non-response record types (warcinfo, request, metadata) are part of
     the format, not errors — they are filtered, not quarantined.
+
+    ``application/http; msgtype=response`` records (the Common Crawl
+    shape) carry a full HTTP message: status line + headers + blank
+    line + body. The payload is split at the first blank line JVM-side,
+    the inner ``Content-Type`` header decides text-ness, and only the
+    BODY reaches ``html_to_text`` — the status line and headers never
+    leak into document text (r4 ADVICE). A record with no blank line is
+    a headers-only/malformed HTTP message and is filtered as non-text.
     """
     from ..functions.web import html_to_text
 
@@ -163,14 +171,34 @@ def warc_to_docs(records: DataFrame) -> tuple[DataFrame, DataFrame]:
     rejects = tagged.where(F.col("reason").isNotNull()).select(
         "reason", "src_file", "record_id"
     )
+    is_http = F.col("content_type").startswith("application/http")
+    # First blank line of the HTTP message: prefer CRLFCRLF (RFC 9112),
+    # tolerate bare LFLF (lenient servers). instr() is 1-based, 0 = absent.
+    crlf = F.instr("payload_text", "\r\n\r\n")
+    lf = F.instr("payload_text", "\n\n")
+    hdr_len = F.when(crlf > 0, crlf - 1).when(lf > 0, lf - 1)
+    body_start = F.when(crlf > 0, crlf + 4).when(lf > 0, lf + 2)
+    http_headers = F.col("payload_text").substr(
+        F.lit(1), F.coalesce(hdr_len, F.lit(0))
+    )
+    http_body = F.col("payload_text").substr(
+        F.coalesce(body_start, F.lit(1)), F.length("payload_text")
+    )
+    inner_ct = F.lower(
+        F.regexp_extract(http_headers, r"(?im)^content-type:\s*([^\r\n;]+)", 1)
+    )
+    inner_is_text = inner_ct.startswith("text/html") | inner_ct.startswith(
+        "text/plain"
+    )
     is_text = (
         F.col("content_type").isNotNull()
         & (
             F.col("content_type").startswith("text/html")
             | F.col("content_type").startswith("text/plain")
-            | F.col("content_type").startswith("application/http")
+            | (is_http & body_start.isNotNull() & inner_is_text)
         )
     )
+    text_payload = F.when(is_http, http_body).otherwise(F.col("payload_text"))
     docs = (
         tagged.where(
             F.col("reason").isNull()
@@ -181,7 +209,7 @@ def warc_to_docs(records: DataFrame) -> tuple[DataFrame, DataFrame]:
             F.col("record_id").alias("doc_id"),
             "url",
             "warc_date",
-            html_to_text(F.col("payload_text")).alias("text"),
+            html_to_text(text_payload).alias("text"),
         )
     )
     return docs, rejects
@@ -205,3 +233,35 @@ def write_synth_warc(path: str, pages: list[tuple[str, str, str]]) -> None:
                 "\r\n"
             ).encode("ascii")
             f.write(hdr + body + b"\r\n\r\n")
+
+
+def write_synth_warc_http(
+    path: str,
+    pages: list[tuple[str, str, str]],
+    inner_content_type: str = "text/html; charset=utf-8",
+) -> None:
+    """Like :func:`write_synth_warc` but in the Common Crawl shape:
+    ``Content-Type: application/http; msgtype=response`` records whose
+    payload is a full HTTP response message (status line + headers +
+    blank line + body)."""
+    with open(path, "wb") as f:
+        for rid, url, html in pages:
+            doc = html.encode("utf-8")
+            http = (
+                "HTTP/1.1 200 OK\r\n"
+                f"Content-Type: {inner_content_type}\r\n"
+                "Server: synthetic/1.0\r\n"
+                f"Content-Length: {len(doc)}\r\n"
+                "\r\n"
+            ).encode("ascii") + doc
+            hdr = (
+                "WARC/1.0\r\n"
+                f"WARC-Type: response\r\n"
+                f"WARC-Record-ID: {rid}\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                "Content-Type: application/http; msgtype=response\r\n"
+                f"Content-Length: {len(http)}\r\n"
+                "\r\n"
+            ).encode("ascii")
+            f.write(hdr + http + b"\r\n\r\n")

@@ -101,3 +101,8 @@ def test_single_scan_plan(spark, df):
     assert "Python" not in plan
     # one partial+final agg pair over a single scan feeding the explode
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_empty_rules_rejected(spark, df):
+    with pytest.raises(ValueError, match="non-empty"):
+        check_constraints(df, [])

@@ -111,3 +111,19 @@ def test_pipeline_round_trip(spark):
     # truncated, so the object may fall outside it)
     for r in rows[:50]:
         assert r.subj_word in r.subj_ctx
+
+
+def test_ctx_attachment_missing_ctx_row_kept(spark, lm, edges):
+    """A pair whose subject mention has no ctx row keeps its row with
+    subj_ctx null — a missing ctx must never silently drop pairs
+    (r4 ADVICE: the join is LEFT, not inner)."""
+    ctx = spark.createDataFrame(
+        [("m1", "Ada joined Acme in Paris")], ["mention_id", "ctx"]
+    )
+    got = distant_pairs(lm, edges, ctx_source=ctx).collect()
+    # same 9 labeled rows as the no-ctx run: nothing dropped
+    assert len(got) == 9
+    by = {(r.subj_mention_id, r.obj_mention_id, r.label): r.subj_ctx for r in got}
+    assert by[("m1", "m2", "works_for")] == "Ada joined Acme in Paris"
+    assert by[("m2", "m1", "NA")] is None
+    assert by[("m4", "m5", "NA")] is None

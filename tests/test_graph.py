@@ -1120,3 +1120,11 @@ def test_walk_pairs_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         walk_pairs(walks, window=0)
+
+
+def test_hits_rejects_zero_iters(spark):
+    from pg_iui_ner_api_spark.operators.graph import hits
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="iters"):
+        hits(e, iters=0)

@@ -139,3 +139,58 @@ def test_warc_binary_payload_preserved(spark, tmp_path):
     r = read_warc(spark, p).collect()[0]
     assert bytes(r.payload) == body
     assert "�" in r.payload_text and "<p>x</p>" in r.payload_text
+
+
+def test_warc_application_http_strips_headers(spark, tmp_path):
+    """Common Crawl-shaped records (application/http; msgtype=response):
+    the HTTP status line and headers must NOT leak into extracted text;
+    only the body after the first blank line is extracted (r4 ADVICE)."""
+    from pg_iui_ner_api_spark.sources.warc import write_synth_warc_http
+
+    p = os.path.join(tmp_path, "cc.warc")
+    write_synth_warc_http(p, PAGES)
+    docs, rejects = warc_to_docs(read_warc(spark, p))
+    got = {r.doc_id: r.text for r in docs.collect()}
+    assert rejects.count() == 0
+    assert got["<urn:uuid:0001>"] == "Page A\nalpha beta"
+    assert got["<urn:uuid:0002>"] == "gamma & delta"
+    assert got["<urn:uuid:0003>"] == "plain text page"
+    for text in got.values():
+        assert "HTTP/1.1" not in text
+        assert "Content-Type" not in text
+        assert "Server:" not in text
+
+
+def test_warc_application_http_non_text_inner_type_filtered(spark, tmp_path):
+    """An application/http record whose inner Content-Type is not text
+    (e.g. a PDF response) is filtered, not extracted or quarantined."""
+    from pg_iui_ner_api_spark.sources.warc import write_synth_warc_http
+
+    p = os.path.join(tmp_path, "pdf.warc")
+    write_synth_warc_http(
+        p, [("<urn:uuid:pdf>", "http://example.com/f.pdf", "%PDF-fake")],
+        inner_content_type="application/pdf",
+    )
+    docs, rejects = warc_to_docs(read_warc(spark, p))
+    assert docs.count() == 0
+    assert rejects.count() == 0
+
+
+def test_warc_application_http_headers_only_filtered(spark, tmp_path):
+    """A malformed HTTP payload with no blank line (headers only) has no
+    body to extract -> filtered as non-text, never emits header text."""
+    p = os.path.join(tmp_path, "hdr.warc")
+    http = b"HTTP/1.1 204 No Content\r\nContent-Type: text/html\r\n"
+    hdr = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Record-ID: <urn:uuid:h>\r\n"
+        "WARC-Target-URI: http://example.com/h\r\n"
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode("ascii")
+    with open(p, "wb") as f:
+        f.write(hdr + http + b"\r\n\r\n")
+    docs, rejects = warc_to_docs(read_warc(spark, p))
+    assert docs.count() == 0
+    assert rejects.count() == 0
