@@ -2223,7 +2223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distant_pairs": _q_kg_distant_pairs,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
-    
     }
 
 

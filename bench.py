@@ -54,9 +54,17 @@ KG_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
 # efficiency is the MEDIAN paired ratio (a pair shares the same noise
 # minute; best-of-leg across reps mixes noise regimes and is reported
 # separately)
-# median of 3 paired reps: one host-degraded minute can no longer drag
-# the headline (median of 2 is a mean; this host swings several-fold)
+# median of 3 CLEAN paired reps: one host-degraded minute can no longer
+# drag the headline (median of 2 is a mean; this host swings
+# several-fold). r4 lesson: the hard inflation bound (1.6) let mildly
+# contended reps (inflation 1.24, bw ceiling 0.21) count as clean and a
+# 0.74 outlier entered the median — so reps now keep sampling (cap
+# SCALE_MAX_REPS) until SCALE_REPS reps pass the CLEAN band calibrated
+# from BASELINE.md's phase observations: inflation <= 1.25 (clean runs
+# measure 1.0-1.2; contended 1.28-1.77) AND same-rep DRAM-bandwidth
+# ceiling >= 0.9 (clean 0.94+; contended 0.21-0.89).
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+SCALE_MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8"))
 # Parallelism levels per rep. BASELINE.json's gate is "N to 4N", not
 # "8 to 32": the r3 controlled topology experiment (BASELINE.md)
 # established that occupying >8 cores of this microVM hits a
@@ -221,6 +229,21 @@ def bw_probe(par: int, n_tasks: int | None = None, mb: int = 64) -> float:
     return n_tasks / (time.monotonic() - t0)
 
 
+def bw_ceiling_2_8(samples: int = 3) -> float:
+    """Median-of-`samples` 2->8 bandwidth-ceiling reading. A single
+    bw_probe pair is itself noisy on this host (r4 recorded same-rep
+    readings of 0.21 and 1.84 minutes apart); the median of three
+    back-to-back pairs is what the rep-cleanliness band consumes."""
+    import statistics
+
+    vals = []
+    for _ in range(samples):
+        b2 = bw_probe(2)
+        b8 = bw_probe(8)
+        vals.append((b8 / b2) / 4.0)
+    return statistics.median(vals)
+
+
 def cpu_probe(par: int, n_tasks: int = 128, loops: int = 200_000) -> float:
     """Host parallelism ceiling probe: pure-Python multiprocessing (md5
     loops — no JVM, no Spark, no shared state). Returns tasks/sec at
@@ -312,18 +335,53 @@ def _headline(spark) -> dict[str, float]:
     # noise minute it landed in. Run 1 additionally pays one-time costs
     # (JIT, Python worker spin-up, page-cache fill), so min-of-3 is the
     # plan's cost in a quiet moment — the comparable-across-rounds number.
+    #
+    # The ~20-min sweep spans many noise minutes, so it runs in SECTIONS
+    # of ~15 queries with a host-ceiling probe between sections; any
+    # section whose bracketing probes BOTH read below the degraded
+    # threshold (clean phases measure ~0.70-0.73 on the 8->32 md5 probe,
+    # degraded minutes 0.51-0.64 — r3/r4 BENCH files) gets ONE retry
+    # pass, min-merged. r4's per-query drift (1.3-1.9x on sub-second
+    # keys inside a 0.61-ceiling minute) is exactly what this recovers.
+    names = picks + ["embedding_near_dup_lsh"]
     out: dict[str, float] = {}
-    for name in picks + ["embedding_near_dup_lsh"]:
+
+    def measure(name: str, prev: float | None = None) -> None:
         fn = lsh_near_dup if name == "embedding_near_dup_lsh" else qs[name]
         runs = []
         for _ in range(HEADLINE_RUNS):
             t0 = time.monotonic()
             _noop_write(fn(spark, SF_DIR))
             runs.append(time.monotonic() - t0)
-        out[name] = round(min(runs), 3)
+        best = min([min(runs)] + ([prev] if prev is not None else []))
+        out[name] = round(best, 3)
         print(f"# {name}: best {out[name]}s of {[round(r, 2) for r in runs]}",
               file=sys.stderr, flush=True)
-    return out
+
+    def ceiling() -> float:
+        p8, p32 = cpu_probe(8), cpu_probe(32)
+        return round((p32 / p8) / 4.0, 4)
+
+    DEGRADED_CEIL = float(os.environ.get("SPARK_GRAFT_HL_DEGRADED", "0.66"))
+    sec_size = 15
+    sections = [names[i:i + sec_size] for i in range(0, len(names), sec_size)]
+    probes = [ceiling()]
+    for sec in sections:
+        for name in sec:
+            measure(name)
+        probes.append(ceiling())
+    retried: list[int] = []
+    for i, sec in enumerate(sections):
+        if probes[i] < DEGRADED_CEIL and probes[i + 1] < DEGRADED_CEIL:
+            retried.append(i)
+            print(f"# headline section {i} bracketed by degraded probes "
+                  f"({probes[i]}, {probes[i + 1]}) — retry pass",
+                  file=sys.stderr, flush=True)
+            for name in sec:
+                measure(name, prev=out[name])
+    print(f"# headline probes: {probes}; retried sections: {retried}",
+          file=sys.stderr, flush=True)
+    return out, probes, retried
 
 
 def main() -> None:
@@ -343,19 +401,14 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # bracket the per-query section with host-ceiling probes so each
-    # round's per-query times carry their own noise-regime evidence
-    def _ceiling() -> float:
-        p8, p32 = cpu_probe(8), cpu_probe(32)
-        return round((p32 / p8) / 4.0, 4)
-
+    # _headline interleaves host-ceiling probes between query sections
+    # so each round's per-query times carry their own noise-regime
+    # evidence, and retries sections bracketed by degraded probes
     hl_ceil: list[float] = []
+    hl_retried: list[int] = []
     queries: dict[str, float] = {}
     if do_headline:
-        hl_ceil.append(_ceiling())
-        queries = _headline(spark)
-        hl_ceil.append(_ceiling())
-        print(f"# headline probe bracket: {hl_ceil}", file=sys.stderr, flush=True)
+        queries, hl_ceil, hl_retried = _headline(spark)
     if do_scaling:
         _materialize_corpus(spark, KG_DOCS, CORPUS_PATH)  # untimed input table
     spark.stop()
@@ -367,6 +420,7 @@ def main() -> None:
             "queries": queries,
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "headline_host_ceiling": hl_ceil,
+        "headline_retried_sections": hl_retried,
         }))
         return
 
@@ -382,19 +436,33 @@ def main() -> None:
     ceilings: list[float] = []
     ceilings_2_8: list[float] = []
     bw_ceilings_2_8: list[float] = []
-    # Rep validity: a rep is host-degraded when the GATE pair's total-CPU
-    # inflation (measured from /proc/stat, independent of wall clock)
-    # leaves [1/1.6, 1.6]. Identical code + identical input + identical
-    # task graph cannot legitimately consume >1.6x the CPU at one thread
-    # count vs another — measured clean range across many runs is
-    # 1.04-1.31; the one degraded minute observed measured 4.67 (the
-    # microVM's host stole throughput mid-leg). One replacement rep max,
-    # all reps stay reported, degraded rep indices are emitted.
-    INFLATION_VALID = (1 / 1.6, 1.6)
+    # Rep validity — two bands, both read from measurements independent
+    # of the legs' wall clocks:
+    #  * HARD-degraded: gate-pair total-CPU inflation (from /proc/stat)
+    #    outside [1/1.6, 1.6]. Identical code + input + task graph
+    #    cannot legitimately consume >1.6x the CPU at one thread count
+    #    vs another; the one observed hard minute measured 4.67.
+    #  * CONTENDED: inflation > 1.25 OR same-rep DRAM-bandwidth ceiling
+    #    < 0.9. Calibrated from BASELINE.md's phase observations: clean
+    #    phases measure inflation 1.0-1.2 with bw ceilings 0.94+;
+    #    contended phases 1.28-1.77 with bw 0.21-0.89. r4's driver file
+    #    shows why the hard band alone is not enough: a rep with
+    #    inflation 1.24 and bw 0.21 counted as clean and its 0.74 ratio
+    #    entered the gate median.
+    # Reps keep sampling until SCALE_REPS CLEAN reps exist (cap
+    # SCALE_MAX_REPS); the gate median uses clean reps only, falling
+    # back to the least-inflated non-hard reps if the host never offers
+    # enough clean minutes (policy emitted as gate_rep_policy). All
+    # reps stay reported per-rep.
+    INFLATION_HARD = (1 / 1.6, 1.6)
+    INFLATION_CLEAN = 1.25
+    BW_CLEAN = 0.9
     gate_small = min((a for a in SCALE_PARS if 4 * a in SCALE_PARS),
                      default=None)
-    valid_reps: list[int] = []
+    clean_reps: list[int] = []
+    contended_reps: list[int] = []
     degraded_reps: list[int] = []
+    rep_inflation: list[float | None] = []
 
     def run_leg(par: int, rep: int):
         """One pinned fresh-JVM scaling leg; returns (wall_s, cpu_s).
@@ -428,12 +496,18 @@ def main() -> None:
               f"(util {cpu_s / (secs * par):.2f})", file=sys.stderr, flush=True)
         return secs, cpu_s
 
-    nongate_pending = any(p not in (
-        {gate_small, 4 * gate_small} if gate_small is not None
-        else set(SCALE_PARS)) for p in SCALE_PARS)
+    gate_pars = ({gate_small, 4 * gate_small}
+                 if gate_small is not None else set(SCALE_PARS))
+    nongate = tuple(p for p in SCALE_PARS if p not in gate_pars)
+    # the non-gate 32-leg (it only evidences the >8-core host wall
+    # characterized in BASELINE.md, but its docs/sec IS the headline
+    # throughput) samples in CLEAN reps until it has NONGATE_SAMPLES
+    # clean-minute readings — r4 ran it exactly once and immortalized a
+    # 0.61-ceiling minute's 14.1k docs/s while the same code did 46.8k
+    NONGATE_SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_32_SAMPLES", "2"))
+    nongate_runs = 0
     rep = 0
-    max_reps = SCALE_REPS + 1
-    while len(valid_reps) < SCALE_REPS and rep < max_reps:
+    while len(clean_reps) < SCALE_REPS and rep < SCALE_MAX_REPS:
         p2 = cpu_probe(2, n_tasks=48)
         p8 = cpu_probe(8)
         p32 = cpu_probe(32)
@@ -441,24 +515,14 @@ def main() -> None:
         ceil28 = (p8 / p2) / 4.0
         ceilings.append(ceil)
         ceilings_2_8.append(ceil28)
-        b2 = bw_probe(2)
-        b8 = bw_probe(8)
-        bw28 = (b8 / b2) / 4.0
+        bw28 = bw_ceiling_2_8()
         bw_ceilings_2_8.append(bw28)
         print(f"# host probe rep={rep}: {p2:.1f} t/s @2, {p8:.1f} t/s @8, "
               f"{p32:.1f} t/s @32, ceiling(8->32)={ceil:.3f}, "
-              f"ceiling(2->8)={ceil28:.3f}; bw {b2:.2f} t/s @2, "
-              f"{b8:.2f} t/s @8, bw_ceiling(2->8)={bw28:.3f}",
+              f"ceiling(2->8)={ceil28:.3f}; bw_ceiling(2->8)={bw28:.3f}",
               file=sys.stderr, flush=True)
         times: dict[int, float] = {}
         cpus: dict[int, float] = {}
-        # the gate pair runs every rep; non-gate legs (the 32-leg, which
-        # only evidences the >8-core host wall already characterized in
-        # BASELINE.md) run ONCE, in the first rep whose gate pair comes
-        # back host-valid — running them unconditionally in rep 0 lost
-        # the headline 32-leg number whenever rep 0 was the degraded one
-        gate_pars = ({gate_small, 4 * gate_small}
-                     if gate_small is not None else set(SCALE_PARS))
         pars = tuple(p for p in SCALE_PARS if p in gate_pars)
         order = pars if rep % 2 == 0 else tuple(reversed(pars))
         for par in order:
@@ -468,39 +532,59 @@ def main() -> None:
         if (gate_small is not None and cpus.get(gate_small)
                 and cpus.get(4 * gate_small)):
             infl = cpus[4 * gate_small] / cpus[gate_small]
-            ok = INFLATION_VALID[0] <= infl <= INFLATION_VALID[1]
         else:
-            ok = True
-        if ok and nongate_pending:
-            # same rep, same noise minute as a VALID gate pair
-            for par in (p for p in SCALE_PARS if p not in gate_pars):
+            infl = None
+        hard_ok = infl is None or INFLATION_HARD[0] <= infl <= INFLATION_HARD[1]
+        clean = (
+            hard_ok
+            and (infl is None or infl <= INFLATION_CLEAN)
+            and bw28 >= BW_CLEAN
+        )
+        if clean and nongate and nongate_runs < NONGATE_SAMPLES:
+            # same rep, same noise minute as a CLEAN gate pair
+            for par in nongate:
                 res_ng = run_leg(par, rep)
                 if res_ng is not None:
                     times[par], cpus[par] = res_ng
-            nongate_pending = False
+            nongate_runs += 1
         rep_times.append(times)
         rep_cpu.append(cpus)
-        (valid_reps if ok else degraded_reps).append(rep)
-        if not ok:
-            print(f"# rep {rep} host-degraded (gate-pair cpu inflation "
-                  f"{infl:.2f} outside {INFLATION_VALID}); "
-                  f"{'running replacement rep' if rep + 1 < max_reps and len(valid_reps) < SCALE_REPS else 'no replacement budget left'}",
+        rep_inflation.append(infl)
+        (clean_reps if clean else
+         contended_reps if hard_ok else degraded_reps).append(rep)
+        if not clean:
+            why = (f"cpu inflation {infl:.2f}" if infl is not None else "n/a") \
+                + f", bw ceiling {bw28:.3f}"
+            print(f"# rep {rep} {'host-DEGRADED' if not hard_ok else 'contended'}"
+                  f" ({why}); {len(clean_reps)}/{SCALE_REPS} clean so far",
                   file=sys.stderr, flush=True)
         rep += 1
-    if nongate_pending and rep_times:
-        # every rep's gate pair came back degraded: still produce the
+    if nongate and nongate_runs == 0 and rep_times:
+        # every rep came back contended/degraded: still produce the
         # non-gate (headline 32-leg) number, attached to the last rep
         # and therefore flagged by that rep's probes
-        for par in (p for p in SCALE_PARS
-                    if not any(p in t for t in rep_times)):
+        for par in nongate:
             res_ng = run_leg(par, rep - 1)
             if res_ng is not None:
                 rep_times[-1][par], rep_cpu[-1][par] = res_ng
-    # best-of-legs uses valid reps only (a degraded rep's wall times are
+    # Gate-rep policy: median over CLEAN reps when the host offered at
+    # least one; else the SCALE_REPS least-inflated non-hard reps (the
+    # honest fallback when no clean minute exists — flagged as such).
+    if clean_reps:
+        keep = clean_reps
+        gate_policy = f"clean_reps({len(clean_reps)})"
+    else:
+        pool = contended_reps or list(range(len(rep_times)))
+        keep = sorted(
+            pool, key=lambda i: rep_inflation[i]
+            if rep_inflation[i] is not None else 9e9
+        )[:SCALE_REPS]
+        gate_policy = "least_inflated_fallback"
+    # best-of-legs uses kept reps only (a degraded rep's wall times are
     # not this job's cost); per-rep arrays below keep every rep visible.
-    # Non-gate legs run once in SOME rep — for them, fall back to any
+    # Non-gate legs run in clean reps only — for them, fall back to any
     # rep that has the number rather than dropping the headline.
-    for t in (rep_times[i] for i in valid_reps or range(len(rep_times))):
+    for t in (rep_times[i] for i in keep):
         for par, secs in t.items():
             best[par] = min(best.get(par, 1e18), secs)
     for par in SCALE_PARS:
@@ -526,7 +610,6 @@ def main() -> None:
         for b in sorted(dps)
         if b == 4 * a
     ]
-    keep = valid_reps or list(range(len(rep_times)))
     for a, b in n4n_pairs:
         pair_all = [t[a] / t[b] / 4.0 for t in rep_times if a in t and b in t]
         pair = [rep_times[i][a] / rep_times[i][b] / 4.0 for i in keep
@@ -596,6 +679,13 @@ def main() -> None:
             round(x, 4) for x in bw_ceilings_2_8]
     if degraded_reps:
         scaling["host_degraded_reps"] = degraded_reps
+    if contended_reps:
+        scaling["host_contended_reps"] = contended_reps
+    scaling["clean_reps"] = clean_reps
+    scaling["gate_rep_policy"] = gate_policy
+    scaling["gate_inflation_per_rep"] = [
+        round(x, 4) if x is not None else None for x in rep_inflation
+    ]
     scaling["reps_total"] = len(rep_times)
     # supplementary, same-rep-paired: the gate ratio read against that
     # rep's own measured bandwidth ceiling — the plans' scaling net of
@@ -628,6 +718,7 @@ def main() -> None:
         "kg_bench_docs": KG_DOCS,
         "kg_docs_per_sec": scaling.get("local[32]_docs_per_sec"),
         "headline_host_ceiling": hl_ceil,
+        "headline_retried_sections": hl_retried,
         "scaling": scaling,
     }
     print(json.dumps(result))

@@ -304,6 +304,73 @@ def canonical_nodes(linked_mentions: DataFrame, components: DataFrame) -> DataFr
     )
 
 
+def entity_vote_counts(linked_mentions: DataFrame) -> DataFrame:
+    """``(entity_id, canonical_name, link_kind, cnt)`` — the ADDITIVE
+    sufficient statistics of every canonical-node vote. Counting
+    mentions per (entity, name, kind) once lets a maintenance pass fold
+    a mention DELTA into accumulated counts with one dimension-sized
+    aggregation instead of re-reading the corpus: all of
+    :func:`canonical_nodes`'s votes are marginals of this table."""
+    return linked_mentions.groupBy(
+        "entity_id", "canonical_name", "link_kind"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def canonical_nodes_from_votes(
+    ent_votes: DataFrame, ent_comp: DataFrame
+) -> DataFrame:
+    """:func:`canonical_nodes` computed from pre-aggregated vote counts
+    (:func:`entity_vote_counts`) plus an ``(entity_id, component)`` map
+    instead of raw mentions. Exactly equal to ``canonical_nodes`` when
+    ``ent_comp`` is the per-entity component of
+    :func:`canonical_components` (component is a function of entity
+    there, so summing counts reproduces mention counts; same
+    deterministic tie-breaks) — pinned by
+    ``test_components.test_nodes_from_votes_match``. This is the
+    incremental compactor's node builder: every input here is
+    dimension-sized (entity vocabulary), never corpus-sized."""
+    v = ent_votes.join(ent_comp, "entity_id")
+    ec = v.groupBy("component", "entity_id").agg(F.sum("cnt").alias("c"))
+    rep = ec.groupBy("component").agg(
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("entity_id")))
+        .getField("entity_id")
+        .alias("canonical_id"),
+        F.sum("c").alias("n_mentions"),
+    )
+
+    def modal(col: str, alias: str) -> DataFrame:
+        counts = v.groupBy("component", col).agg(F.sum("cnt").alias("c"))
+        return counts.groupBy("component").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col(col)))
+            .getField(col)
+            .alias(alias)
+        )
+
+    per_component = (
+        rep.join(modal("canonical_name", "canonical_name"), "component")
+        .join(modal("link_kind", "kind"), "component")
+    )
+    return (
+        per_component.groupBy(F.col("canonical_id").alias("entity_id"))
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_mentions")).alias("nm"),
+                    F.col("canonical_name"),
+                    F.col("kind"),
+                )
+            ).alias("_w"),
+            F.sum("n_mentions").alias("n_mentions"),
+        )
+        .select(
+            "entity_id",
+            F.col("_w.canonical_name").alias("canonical_name"),
+            F.col("_w.kind").alias("kind"),
+            "n_mentions",
+        )
+    )
+
+
 def entity_canonical_map(
     linked_mentions: DataFrame, components: DataFrame
 ) -> DataFrame:

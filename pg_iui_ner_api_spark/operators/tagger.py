@@ -402,6 +402,102 @@ class HFTagger:
         ]
         return mentions, []
 
+    def tag_batch(self, pdf, max_batch_tokens: int = 8192):
+        """One Arrow batch -> EXTRACTION pandas frame: MANY text spans
+        per model forward (SURVEY §2.8 M3 "batching"; r4 VERDICT #3 —
+        without this, ``tag_frame`` fell back to its per-row loop and
+        the HF path paid one forward per span).
+
+        Batching strategy: rows are length-SORTED then packed into
+        micro-batches under a token budget (``batch_rows x padded_len <=
+        max_batch_tokens``), so (a) each forward amortizes the
+        per-invocation overhead over many spans, and (b) padding waste
+        is minimal because neighbors in sort order have similar lengths
+        (the standard length-bucketing trick). One tokenizer pass
+        measures lengths; each micro-batch re-tokenizes its text list
+        with ``padding=True`` so HF emits aligned padded tensors.
+        Padding/special positions carry offset (0, 0) and are dropped
+        by :func:`align_offsets_to_probs` index alignment.
+
+        Emits rows in the SAME order as the per-row ``tag`` loop
+        (original row order, mentions in text order) — parity pinned by
+        ``test_hf_tagger_e2e.py``'s batch==per-row test.
+        """
+        import bisect as _b
+
+        import pandas as pd
+        import torch
+
+        from .bio_decode import decode_bio_simple
+
+        texts = list(pdf["text"])
+        n = len(texts)
+        if n == 0:
+            return None
+        lengths = []
+        for t in texts:
+            enc = self._tok(
+                t, return_offsets_mapping=True, truncation=True,
+                max_length=S.MAX_LEN, return_tensors="pt",
+            )
+            lengths.append(len(enc["offset_mapping"][0].tolist()))
+        order = sorted(range(n), key=lambda i: lengths[i])
+        batches: list[list[int]] = []
+        cur: list[int] = []
+        cur_max = 0
+        for i in order:
+            grown = max(cur_max, lengths[i])
+            if cur and grown * (len(cur) + 1) > max_batch_tokens:
+                batches.append(cur)
+                cur, cur_max = [], 0
+                grown = lengths[i]
+            cur.append(i)
+            cur_max = grown
+        if cur:
+            batches.append(cur)
+
+        spans_by_row: list[list] = [[] for _ in range(n)]
+        for idx_list in batches:
+            enc = self._tok(
+                [texts[i] for i in idx_list],
+                return_offsets_mapping=True, truncation=True, padding=True,
+                max_length=S.MAX_LEN, return_tensors="pt",
+            )
+            mappings = enc.pop("offset_mapping")
+            with torch.no_grad():
+                logits = self._model(**enc).logits
+            probs = torch.softmax(logits, dim=-1).numpy()
+            for r, i in enumerate(idx_list):
+                mapping = [
+                    (int(a), int(b)) for a, b in mappings[r].tolist()
+                ]
+                offs, pr = align_offsets_to_probs(mapping, probs[r])
+                spans_by_row[i] = decode_bio_simple(texts[i], offs, pr)
+
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "span_idx", "row_kind", "entity_group", "word",
+            "start", "end", "score", "sentence_id", "ctx",
+        )}
+        for i, (doc_id, span_idx) in enumerate(
+            zip(pdf["doc_id"], pdf["span_idx"])
+        ):
+            text = texts[i]
+            bounds = GazetteerTagger._sentence_bounds(text)
+            for s in spans_by_row[i]:
+                out["doc_id"].append(doc_id)
+                out["span_idx"].append(span_idx)
+                out["row_kind"].append("mention")
+                out["entity_group"].append(s.entity_group)
+                out["word"].append(s.word)
+                out["start"].append(s.start)
+                out["end"].append(s.end)
+                out["score"].append(s.score)
+                out["sentence_id"].append(_b.bisect_right(bounds, s.start))
+                out["ctx"].append(
+                    text[max(0, s.start - CTX_WINDOW) : s.end + CTX_WINDOW]
+                )
+        return pd.DataFrame(out) if out["doc_id"] else None
+
 
 def mention_score_of(alias: str) -> float:
     """Stable pseudo-confidence for a gazetteer alias (test oracle helper)."""

@@ -330,20 +330,110 @@ def stream_kg_increment(spark: SparkSession, input_dir: str, workdir: str,
     return writer.start()
 
 
-def compact_kg_nodes(spark: SparkSession, workdir: str) -> DataFrame:
-    """Periodic global canonicalization over the accumulated linked log.
+def compact_kg_nodes(
+    spark: SparkSession, workdir: str, incremental: bool = True
+) -> DataFrame:
+    """Periodic global canonicalization — INCREMENTAL in the delta.
 
     Connected components is the one cross-document stage, so it cannot
-    be incremental per micro-batch; the compactor reads every
-    ``linked_inc`` partition, reruns components + canonical node voting,
-    and overwrites ``workdir/nodes``. Output equals the batch pipeline's
-    nodes over the same corpus (pinned by test_stream_kg)."""
+    run per micro-batch; but it also must not re-read the whole
+    accumulated log per compaction (r4 VERDICT #4: at a 10^12-doc log
+    the full reread is the scale-killer in an otherwise incremental
+    path). The compactor keeps three DIMENSION-sized state tables under
+    ``workdir/compact_state`` and folds only the batches newer than its
+    high-water mark:
+
+      * ``pairs``  — distinct (entity_id, surface) bipartite pairs; the
+        delta's NEW pairs (one anti-join) are the only CC input;
+      * ``assign`` — the bipartite (node, component) assignment,
+        maintained by :func:`operators.components.incremental_components`
+        (cost ∝ delta + touched components, never history);
+      * ``votes``  — additive (entity, name, kind, cnt) counts
+        (:func:`entity_vote_counts`); the node table is rebuilt from
+        these marginals (:func:`canonical_nodes_from_votes`) without
+        touching any corpus-sized table.
+
+    State versions are written to ``v=<high-water batch>`` dirs and the
+    meta file is updated LAST, so a crash mid-compaction resumes from
+    the previous consistent version. Output equals the batch pipeline's
+    nodes over the same corpus (pinned by test_stream_kg), and a full
+    rebuild (``incremental=False`` or no state) produces identical
+    state.
+    """
+    import json
+    import os
+    import shutil
+
     from ..operators import components as C
 
-    linked = spark.read.parquet(f"{workdir}/linked_inc").drop("batch")
-    comps = C.canonical_components(linked)
-    nodes = C.canonical_nodes(linked, comps)
+    inc_dir = f"{workdir}/linked_inc"
+    batch_ids = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(inc_dir)
+        if d.startswith("batch=")
+    )
+    state_dir = f"{workdir}/compact_state"
+    meta_path = os.path.join(state_dir, "meta.json")
+    meta = None
+    if incremental and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    new_ids = [b for b in batch_ids if meta is None or b > meta["last_batch"]]
+    if meta is not None and not new_ids:
+        return spark.read.parquet(f"{workdir}/nodes")
+
+    delta = spark.read.parquet(
+        *[f"{inc_dir}/batch={b}" for b in new_ids]
+    )
+    dv = C.entity_vote_counts(delta)
+    dp = delta.select(
+        "entity_id", F.lower("word").alias("surface")
+    ).distinct()
+    e_node = F.xxhash64(F.concat(F.lit("e:"), F.col("entity_id")))
+    s_node = F.xxhash64(F.concat(F.lit("s:"), F.col("surface")))
+    if meta is not None:
+        v = meta["version"]
+        prev_votes = spark.read.parquet(f"{state_dir}/votes/v={v}")
+        prev_pairs = spark.read.parquet(f"{state_dir}/pairs/v={v}")
+        prev_assign = spark.read.parquet(f"{state_dir}/assign/v={v}")
+        votes = (
+            prev_votes.unionByName(dv)
+            .groupBy("entity_id", "canonical_name", "link_kind")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        new_pairs = dp.join(prev_pairs, ["entity_id", "surface"], "left_anti")
+        pairs = prev_pairs.unionByName(new_pairs)
+        delta_edges = new_pairs.select(
+            e_node.alias("u"), s_node.alias("v")
+        )
+        assign = C.incremental_components(prev_assign, delta_edges)
+    else:
+        votes, pairs = dv, dp
+        assign = C.connected_components(
+            dp.select(e_node.alias("u"), s_node.alias("v"))
+        )
+    ent_comp = (
+        pairs.select("entity_id").distinct()
+        .withColumn("node", e_node)
+        .join(assign, "node", "left")
+        .select(
+            "entity_id", F.coalesce("component", "node").alias("component")
+        )
+    )
+    nodes = C.canonical_nodes_from_votes(votes, ent_comp)
+
+    hwm = max(new_ids)
+    for name, df in (("votes", votes), ("pairs", pairs), ("assign", assign)):
+        df.write.mode("overwrite").parquet(f"{state_dir}/{name}/v={hwm}")
     nodes.write.mode("overwrite").parquet(f"{workdir}/nodes")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_batch": hwm, "version": hwm}, f)
+    os.replace(tmp, meta_path)
+    for name in ("votes", "pairs", "assign"):
+        root = f"{state_dir}/{name}"
+        for d in os.listdir(root):
+            if d.startswith("v=") and d != f"v={hwm}":
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     return spark.read.parquet(f"{workdir}/nodes")
 
 

@@ -146,3 +146,33 @@ def test_component_stats_star_vs_sparse(spark):
     r = component_stats(edges).collect()[0]
     assert r["n_nodes"] == 5 and r["n_edges"] == 4
     assert r["max_degree"] == 4 and r["density"] == 0.4
+
+
+def test_nodes_from_votes_match(spark):
+    """canonical_nodes_from_votes over additive vote counts + the
+    per-entity component map == canonical_nodes over raw mentions —
+    the equality the incremental compactor's node builder rests on."""
+    from pg_iui_ner_api_spark import synth
+    from pg_iui_ner_api_spark.operators import linking as L, ner as N
+    from pg_iui_ner_api_spark.operators.components import (
+        canonical_components,
+        canonical_nodes,
+        canonical_nodes_from_votes,
+        entity_vote_counts,
+    )
+
+    docs = synth.synth_documents(spark, 120, partitions=4)
+    lm = L.link_mentions(
+        N.mentions_of(N.extract(docs)), synth.alias_df(spark),
+        synth.entity_emb_df(spark),
+    )
+    comps = canonical_components(lm)
+    want = {tuple(r) for r in canonical_nodes(lm, comps).collect()}
+    ent_comp = comps.select("entity_id", "component").distinct()
+    got = {
+        tuple(r)
+        for r in canonical_nodes_from_votes(
+            entity_vote_counts(lm), ent_comp
+        ).collect()
+    }
+    assert got == want

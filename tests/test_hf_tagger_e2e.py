@@ -54,41 +54,77 @@ def _logits(tags, p=0.9):
 
 
 class FakeTokenizer:
-    """Registry of text -> (full offset mapping incl specials, tags)."""
+    """Registry of text -> (full offset mapping incl specials, tags).
+
+    Batch-capable, replicating documented HF fast-tokenizer behavior:
+    a list of texts with ``padding=True`` pads to the longest sequence
+    (offset (0, 0), attention_mask 0 on pad positions). input_ids
+    encode the fixture index (``k * 100000 + position``) so the fake
+    model can return each row's recorded logits from a padded batch."""
 
     def __init__(self, fixtures):
         self.fixtures = fixtures
+        self.keys = list(fixtures)
 
-    def __call__(self, text, return_offsets_mapping=True, truncation=True,
-                 max_length=MAX_LEN, return_tensors="pt"):
-        assert return_offsets_mapping and truncation and return_tensors == "pt"
+    def _one(self, text, max_length):
         mapping, _tags = self.fixtures[text]
         if len(mapping) > max_length:  # HF: keep head, re-append </s>
             mapping = mapping[: max_length - 1] + [(0, 0)]
-        ids = list(range(len(mapping)))  # positional ids are enough
+        return mapping
+
+    def __call__(self, text, return_offsets_mapping=True, truncation=True,
+                 max_length=MAX_LEN, return_tensors="pt", padding=False):
+        assert return_offsets_mapping and truncation and return_tensors == "pt"
+        texts = text if isinstance(text, list) else [text]
+        maps = [self._one(t, max_length) for t in texts]
+        pad_to = max(len(m) for m in maps)
+        ids, masks, padded = [], [], []
+        for t, m in zip(texts, maps):
+            k = self.keys.index(t)
+            width = len(m)
+            ids.append([k * 100000 + j for j in range(width)]
+                       + [0] * (pad_to - width))
+            masks.append([1] * width + [0] * (pad_to - width))
+            padded.append(list(m) + [(0, 0)] * (pad_to - width))
         return {
-            "input_ids": FakeTensor([ids]),
-            "attention_mask": FakeTensor([[1] * len(ids)]),
-            "offset_mapping": FakeTensor([mapping]),
+            "input_ids": FakeTensor(ids),
+            "attention_mask": FakeTensor(masks),
+            "offset_mapping": FakeTensor(padded),
         }
 
 
 class FakeModel:
+    """Per-fixture recorded logits, batch-capable: each row of a padded
+    batch is resolved by the fixture index its input_ids encode; pad
+    positions get O-logits (dropped by offset alignment anyway).
+    ``n_forwards`` counts invocations so tests can pin how many model
+    calls a batch strategy issues."""
+
     def __init__(self, fixtures):
-        # logits keyed by sequence length, pre-truncated like the ids
-        self.by_len = {}
+        self.rows = []
         for mapping, tags in fixtures.values():
             full = _logits(tags)
-            self.by_len[len(mapping)] = full
             if len(mapping) > MAX_LEN:
-                trunc = np.vstack([full[: MAX_LEN - 1],
-                                   _logits(["O"])])  # </s> row
-                self.by_len[MAX_LEN] = trunc
+                full = np.vstack([full[: MAX_LEN - 1],
+                                  _logits(["O"])])  # </s> row
+            self.rows.append(full)
+        self.pad_row = _logits(["O"])[0]
+        self.n_forwards = 0
+        self.batch_shapes = []
 
     def __call__(self, input_ids=None, attention_mask=None):
-        n = input_ids.arr.shape[1]
+        self.n_forwards += 1
+        ids = input_ids.arr
+        b, width = ids.shape
+        self.batch_shapes.append((b, width))
+        out_arr = np.empty((b, width, NL))
+        for r in range(b):
+            k = int(ids[r][0]) // 100000
+            keep = int(attention_mask.arr[r].sum())
+            out_arr[r, :keep] = self.rows[k][:keep]
+            out_arr[r, keep:] = self.pad_row
         out = types.SimpleNamespace()
-        out.logits = FakeTensor(self.by_len[n][None, :, :])
+        out.logits = FakeTensor(out_arr)
         return out
 
 
@@ -214,3 +250,108 @@ def test_hf_singleton_per_model(hf_tagger):
     assert HFTagger.get("models/fake") is t1
     t2 = hf_tagger("models/other", fx)
     assert t2 is not t1 and HFTagger.get("models/other") is t2
+
+
+def _fixture_set():
+    """Four texts of assorted lengths (incl. one past MAX_LEN and one
+    with no entities) for batch tests."""
+    fx = {}
+    t1 = "Acme Corp.. opened! Curie left."
+    fx[t1] = (
+        [(0, 0), (0, 4), (5, 9), (9, 10), (10, 11), (12, 18), (18, 19),
+         (20, 25), (26, 30), (30, 31), (0, 0)],
+        ["O", "B-ORG", "I-ORG", "O", "O", "O", "O", "B-PER", "O", "O", "O"],
+    )
+    t2 = "nothing here"
+    fx[t2] = ([(0, 0), (0, 7), (8, 12), (0, 0)], ["O", "O", "O", "O"])
+    t3 = "Paris won"
+    fx[t3] = ([(0, 0), (0, 5), (6, 9), (0, 0)], ["O", "B-LOC", "O", "O"])
+    # long text past MAX_LEN: entity at word 10, entity past the cut
+    n_words = MAX_LEN + 20
+    t4 = " ".join(f"w{i:03d}" for i in range(n_words))
+    mapping = [(0, 0)] + [(i * 5, i * 5 + 4) for i in range(n_words)] + [(0, 0)]
+    tags = ["O"] * len(mapping)
+    tags[11] = "B-PER"
+    tags[MAX_LEN + 5] = "B-ORG"  # past the cut -> dropped
+    fx[t4] = (mapping, tags)
+    return fx
+
+
+def test_hf_tag_batch_matches_per_row(hf_tagger):
+    """tag_batch (token-budgeted micro-batches) emits exactly the rows
+    the per-row tag loop emits, in the same order."""
+    import pandas as pd
+
+    from pg_iui_ner_api_spark.operators.ner import tag_frame
+
+    fx = _fixture_set()
+    tg = hf_tagger("models/fake-batch", fx)
+    texts = list(fx)
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(len(texts))],
+        "span_idx": list(range(len(texts))),
+        "text": texts,
+    })
+    got = tg.tag_batch(pdf)
+    # reference: the per-row loop tag_frame used before tag_batch existed
+    per_row = {k: [] for k in got.columns}
+    for doc_id, span_idx, text in zip(pdf["doc_id"], pdf["span_idx"], pdf["text"]):
+        mentions, _ = tg.tag(text)
+        for m in mentions:
+            per_row["doc_id"].append(doc_id)
+            per_row["span_idx"].append(span_idx)
+            per_row["row_kind"].append("mention")
+            per_row["entity_group"].append(m.entity_group)
+            per_row["word"].append(m.word)
+            per_row["start"].append(m.start)
+            per_row["end"].append(m.end)
+            per_row["score"].append(m.score)
+            per_row["sentence_id"].append(m.sentence_id)
+            per_row["ctx"].append(m.ctx)
+    want = pd.DataFrame(per_row)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    # sanity on content: ORG+PER from t1, LOC from t3, PER from t4
+    assert list(got["entity_group"]) == ["ORG", "PER", "LOC", "PER"]
+    # tag_frame now routes HFTagger through tag_batch
+    via_frame = tag_frame(tg, pdf)
+    pd.testing.assert_frame_equal(via_frame.reset_index(drop=True), want)
+
+
+def test_hf_tag_batch_token_budget(hf_tagger):
+    """The packer respects rows x padded_len <= max_batch_tokens and
+    amortizes: a roomy budget -> fewer forwards than rows; a tight one
+    -> more, smaller batches; results identical either way."""
+    import pandas as pd
+
+    fx = _fixture_set()
+    texts = list(fx)
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i}" for i in range(len(texts))],
+        "span_idx": list(range(len(texts))),
+        "text": texts,
+    })
+    tg = hf_tagger("models/fake-budget", fx)
+    roomy = tg.tag_batch(pdf, max_batch_tokens=2 * MAX_LEN)
+    model = tg._model
+    assert model.n_forwards < len(texts)
+    for b, width in model.batch_shapes:
+        assert b * width <= 2 * MAX_LEN
+    # the three short texts (len 4-11) pack into ONE forward; the
+    # MAX_LEN-long text rides alone (padding waste bound by sorting)
+    assert model.n_forwards == 2
+    tg2 = hf_tagger("models/fake-budget2", fx)
+    tight = tg2.tag_batch(pdf, max_batch_tokens=12)
+    # the two length-4 texts still pair (2 x 4 = 8 <= 12); the length-11
+    # and length-512 texts ride alone
+    assert tg2._model.n_forwards == 3
+    pd.testing.assert_frame_equal(
+        roomy.reset_index(drop=True), tight.reset_index(drop=True)
+    )
+
+
+def test_hf_tag_batch_empty_frame(hf_tagger):
+    import pandas as pd
+
+    fx = _fixture_set()
+    tg = hf_tagger("models/fake-empty", fx)
+    assert tg.tag_batch(pd.DataFrame({"doc_id": [], "span_idx": [], "text": []})) is None

@@ -260,6 +260,10 @@ def test_stream_kg_increment_matches_batch(spark, tmp_path):
     half1.coalesce(1).write.mode("append").parquet(input_dir)
     J.stream_kg_increment(spark, input_dir, wd, ckpt).awaitTermination()
     n_after_1 = spark.read.parquet(f"{wd}/edges_inc").count()
+    # compact mid-stream so the SECOND compaction exercises the
+    # incremental path (state fold + incremental_components), not the
+    # first-run full rebuild
+    J.compact_kg_nodes(spark, wd)
 
     half2.coalesce(1).write.mode("append").parquet(input_dir)
     J.stream_kg_increment(spark, input_dir, wd, ckpt).awaitTermination()
@@ -276,10 +280,18 @@ def test_stream_kg_increment_matches_batch(spark, tmp_path):
     J.stream_kg_increment(spark, input_dir, wd, ckpt).awaitTermination()
     assert spark.read.parquet(f"{wd}/edges_inc").count() == n_after_2
 
-    nodes = J.compact_kg_nodes(spark, wd)
+    nodes = J.compact_kg_nodes(spark, wd)  # incremental fold of batch 2
     node_cols = ["entity_id", "canonical_name"]
-    assert ({tuple(r) for r in nodes.select(*node_cols).collect()}
-            == {tuple(r) for r in res["nodes"].select(*node_cols).collect()})
+    want_nodes = {tuple(r) for r in res["nodes"].select(*node_cols).collect()}
+    assert {tuple(r) for r in nodes.select(*node_cols).collect()} == want_nodes
+
+    # no-delta compaction: returns the same table without recomputing
+    again = J.compact_kg_nodes(spark, wd)
+    assert {tuple(r) for r in again.select(*node_cols).collect()} == want_nodes
+
+    # a full rebuild (state ignored) agrees with the incremental result
+    full = J.compact_kg_nodes(spark, wd, incremental=False)
+    assert {tuple(r) for r in full.select(*node_cols).collect()} == want_nodes
     res["_runner"].unpersist()
 
 
