@@ -1365,6 +1365,15 @@ def _q_graph_triangles(spark, sf):
     return GR.triangle_count(_part_edges(spark, sf))
 
 
+def _q_graph_lcc(spark, sf):
+    """Per-node local clustering coefficient (operators/graph.py::
+    clustering_coefficient) over the part co-occurrence graph — the
+    per-entity cohesion score (over-merged hubs read high-degree/
+    low-lcc). Degree-oriented wedge closure, three vertices per closed
+    triangle via one in-row explode, one IEEE division rounded 6dp."""
+    return GR.clustering_coefficient(_part_edges(spark, sf))
+
+
 def _q_graph_lpa(spark, sf):
     return GR.label_propagation(
         GR.symmetrize(_part_edges(spark, sf)), iters=2
@@ -2115,6 +2124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pred_dropped": _q_link_pred_dropped,
         "kg_rules_dropped": _q_kg_rules_dropped,
         "bin_pack_manifest": _q_bin_pack_manifest,
+        # -- (a3) new in r5 — outside the window BY DESIGN so the 50
+        #    longest-waiting keys keep their driver slots; these are
+        #    check_entry- and pytest-verified instead
+        "graph_lcc": _q_graph_lcc,
         # -- (b) oracle-backed, driver-green in CORRECTNESS_r01-r04
         "graph_jaccard": _q_graph_jaccard,
         "graph_sssp": _q_graph_sssp,
@@ -3884,6 +3897,30 @@ def oracle_sql() -> dict[str, str]:
     """
     # orientation-invariant triangle count: the naive a<b<c three-way
     # join must agree exactly with Spark's degree-oriented wedge plan
+    _TRI3 = """
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+    sql["graph_lcc"] = f"""
+        WITH {_GEDGES},
+        t3 AS ({_TRI3}),
+        tri AS (
+          SELECT node, count(*) AS n_triangles FROM (
+            SELECT a AS node FROM t3
+            UNION ALL SELECT b FROM t3
+            UNION ALL SELECT c FROM t3
+          ) GROUP BY node
+        ),
+        deg AS (SELECT src AS node, count(*) AS degree FROM sym GROUP BY src)
+        SELECT d.node, d.degree,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree < 2 THEN 0.0
+                    ELSE round((2.0 * coalesce(t.n_triangles, 0))
+                               / (d.degree * (d.degree - 1)), 6)
+               END AS lcc
+        FROM deg d LEFT JOIN tri t ON t.node = d.node
+    """
     sql["graph_triangles"] = f"""
         WITH {_GEDGES}
         SELECT count(*) AS n_triangles

@@ -1128,3 +1128,48 @@ def test_hits_rejects_zero_iters(spark):
     e = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError, match="iters"):
         hits(e, iters=0)
+
+
+def test_clustering_coefficient_hand_graph(spark):
+    """Triangle 1-2-3 plus pendant 4 on node 1: lcc(1)=1/3 (one of
+    three possible neighbor pairs closed), lcc(2)=lcc(3)=1, lcc(4)=0."""
+    from pg_iui_ner_api_spark.operators.graph import clustering_coefficient
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], ["src", "dst"]
+    )
+    got = {r.node: (r.degree, r.n_triangles, r.lcc)
+           for r in clustering_coefficient(e).collect()}
+    assert got == {
+        1: (3, 1, 0.333333),
+        2: (2, 1, 1.0),
+        3: (2, 1, 1.0),
+        4: (1, 0, 0.0),
+    }
+
+
+def test_clustering_coefficient_matches_reference(spark):
+    """Random canonical graph vs an independent pure-Python reference."""
+    import itertools
+    import random
+
+    from pg_iui_ner_api_spark.operators.graph import clustering_coefficient
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)})
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for v, nb in adj.items():
+        t = sum(1 for x, y in itertools.combinations(sorted(nb), 2)
+                if y in adj.get(x, ()))
+        d = len(nb)
+        lcc = round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0
+        want[v] = (d, t, lcc)
+    got = {r.node: (r.degree, r.n_triangles, r.lcc)
+           for r in clustering_coefficient(
+               spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got == want
