@@ -1,0 +1,128 @@
+"""sf0.1 evidence for the three heavy keys whose DuckDB oracles are
+infeasible at that scale (r4 VERDICT item #7 fallback).
+
+* ``kg_rules`` / ``kg_rules_approx`` — the oracle's body-pair distinct
+  materializes ~20M grounded paths as VARCHAR pairs in one DuckDB
+  operator (observed >55 GiB resident before being killed); Spark runs
+  the same computation in 14 s because the distinct is distributed.
+* ``component_stats`` — the oracle derives components from a FULL
+  transitive-closure recursive CTE, quadratic in component size
+  (observed >75 GiB at sf0.1).
+
+Instead of value-hash equality, this script checks EXACT internal
+invariants of the Spark outputs at sf0.1 — identities that would break
+under the scale-dependent failure modes the sf0.1 run is meant to
+catch (hash collisions, cap thresholds, AQE plan changes):
+
+kg_rules:       support <= n_body; support <= n_head;
+                confidence == round(support/n_body, 6) recomputed;
+                head_coverage == round(support/n_head, 6);
+                n_body consistent per (p1, p2) across head rows.
+kg_rules vs approx: every approx rule's (p1,p2,head) exists in the
+                exact run's UNFILTERED rule set shape is not required
+                (sampling changes support), but predicates must be a
+                subset of the exact run's predicate universe.
+component_stats: sum(n_nodes) == number of distinct nodes in the edge
+                universe; each component's n_edges <= n_nodes*(n_nodes-1)/2;
+                max_degree < n_nodes; density == round(recomputation, 6).
+
+Prints one JSON line with pass/fail per invariant group.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import __spark_entry__ as E
+    from pg_iui_ner_api_spark.session import get_spark
+
+    spark = get_spark(app_name="sf01-invariants", master="local[16]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = E.queries()
+    out: dict[str, object] = {"sf": sf_dir}
+
+    rules = qs["kg_rules"](spark, sf_dir).cache()
+    n_rules = rules.count()
+    bad = rules.where(
+        (F.col("support") > F.col("n_body"))
+        | (F.col("support") > F.col("n_head"))
+        | (F.col("confidence")
+           != F.round(F.col("support").cast("double") / F.col("n_body"), 6))
+        | (F.col("head_coverage")
+           != F.round(F.col("support").cast("double") / F.col("n_head"), 6))
+    ).count()
+    nb_inconsistent = (
+        rules.groupBy("p1", "p2")
+        .agg(F.count_distinct("n_body").alias("k"))
+        .where(F.col("k") > 1)
+        .count()
+    )
+    out["kg_rules"] = {
+        "n_rules": n_rules,
+        "violations": bad,
+        "n_body_inconsistent_pairs": nb_inconsistent,
+        "ok": bool(n_rules > 0 and bad == 0 and nb_inconsistent == 0),
+    }
+
+    approx = qs["kg_rules_approx"](spark, sf_dir).cache()
+    n_approx = approx.count()
+    exact_preds = {r[0] for df in (rules.select("p1"), rules.select("p2"),
+                                   rules.select("head"))
+                   for r in df.distinct().collect()}
+    approx_preds = {r[0] for df in (approx.select("p1"), approx.select("p2"),
+                                    approx.select("head"))
+                    for r in df.distinct().collect()}
+    bad_a = approx.where(
+        (F.col("support") > F.col("n_body"))
+        | (F.col("confidence")
+           != F.round(F.col("support").cast("double") / F.col("n_body"), 6))
+    ).count()
+    out["kg_rules_approx"] = {
+        "n_rules": n_approx,
+        "violations": bad_a,
+        "preds_subset_of_exact": approx_preds <= exact_preds,
+        "ok": bool(n_approx > 0 and bad_a == 0 and approx_preds <= exact_preds),
+    }
+    rules.unpersist(); approx.unpersist()
+
+    cs = qs["component_stats"](spark, sf_dir).cache()
+    edges = qs["graph_cooccur"](spark, sf_dir)
+    n_nodes_universe = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .distinct().count()
+    )
+    sum_nodes = cs.agg(F.sum("n_nodes")).collect()[0][0]
+    bad_c = cs.where(
+        (F.col("n_edges") * 2 > F.col("n_nodes") * (F.col("n_nodes") - 1))
+        | (F.col("max_degree") >= F.col("n_nodes"))
+        | (
+            (F.col("n_nodes") > 1)
+            & (F.col("density")
+               != F.round(
+                   (F.lit(2.0) * F.col("n_edges"))
+                   / (F.col("n_nodes") * (F.col("n_nodes") - 1)), 6))
+        )
+    ).count()
+    out["component_stats"] = {
+        "n_components": cs.count(),
+        "sum_n_nodes": sum_nodes,
+        "node_universe": n_nodes_universe,
+        "violations": bad_c,
+        "ok": bool(sum_nodes == n_nodes_universe and bad_c == 0),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
