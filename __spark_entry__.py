@@ -1374,6 +1374,49 @@ def _q_graph_lcc(spark, sf):
     return GR.clustering_coefficient(_part_edges(spark, sf))
 
 
+def _q_coherence_link(spark, sf):
+    """Collective entity disambiguation (operators/linking.py::
+    coherence_rerank) over a TPC-H-derived EL benchmark: each lineitem
+    is a mention whose candidate entities are ALL suppliers of its part
+    (prior = deterministic md5 score in [0,1)), relatedness edges are
+    the co-supplier graph, and the winner per mention must cohere with
+    the order's other lineitems' candidates. The 8-candidate cap is
+    live (~26 suppliers/part), so the deterministic cap order is part
+    of the checked surface."""
+    from pg_iui_ner_api_spark.functions.text import portable_hash64
+    from pg_iui_ner_api_spark.operators import linking as L
+
+    li = _t(spark, sf, "lineitem")
+    part_sup = li.select("l_partkey", "l_suppkey").distinct()
+    mid = F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    mentions = li.select("l_orderkey", "l_linenumber", "l_partkey").distinct()
+    cands = mentions.join(part_sup, "l_partkey").select(
+        F.col("l_orderkey").alias("doc_id"),
+        mid.alias("mention_id"),
+        F.col("l_suppkey").alias("entity_id"),
+        (
+            F.pmod(
+                portable_hash64(
+                    F.concat_ws(
+                        ":",
+                        mid.cast("string"),
+                        F.col("l_suppkey").cast("string"),
+                    )
+                ),
+                F.lit(1000),
+            )
+            / F.lit(1000.0)
+        ).alias("prior"),
+    )
+    edges = GR.cooccurrence_edges(li, "l_partkey", "l_suppkey").select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return L.coherence_rerank(
+        cands, edges, lam=1.0, max_cands_per_mention=8,
+        max_mentions_per_doc=64,
+    )
+
+
 def _q_graph_lpa(spark, sf):
     return GR.label_propagation(
         GR.symmetrize(_part_edges(spark, sf)), iters=2
@@ -2128,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    longest-waiting keys keep their driver slots; these are
         #    check_entry- and pytest-verified instead
         "graph_lcc": _q_graph_lcc,
+        "coherence_link": _q_coherence_link,
         # -- (b) oracle-backed, driver-green in CORRECTNESS_r01-r04
         "graph_jaccard": _q_graph_jaccard,
         "graph_sssp": _q_graph_sssp,
@@ -3920,6 +3964,66 @@ def oracle_sql() -> dict[str, str]:
                                / (d.degree * (d.degree - 1)), 6)
                END AS lcc
         FROM deg d LEFT JOIN tri t ON t.node = d.node
+    """
+    sql["coherence_link"] = f"""
+        WITH
+        ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        m AS (SELECT DISTINCT l_orderkey AS doc_id,
+                     l_orderkey * 100 + l_linenumber AS mention_id,
+                     l_partkey AS p FROM lineitem),
+        cand0 AS (
+          SELECT m.doc_id, m.mention_id, ps.s AS entity_id,
+                 ({_H.format(x="m.mention_id::VARCHAR || ':' || ps.s::VARCHAR")}
+                  % 1000) / 1000.0 AS prior
+          FROM m JOIN ps ON m.p = ps.p
+        ),
+        candr AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id, mention_id
+            ORDER BY prior DESC, entity_id ASC) AS rk
+          FROM cand0
+        ),
+        mkeep AS (
+          SELECT doc_id, mention_id FROM (
+            SELECT doc_id, mention_id, row_number() OVER (
+              PARTITION BY doc_id ORDER BY mention_id ASC) AS rm
+            FROM (SELECT DISTINCT doc_id, mention_id FROM cand0)
+          ) WHERE rm <= 64
+        ),
+        cand AS (
+          SELECT c.doc_id, c.mention_id, c.entity_id, c.prior
+          FROM candr c JOIN mkeep USING (doc_id, mention_id)
+          WHERE c.rk <= 8
+        ),
+        ge AS (SELECT DISTINCT l_partkey AS g, l_suppkey AS n FROM lineitem),
+        gedges AS (
+          SELECT DISTINCT a.n AS u, b.n AS v
+          FROM ge a JOIN ge b ON a.g = b.g AND a.n < b.n
+        ),
+        gsym AS (SELECT u, v FROM gedges UNION ALL SELECT v, u FROM gedges),
+        coh AS (
+          SELECT a.doc_id, a.mention_id, a.entity_id,
+                 count(DISTINCT b.mention_id) AS coherence
+          FROM cand a
+          JOIN cand b ON a.doc_id = b.doc_id
+                     AND a.mention_id <> b.mention_id
+          JOIN gsym ON gsym.u = a.entity_id AND gsym.v = b.entity_id
+          GROUP BY 1, 2, 3
+        ),
+        scored AS (
+          SELECT c.doc_id, c.mention_id, c.entity_id, c.prior,
+                 CAST(coalesce(coh.coherence, 0) AS BIGINT) AS coherence,
+                 round(c.prior + 1.0 * coalesce(coh.coherence, 0), 6) AS score
+          FROM cand c LEFT JOIN coh
+            USING (doc_id, mention_id, entity_id)
+        )
+        SELECT doc_id, mention_id, entity_id, prior, coherence, score
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id, mention_id
+            ORDER BY score DESC, entity_id ASC) AS rw
+          FROM scored
+        ) WHERE rw = 1
     """
     sql["graph_triangles"] = f"""
         WITH {_GEDGES}

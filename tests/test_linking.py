@@ -137,3 +137,92 @@ def test_fuzzy_candidates_recover_typo_surfaces(spark):
     for rs in by_m.values():
         eids = [r["entity_id"] for r in rs]
         assert len(eids) == len(set(eids))
+
+
+def test_coherence_rerank_flips_wrong_prior(spark):
+    """m1's prior favors the wrong sense; the KG edge between the right
+    sense and m2's entity flips the decision (collective linking)."""
+    from pg_iui_ner_api_spark.operators.linking import coherence_rerank
+
+    cands = spark.createDataFrame(
+        [("d1", 1, 100, 0.9),   # wrong sense, high prior
+         ("d1", 1, 200, 0.5),   # right sense, related to m2's entity
+         ("d1", 2, 300, 1.0)],
+        ["doc_id", "mention_id", "entity_id", "prior"],
+    )
+    edges = spark.createDataFrame([(200, 300)], ["u", "v"])
+    got = {r.mention_id: (r.entity_id, r.coherence, r.score)
+           for r in coherence_rerank(cands, edges).collect()}
+    assert got[1] == (200, 1, 1.5)       # 0.5 + 1*1 beats 0.9 + 0
+    assert got[2] == (300, 1, 2.0)       # symmetric edge counts both ways
+
+
+def test_coherence_rerank_tie_breaks_to_smaller_entity(spark):
+    from pg_iui_ner_api_spark.operators.linking import coherence_rerank
+
+    cands = spark.createDataFrame(
+        [("d1", 1, 7, 0.5), ("d1", 1, 3, 0.5)],
+        ["doc_id", "mention_id", "entity_id", "prior"],
+    )
+    edges = spark.createDataFrame([], "u long, v long")
+    [r] = coherence_rerank(cands, edges).collect()
+    assert (r.entity_id, r.coherence, r.score) == (3, 0, 0.5)
+
+
+def test_coherence_rerank_distinct_mention_votes(spark):
+    """A neighbor mention with MANY related candidates still votes once
+    (distinct-mention counting)."""
+    from pg_iui_ner_api_spark.operators.linking import coherence_rerank
+
+    cands = spark.createDataFrame(
+        [("d1", 1, 10, 0.0),
+         ("d1", 2, 20, 0.9), ("d1", 2, 21, 0.8), ("d1", 2, 22, 0.7)],
+        ["doc_id", "mention_id", "entity_id", "prior"],
+    )
+    edges = spark.createDataFrame(
+        [(10, 20), (10, 21), (10, 22)], ["u", "v"]
+    )
+    got = {r.mention_id: r.coherence
+           for r in coherence_rerank(cands, edges).collect()}
+    assert got[1] == 1
+
+
+def test_coherence_rerank_caps_and_dropped_report(spark):
+    """The candidate cap keeps the top-prior candidates (deterministic
+    order) and the companion report counts exactly what fell."""
+    from pg_iui_ner_api_spark.operators.linking import (
+        coherence_dropped,
+        coherence_rerank,
+    )
+
+    rows = [("d1", 1, e, e / 10.0) for e in range(1, 6)]  # 5 cands
+    rows += [("d1", m, 100 + m, 0.5) for m in range(2, 6)]  # 4 more mentions
+    cands = spark.createDataFrame(
+        rows, ["doc_id", "mention_id", "entity_id", "prior"]
+    )
+    edges = spark.createDataFrame([], "u long, v long")
+    out = coherence_rerank(
+        cands, edges, max_cands_per_mention=2, max_mentions_per_doc=3
+    ).collect()
+    # mentions 4, 5 dropped by the doc cap; m1 keeps top-2 priors (5, 4)
+    assert {r.mention_id for r in out} == {1, 2, 3}
+    m1 = next(r for r in out if r.mention_id == 1)
+    assert m1.entity_id == 5  # highest prior among kept
+    rep = {r.doc_id: (r.n_mentions_dropped, r.n_cand_rows_dropped)
+           for r in coherence_dropped(
+               cands, max_cands_per_mention=2, max_mentions_per_doc=3
+           ).collect()}
+    assert rep == {"d1": (2, 3)}  # 2 mentions; m1 lost 3 of 5 cand rows
+
+
+def test_coherence_rerank_validation(spark):
+    from pg_iui_ner_api_spark.operators.linking import coherence_rerank
+
+    cands = spark.createDataFrame(
+        [("d1", 1, 1, 0.5)], ["doc_id", "mention_id", "entity_id", "prior"]
+    )
+    edges = spark.createDataFrame([], "u long, v long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        coherence_rerank(cands, edges, max_cands_per_mention=0)
