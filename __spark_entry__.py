@@ -1374,6 +1374,16 @@ def _q_graph_lcc(spark, sf):
     return GR.clustering_coefficient(_part_edges(spark, sf))
 
 
+def _q_graph_ktruss(spark, sf):
+    """Bounded-round 4-truss (operators/graph.py::ktruss) of the part
+    co-occurrence graph — every surviving edge sits in >= 2 triangles
+    of survivors (the edge-analogue of k-core; drops loosely-attached
+    spokes degree alone keeps). rounds=2 converges here (round 3 is
+    pinned identical in pytest); output carries each survivor's support
+    inside the final subgraph."""
+    return GR.ktruss(_part_edges(spark, sf), k=4, rounds=2)
+
+
 def _q_coherence_link(spark, sf):
     """Collective entity disambiguation (operators/linking.py::
     coherence_rerank) over a TPC-H-derived EL benchmark: each lineitem
@@ -2172,6 +2182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    check_entry- and pytest-verified instead
         "graph_lcc": _q_graph_lcc,
         "coherence_link": _q_coherence_link,
+        "graph_ktruss": _q_graph_ktruss,
         # -- (b) oracle-backed, driver-green in CORRECTNESS_r01-r04
         "graph_jaccard": _q_graph_jaccard,
         "graph_sssp": _q_graph_sssp,
@@ -4024,6 +4035,59 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY score DESC, entity_id ASC) AS rw
           FROM scored
         ) WHERE rw = 1
+    """
+    sql["graph_ktruss"] = f"""
+        WITH {_GEDGES},
+        tri_r0 AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+          JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        supp_r0 AS (
+          SELECT src, dst, count(*) AS support FROM (
+            SELECT a AS src, b AS dst FROM tri_r0
+            UNION ALL SELECT b, c FROM tri_r0
+            UNION ALL SELECT a, c FROM tri_r0
+          ) GROUP BY 1, 2
+        ),
+        et1 AS (
+          SELECT e.src, e.dst FROM edges e
+          JOIN supp_r0 s ON s.src = e.src AND s.dst = e.dst
+          WHERE s.support >= 2
+        ),
+        tri_r1 AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM et1 e1 JOIN et1 e2 ON e2.src = e1.dst
+          JOIN et1 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        supp_r1 AS (
+          SELECT src, dst, count(*) AS support FROM (
+            SELECT a AS src, b AS dst FROM tri_r1
+            UNION ALL SELECT b, c FROM tri_r1
+            UNION ALL SELECT a, c FROM tri_r1
+          ) GROUP BY 1, 2
+        ),
+        et2 AS (
+          SELECT e.src, e.dst FROM et1 e
+          JOIN supp_r1 s ON s.src = e.src AND s.dst = e.dst
+          WHERE s.support >= 2
+        ),
+        tri_fin AS (
+          SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+          FROM et2 e1 JOIN et2 e2 ON e2.src = e1.dst
+          JOIN et2 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        supp_fin AS (
+          SELECT src, dst, count(*) AS support FROM (
+            SELECT a AS src, b AS dst FROM tri_fin
+            UNION ALL SELECT b, c FROM tri_fin
+            UNION ALL SELECT a, c FROM tri_fin
+          ) GROUP BY 1, 2
+        )
+        SELECT e.src, e.dst,
+               CAST(coalesce(s.support, 0) AS BIGINT) AS support
+        FROM et2 e LEFT JOIN supp_fin s
+          ON s.src = e.src AND s.dst = e.dst
     """
     sql["graph_triangles"] = f"""
         WITH {_GEDGES}

@@ -1173,3 +1173,78 @@ def test_clustering_coefficient_matches_reference(spark):
            for r in clustering_coefficient(
                spark.createDataFrame(edges, ["src", "dst"])).collect()}
     assert got == want
+
+
+def test_ktruss_hand_graph_and_cascade(spark):
+    """Two triangles sharing edge (2,3) + a pendant: at k=3 every
+    triangle edge survives and the pendant drops; at k=4 the first peel
+    leaves only the shared edge, whose support then collapses — the
+    multi-round cascade empties the graph."""
+    from pg_iui_ner_api_spark.operators.graph import ktruss
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    k3 = {(r.src, r.dst): r.support for r in ktruss(e, k=3, rounds=2).collect()}
+    assert k3 == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (2, 4): 1, (3, 4): 1}
+    assert ktruss(e, k=4, rounds=3).count() == 0
+
+
+def test_ktruss_matches_fixpoint_reference(spark):
+    """Random canonical graph vs a pure-Python run-to-fixpoint truss."""
+    import random
+
+    from pg_iui_ner_api_spark.operators.graph import ktruss
+
+    rng = random.Random(11)
+    nodes = list(range(24))
+    edges = sorted({tuple(sorted(rng.sample(nodes, 2))) for _ in range(140)})
+
+    def support(es):
+        s = {ed: 0 for ed in es}
+        eset = set(es)
+        for a, b in es:
+            for c in nodes:
+                if c > b and (a, c) in eset and (b, c) in eset:
+                    s[(a, b)] += 1
+                    s[(a, c)] += 1
+                    s[(b, c)] += 1
+        return s
+
+    k = 4
+    cur = list(edges)
+    while True:
+        s = support(cur)
+        nxt = [ed for ed in cur if s[ed] >= k - 2]
+        if nxt == cur:
+            break
+        cur = nxt
+    want = {ed: support(cur)[ed] for ed in cur}
+    got = {(r.src, r.dst): r.support
+           for r in ktruss(
+               spark.createDataFrame(edges, ["src", "dst"]), k=k, rounds=20
+           ).collect()}
+    assert got == want
+
+
+def test_ktruss_extra_round_is_fixpoint_on_part_graph(spark):
+    """The driver key's rounds=2 is converged: round 3 changes nothing."""
+    from pg_iui_ner_api_spark.operators.graph import ktruss
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    e = G.cooccurrence_edges(li, "l_orderkey", "l_partkey").localCheckpoint()
+    a = {(r.src, r.dst, r.support)
+         for r in ktruss(e, k=4, rounds=2).collect()}
+    b = {(r.src, r.dst, r.support)
+         for r in ktruss(e, k=4, rounds=3).collect()}
+    assert a == b
+
+
+def test_ktruss_validation(spark):
+    from pg_iui_ner_api_spark.operators.graph import ktruss
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        ktruss(e, k=2, rounds=1)
+    with pytest.raises(ValueError):
+        ktruss(e, k=4, rounds=0)
