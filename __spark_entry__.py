@@ -1384,6 +1384,22 @@ def _q_graph_ktruss(spark, sf):
     return GR.ktruss(_part_edges(spark, sf), k=4, rounds=2)
 
 
+def _q_graph_n2v(spark, sf):
+    """Deterministic node2vec biased walks (operators/graph.py::
+    node2vec_walks): 2 walks of 3 steps from every node of the CAPPED
+    part co-occurrence graph (the operator's fan is deg(current) per
+    step, so it runs on the hub-capped graph per its own contract),
+    p=2 / q=3 — integer inverse biases whose exact-integer cumulative
+    selection the DuckDB twin replays bit-for-bit."""
+    edges = GR.cooccurrence_edges(
+        _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+        max_group=_COOCCUR_CAP,
+    )
+    return GR.node2vec_walks(
+        GR.symmetrize(edges), walk_len=3, walks_per_node=2, p=2, q=3
+    )
+
+
 def _q_coherence_link(spark, sf):
     """Collective entity disambiguation (operators/linking.py::
     coherence_rerank) over a TPC-H-derived EL benchmark: each lineitem
@@ -2183,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lcc": _q_graph_lcc,
         "coherence_link": _q_coherence_link,
         "graph_ktruss": _q_graph_ktruss,
+        "graph_n2v": _q_graph_n2v,
         # -- (b) oracle-backed, driver-green in CORRECTNESS_r01-r04
         "graph_jaccard": _q_graph_jaccard,
         "graph_sssp": _q_graph_sssp,
@@ -4088,6 +4105,85 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(s.support, 0) AS BIGINT) AS support
         FROM et2 e LEFT JOIN supp_fin s
           ON s.src = e.src AND s.dst = e.dst
+    """
+    sql["graph_n2v"] = f"""
+        WITH
+        n2e AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS n FROM lineitem),
+        n2keep AS (SELECT g FROM n2e GROUP BY g HAVING count(*) <= 6),
+        n2edges AS (
+          SELECT DISTINCT a.n AS src, b.n AS dst
+          FROM n2e a JOIN n2e b ON a.g = b.g AND a.n < b.n
+          WHERE a.g IN (SELECT g FROM n2keep)
+        ),
+        n2sym AS (SELECT src, dst FROM n2edges
+                  UNION ALL SELECT dst, src FROM n2edges),
+        n2nbr AS (
+          SELECT src AS node, dst AS nxt,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+          FROM (SELECT DISTINCT src, dst FROM n2sym)
+        ),
+        n2dg AS (SELECT node, count(*) AS deg FROM n2nbr GROUP BY 1),
+        n2s0 AS (
+          SELECT n.node AS start, w.w AS walk_no, n.node AS node
+          FROM (SELECT DISTINCT node FROM n2nbr) n
+          CROSS JOIN (SELECT unnest([0, 1]) AS w) w
+        ),
+        n2s1 AS (
+          SELECT s.start, s.walk_no, nb.nxt AS node, s.node AS prev
+          FROM n2s0 s JOIN n2dg d ON d.node = s.node
+          JOIN n2nbr nb ON nb.node = s.node
+           AND nb.idx = CAST(('0x' || substr(md5('n2v|' || start::VARCHAR || '|' || walk_no::VARCHAR || '|1'), 1, 15)) AS BIGINT) % d.deg
+        ),
+        cand_2 AS (
+          SELECT s.start, s.walk_no, s.node AS cur_node, s.prev,
+                 nb.idx, nb.nxt,
+                 CASE WHEN nb.nxt = s.prev THEN 3
+                      WHEN a.src IS NOT NULL THEN 6
+                      ELSE 2 END AS w
+          FROM n2s1 s JOIN n2nbr nb ON nb.node = s.node
+          LEFT JOIN n2sym a ON a.src = nb.nxt AND a.dst = s.prev
+        ),
+        cum_2 AS (
+          SELECT *,
+            sum(w) OVER (PARTITION BY start, walk_no ORDER BY idx
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(w) OVER (PARTITION BY start, walk_no) AS total
+          FROM cand_2
+        ),
+        n2s2 AS (
+          SELECT start, walk_no, arg_min(nxt, idx) AS node,
+                 arg_min(cur_node, idx) AS prev
+          FROM cum_2
+          WHERE cum > CAST(('0x' || substr(md5('n2v|' || start::VARCHAR || '|' || walk_no::VARCHAR || '|2'), 1, 15)) AS BIGINT) % total
+          GROUP BY start, walk_no
+        ),
+        cand_3 AS (
+          SELECT s.start, s.walk_no, s.node AS cur_node, s.prev,
+                 nb.idx, nb.nxt,
+                 CASE WHEN nb.nxt = s.prev THEN 3
+                      WHEN a.src IS NOT NULL THEN 6
+                      ELSE 2 END AS w
+          FROM n2s2 s JOIN n2nbr nb ON nb.node = s.node
+          LEFT JOIN n2sym a ON a.src = nb.nxt AND a.dst = s.prev
+        ),
+        cum_3 AS (
+          SELECT *,
+            sum(w) OVER (PARTITION BY start, walk_no ORDER BY idx
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+            sum(w) OVER (PARTITION BY start, walk_no) AS total
+          FROM cand_3
+        ),
+        n2s3 AS (
+          SELECT start, walk_no, arg_min(nxt, idx) AS node,
+                 arg_min(cur_node, idx) AS prev
+          FROM cum_3
+          WHERE cum > CAST(('0x' || substr(md5('n2v|' || start::VARCHAR || '|' || walk_no::VARCHAR || '|3'), 1, 15)) AS BIGINT) % total
+          GROUP BY start, walk_no
+        )
+        SELECT start, walk_no, 0 AS step, node FROM n2s0
+        UNION ALL SELECT start, walk_no, 1 AS step, node FROM n2s1
+        UNION ALL SELECT start, walk_no, 2 AS step, node FROM n2s2
+        UNION ALL SELECT start, walk_no, 3 AS step, node FROM n2s3
     """
     sql["graph_triangles"] = f"""
         WITH {_GEDGES}

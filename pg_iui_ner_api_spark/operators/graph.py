@@ -401,6 +401,123 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return result
 
 
+def node2vec_walks(
+    edges_sym: DataFrame,
+    walk_len: int = 3,
+    walks_per_node: int = 1,
+    p: int = 1,
+    q: int = 1,
+    seed: str = "n2v",
+) -> DataFrame:
+    """Deterministic node2vec SECOND-ORDER biased walks ``(start,
+    walk_no, step, node)`` (Grover & Leskovec, KDD 2016): the step from
+    v (arrived from t) weights neighbor x by 1/p if x == t (return),
+    1 if x adjacent to t (triangle), 1/q otherwise (outward) — the
+    BFS/DFS interpolation knob DeepWalk's uniform walk lacks.
+
+    ``p`` and ``q`` are POSITIVE INTEGER inverse biases; weights are
+    held as the exact integers w_return = q, w_triangle = p*q,
+    w_outward = p (the 1/p : 1 : 1/q ratios scaled by p*q), so every
+    cumulative sum is integer-exact and the selection — smallest
+    neighbor idx whose running weight sum exceeds
+    ``portable_hash64(seed|start|walk_no|t) % total_weight`` — is
+    bit-replayable in DuckDB. With p == q == 1 the selection provably
+    degenerates to ``idx = hash % degree``, i.e. exactly
+    :func:`random_walks` (pinned in pytest). Step 1 has no predecessor
+    and is uniform, the standard first step.
+
+    Scale shape: unlike the first-order walk (ONE (node, idx) probe per
+    step), the biased step inherently fans deg(current) candidate rows
+    per walk — each needs the is-neighbor-of-predecessor test, one hash
+    join against the edge set on (candidate, prev) — plus one per-walk
+    window cumsum over the candidates. A hub transition costs deg(hub)
+    rows, so run this on a degree-capped relatedness graph (the
+    cooccurrence ``max_group`` / link-pred cap family), like every
+    wedge-fan operator in this module. Neighbor index and edge set are
+    partitioned once and localCheckpointed; per round only the
+    candidate frontier shuffles.
+    """
+    from ..functions.text import portable_hash64
+
+    if walk_len < 1 or walks_per_node < 1:
+        raise ValueError("walk_len and walks_per_node must be >= 1")
+    if p < 1 or q < 1:
+        raise ValueError("p and q must be positive integers")
+    es = edges_sym.select("src", "dst").distinct().localCheckpoint()
+    w_nbr = Window.partitionBy("src").orderBy("dst")
+    nbr = (
+        es.withColumn("idx", (F.row_number().over(w_nbr) - 1).cast("long"))
+        .select(F.col("src").alias("node"), "idx", F.col("dst").alias("nxt"))
+        .repartition("node")
+        .localCheckpoint()
+    )
+    adj = es.select(
+        F.col("src").alias("nxt"), F.col("dst").alias("prev"),
+        F.lit(1).alias("_adj"),
+    )
+    starts = (
+        nbr.select("node")
+        .distinct()
+        .select(
+            F.col("node").alias("start"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_node - 1))
+            ).alias("walk_no"),
+        )
+    )
+    cur = starts.select(
+        "start", "walk_no", F.col("start").alias("node"),
+        F.lit(None).cast(nbr.schema["node"].dataType).alias("prev"),
+    )
+    out = cur.select("start", "walk_no", F.lit(0).alias("step"), "node")
+    w_cum = (
+        Window.partitionBy("start", "walk_no")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("start", "walk_no")
+    for t in range(1, walk_len + 1):
+        h = portable_hash64(
+            F.concat_ws(
+                "|",
+                F.lit(seed),
+                F.col("start").cast("string"),
+                F.col("walk_no").cast("string"),
+                F.lit(str(t)),
+            )
+        )
+        cands = (
+            cur.join(nbr, "node")
+            .join(adj, ["nxt", "prev"], "left")
+            .withColumn(
+                "w",
+                F.when(F.col("prev").isNull(), F.lit(1))
+                .when(F.col("nxt") == F.col("prev"), F.lit(q))
+                .when(F.col("_adj") == 1, F.lit(p * q))
+                .otherwise(F.lit(p))
+                .cast("long"),
+            )
+        )
+        picked = (
+            cands.withColumn("cum", F.sum("w").over(w_cum))
+            .withColumn("total", F.sum("w").over(w_tot))
+            .where(F.col("cum") > F.pmod(h, F.col("total")))
+            .groupBy("start", "walk_no")
+            .agg(F.min(F.struct("idx", "nxt", "node")).alias("_s"))
+        )
+        stepped = picked.select(
+            "start",
+            "walk_no",
+            F.col("_s.nxt").alias("node"),
+            F.col("_s.node").alias("prev"),
+        ).localCheckpoint(eager=False)
+        out = out.unionAll(
+            stepped.select("start", "walk_no", F.lit(t).alias("step"), "node")
+        )
+        cur = stepped
+    return out
+
+
 def _edge_support(e: DataFrame) -> DataFrame:
     """Per-edge triangle support of a canonical (src<dst) edge list:
     ``(src, dst, support)`` for edges in >= 1 triangle. Degree-oriented

@@ -1248,3 +1248,81 @@ def test_ktruss_validation(spark):
         ktruss(e, k=2, rounds=1)
     with pytest.raises(ValueError):
         ktruss(e, k=4, rounds=0)
+
+
+def test_node2vec_uniform_equals_deepwalk(spark):
+    """p = q = 1 makes the weighted selection collapse to
+    idx = hash % degree — bit-identical to random_walks."""
+    from pg_iui_ner_api_spark.operators.graph import (
+        node2vec_walks,
+        random_walks,
+        symmetrize,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5)], ["src", "dst"]
+    )
+    sym = symmetrize(e)
+    a = {tuple(r) for r in random_walks(
+        sym, walk_len=3, walks_per_node=2, seed="w0").collect()}
+    b = {tuple(r) for r in node2vec_walks(
+        sym, walk_len=3, walks_per_node=2, p=1, q=1, seed="w0").collect()}
+    assert a == b
+
+
+def test_node2vec_matches_python_reference(spark):
+    """Biased walks vs an independent pure-Python replay of the same
+    md5 chain + integer-weight cumulative selection."""
+    import hashlib
+
+    from pg_iui_ner_api_spark.operators.graph import node2vec_walks, symmetrize
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (2, 5), (1, 5)]
+    P, Q, SEED, L, WPN = 2, 3, "n2v", 3, 2
+    adj: dict[int, list[int]] = {}
+    eset = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+        eset |= {(a, b), (b, a)}
+    for v in adj:
+        adj[v] = sorted(set(adj[v]))
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = set()
+    for start in adj:
+        for w in range(WPN):
+            node, prev = start, None
+            want.add((start, w, 0, node))
+            for t in range(1, L + 1):
+                cands = adj[node]
+                if prev is None:
+                    ws = [1] * len(cands)
+                else:
+                    ws = [Q if x == prev else (P * Q if (x, prev) in eset
+                          else P) for x in cands]
+                r = h64(f"{SEED}|{start}|{w}|{t}") % sum(ws)
+                cum = 0
+                for i, x in enumerate(cands):
+                    cum += ws[i]
+                    if cum > r:
+                        nxt = x
+                        break
+                want.add((start, w, t, nxt))
+                node, prev = nxt, node
+    got = {tuple(r) for r in node2vec_walks(
+        symmetrize(spark.createDataFrame(edges, ["src", "dst"])),
+        walk_len=L, walks_per_node=WPN, p=P, q=Q, seed=SEED).collect()}
+    assert got == want
+
+
+def test_node2vec_validation(spark):
+    from pg_iui_ner_api_spark.operators.graph import node2vec_walks
+
+    e = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError):
+        node2vec_walks(e, p=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(e, walk_len=0)
