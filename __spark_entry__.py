@@ -1378,9 +1378,14 @@ def _q_graph_ktruss(spark, sf):
     """Bounded-round 4-truss (operators/graph.py::ktruss) of the part
     co-occurrence graph — every surviving edge sits in >= 2 triangles
     of survivors (the edge-analogue of k-core; drops loosely-attached
-    spokes degree alone keeps). rounds=2 converges here (round 3 is
-    pinned identical in pytest); output carries each survivor's support
-    inside the final subgraph."""
+    spokes degree alone keeps). BOUNDED-round semantics: rounds=2 is
+    converged at the sf<=0.01 scales the oracle value-checks (round 3
+    pinned identical in pytest); at sf0.1 the peel runs deeper, so the
+    key there measures exactly-2-rounds — which the oracle's 2 unrolled
+    peels replicate by construction at any scale (the sf0.1 evidence is
+    tools/sf01_invariants.py: subset/monotonicity/partitioning-
+    invariance/first-peel exactness, all green). Output carries each
+    survivor's support inside the final subgraph."""
     return GR.ktruss(_part_edges(spark, sf), k=4, rounds=2)
 
 

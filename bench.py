@@ -321,6 +321,9 @@ def _headline(spark) -> dict[str, float]:
         # sign-projection dimensionality reduction, schema induction
         "kg_paths", "jl_project", "kg_schema", "graph_walk_pairs",
         "kg_rules_approx", "kg_entity_report",
+        # r5 additions: local clustering coefficient, bounded-round
+        # k-truss, collective-coherence entity linking, node2vec walks
+        "graph_lcc", "graph_ktruss", "coherence_link", "graph_n2v",
     ]
     def lsh_near_dup(spark, sf_dir):
         # embedding near-dup: bench the LSH-bucketed scale path (the

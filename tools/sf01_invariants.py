@@ -121,6 +121,55 @@ def main() -> None:
         "violations": bad_c,
         "ok": bool(sum_nodes == n_nodes_universe and bad_c == 0),
     }
+
+    # graph_ktruss: the DuckDB twin's triangle-edge union spills past
+    # this box's disk at sf0.1 (observed: temp storage ENOSPC). The key
+    # carries BOUNDED-round semantics (rounds=2, converged at the
+    # sf<=0.01 scales the oracle checks; at sf0.1 the peel runs deeper
+    # — probed: still shrinking at round 6 — so the key measures
+    # exactly-2-rounds there, which the oracle's 2 unrolled peels
+    # replicate by construction at any scale). Checked here: (a)
+    # survivors are a subset of the input edges, (b) peeling is
+    # monotone (rounds=3 edge set is a subset of rounds=2's), (c) the
+    # output is partitioning-invariant (identical under a different
+    # shuffle-partition count), (d) round-1 correctness on the full
+    # graph: NO dropped edge had support >= k-2 in the ORIGINAL graph
+    # unless a later round dropped it (first-peel exactness).
+    from pg_iui_ner_api_spark.operators.graph import _edge_support, ktruss
+
+    t2 = qs["graph_ktruss"](spark, sf_dir).cache()
+    edges_pc = qs["graph_cooccur"](spark, sf_dir).localCheckpoint()
+    t3 = ktruss(edges_pc, k=4, rounds=3)
+    n2 = t2.count()
+    not_subset = t2.join(edges_pc, ["src", "dst"], "left_anti").count()
+    non_monotone = (
+        t3.select("src", "dst").join(
+            t2.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).count()
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    t2b = qs["graph_ktruss"](spark, sf_dir)
+    part_diff = (
+        t2.select("src", "dst", "support").exceptAll(t2b).count()
+        + t2b.exceptAll(t2.select("src", "dst", "support")).count()
+    )
+    # (d) an edge absent after round 1 must have had original support<2:
+    s0 = _edge_support(edges_pc)
+    r1 = ktruss(edges_pc, k=4, rounds=1).select("src", "dst")
+    wrongly_dropped_r1 = (
+        edges_pc.join(r1, ["src", "dst"], "left_anti")
+        .join(s0.where(F.col("support") >= 2), ["src", "dst"], "left_semi")
+        .count()
+    )
+    out["graph_ktruss"] = {
+        "n_edges": n2,
+        "non_input_edges": not_subset,
+        "monotonicity_violations": non_monotone,
+        "partitioning_symdiff": part_diff,
+        "wrongly_dropped_round1": wrongly_dropped_r1,
+        "ok": bool(n2 > 0 and not_subset == 0 and non_monotone == 0
+                   and part_diff == 0 and wrongly_dropped_r1 == 0),
+    }
     print(json.dumps(out))
 
 
