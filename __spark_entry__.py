@@ -1405,6 +1405,32 @@ def _q_graph_n2v(spark, sf):
     )
 
 
+def _q_kge_scores(spark, sf):
+    """Exact-integer TransE scoring (operators/kge.py::
+    transe_int_scores) over the FK-derived KG: d2 = |h+r-t|^2 with
+    md5-derived integer embedding components — MAP-ONLY, join-free,
+    zero shuffles at any corpus size; the DuckDB twin replays the hash
+    chain and the integer fold bit-for-bit."""
+    from pg_iui_ner_api_spark.operators import kge as KGE
+
+    c = _t(spark, sf, "customer").select(
+        F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("obj"),
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")).alias("subj"),
+        F.lit("in_nation").alias("pred"),
+        F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")).alias("obj"),
+    )
+    o = _t(spark, sf, "orders").select(
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("placed_by").alias("pred"),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    return KGE.transe_int_scores(c.unionByName(s).unionByName(o), dim=16)
+
+
 def _q_coherence_link(spark, sf):
     """Collective entity disambiguation (operators/linking.py::
     coherence_rerank) over a TPC-H-derived EL benchmark: each lineitem
@@ -2205,6 +2231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coherence_link": _q_coherence_link,
         "graph_ktruss": _q_graph_ktruss,
         "graph_n2v": _q_graph_n2v,
+        "kge_scores": _q_kge_scores,
         # -- (b) oracle-backed, driver-green in CORRECTNESS_r01-r04
         "graph_jaccard": _q_graph_jaccard,
         "graph_sssp": _q_graph_sssp,
@@ -4189,6 +4216,26 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT start, walk_no, 1 AS step, node FROM n2s1
         UNION ALL SELECT start, walk_no, 2 AS step, node FROM n2s2
         UNION ALL SELECT start, walk_no, 3 AS step, node FROM n2s3
+    """
+    sql["kge_scores"] = """
+        WITH kt AS (
+          SELECT 'c:' || c_custkey AS subj, 'in_nation' AS pred,
+                 'n:' || c_nationkey AS obj FROM customer
+          UNION ALL
+          SELECT 's:' || s_suppkey, 'in_nation', 'n:' || s_nationkey
+          FROM supplier
+          UNION ALL
+          SELECT 'o:' || o_orderkey, 'placed_by', 'c:' || o_custkey
+          FROM orders
+        )
+        SELECT subj, pred, obj,
+               CAST(list_sum(list_transform(
+                 list_transform(range(0, 16), j ->
+                   (CAST(('0x' || substr(md5('kge|e|' || subj || '|' || j::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)
+                   + (CAST(('0x' || substr(md5('kge|r|' || pred || '|' || j::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)
+                   - (CAST(('0x' || substr(md5('kge|e|' || obj || '|' || j::VARCHAR), 1, 15)) AS BIGINT) % 2001 - 1000)),
+                 d -> d * d)) AS BIGINT) AS d2
+        FROM kt
     """
     sql["graph_triangles"] = f"""
         WITH {_GEDGES}
