@@ -226,3 +226,39 @@ def test_coherence_rerank_validation(spark):
 
     with _pytest.raises(ValueError):
         coherence_rerank(cands, edges, max_cands_per_mention=0)
+
+
+def test_coherent_linking_drop_in_parity(spark):
+    """link_mentions_coherent is a drop-in stage swap: same schema and
+    mention coverage as the independent linker, and the triple-parity
+    gate still holds >= 0.95 through it (incl. the deliberately
+    ambiguous 'phoenix' alias, now resolved by document coherence)."""
+    from pg_iui_ner_api_spark import synth
+    from pg_iui_ner_api_spark.operators import ner as N, triples as T
+    from pg_iui_ner_api_spark.operators.linking import (
+        link_mentions,
+        link_mentions_coherent,
+    )
+
+    n_docs = 200
+    docs = synth.synth_documents(spark, n_docs, partitions=4).cache()
+    ext = N.extract(docs).cache()
+    m = N.mentions_of(ext)
+    alias, embs = synth.alias_df(spark), synth.entity_emb_df(spark)
+    base = link_mentions(m, alias, embs)
+    coh = link_mentions_coherent(m, alias, embs).cache()
+    assert coh.columns == base.columns
+    assert coh.count() == base.count()
+    assert coh.select("mention_id").distinct().count() == coh.count()
+
+    edges = T.assemble_triples(coh, N.predicates_of(ext))
+    got = {tuple(r) for r in
+           edges.select("doc_id", "subj", "pred", "obj").collect()}
+    truth = synth.synth_truth_triples(spark, n_docs)
+    want = {tuple(r) for r in
+            truth.select("doc_id", "subj", "pred", "obj").collect()}
+    tp = len(got & want)
+    p = tp / max(len(got), 1)
+    r = tp / max(len(want), 1)
+    assert p >= 0.95, f"coherent precision {p:.4f} < 0.95"
+    assert r >= 0.95, f"coherent recall {r:.4f} < 0.95"
