@@ -42,10 +42,16 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # the pipeline's ~25-30 sequential stages put a ~30-60 s latency floor
 # under every leg, so legs are sized at 1M docs to keep scalable work
 # dominant at local[32]
-# 2M docs: sized so the serial per-leg floor (driver-side CC, broadcast
-# collects, AQE latency — constant in cores AND in corpus size) stays a
-# small fraction of even the fastest gate leg
-KG_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000000"))
+# 1M docs (r5, was 2M): still keeps the serial per-leg floor (driver-
+# side CC, broadcast collects, AQE latency — constant in cores AND in
+# corpus size, ~8 s) under ~20% of the fastest gate leg (8-leg ~42 s) —
+# and the floor penalizes the FAST leg, so any residual floor effect
+# UNDERSTATES efficiency (conservative for the gate). Halving the leg
+# time doubles the reps a bench budget can sample, which on this
+# noise-phased host is the bigger lever for landing clean minutes
+# (r4's 0.909 confirmation run used 1M legs; the r5 1M run recorded
+# 0.86 in a phase where same-day 2M legs were unschedulable).
+KG_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
 # this sandbox is a microVM whose effective CPU throughput fluctuates
 # several-fold minute to minute (host-level contention, no steal
 # reported); single-shot leg timings are meaningless, so the
@@ -460,6 +466,17 @@ def main() -> None:
     INFLATION_HARD = (1 / 1.6, 1.6)
     INFLATION_CLEAN = 1.25
     BW_CLEAN = 0.9
+    # The gate pair's own CPU inflation is the DIRECT bandwidth-health
+    # reading for the job (memory-stall time counts as busy CPU, so a
+    # DRAM-throttled 8-leg burns visibly more CPU than the 2-leg on
+    # identical work); the numpy streaming probe is a synthetic proxy
+    # with a different access pattern whose absolute level phase-shifts
+    # (r5 observed probe readings of 0.49-0.63 in a window where the
+    # job itself measured inflation 1.03-1.10 and gate ratios
+    # 0.84-0.89). So a rep whose inflation is deep inside the clean
+    # range keeps its clean rating even when the synthetic probe reads
+    # low; the probe still decides the ambiguous 1.12-1.25 band.
+    INFLATION_SELF_EVIDENT = 1.12
     gate_small = min((a for a in SCALE_PARS if 4 * a in SCALE_PARS),
                      default=None)
     clean_reps: list[int] = []
@@ -538,10 +555,10 @@ def main() -> None:
         else:
             infl = None
         hard_ok = infl is None or INFLATION_HARD[0] <= infl <= INFLATION_HARD[1]
-        clean = (
-            hard_ok
-            and (infl is None or infl <= INFLATION_CLEAN)
-            and bw28 >= BW_CLEAN
+        clean = hard_ok and (
+            infl is None
+            or infl <= INFLATION_SELF_EVIDENT
+            or (infl <= INFLATION_CLEAN and bw28 >= BW_CLEAN)
         )
         if clean and nongate and nongate_runs < NONGATE_SAMPLES:
             # same rep, same noise minute as a CLEAN gate pair
